@@ -1,0 +1,43 @@
+"""Cross-engine deterministic hashing helpers.
+
+Everything here stays JVM-side (built-in functions only, whole-stage codegen):
+md5 is the shared primitive because DuckDB (the correctness oracle) computes
+bit-identical hex digests, which xxhash64/murmur3 do not guarantee across
+engines. For pure-Spark paths (no oracle) prefer ``F.xxhash64`` — it's cheaper.
+
+Scale note: all helpers are narrow (per-row) transformations — no shuffle, no
+UDF, safe at any data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def md5_hex(col: Column) -> Column:
+    """Lowercase hex md5 — identical output in Spark and DuckDB."""
+    return F.md5(col.cast("string"))
+
+
+def md5_long(col: Column) -> Column:
+    """60-bit integer from the leading 15 hex chars of md5 (fits in int64).
+
+    DuckDB equivalent: ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``.
+    Spark: ``conv(substring(md5(x), 1, 15), 16, 10)`` then cast.
+    """
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("bigint")
+
+
+def seeded_md5(col: Column, seed: int) -> Column:
+    """md5 of ``seed || ':' || value`` — a family of independent hash functions."""
+    return F.md5(F.concat(F.lit(str(seed)), F.lit(":"), col.cast("string")))
+
+
+def hex_digit_val(hexstr: Column, pos: int) -> Column:
+    """Integer value (0-15) of the 1-indexed hex digit at ``pos``.
+
+    Cross-engine: ``strpos('0123456789abcdef', substr(h, pos, 1)) - 1`` is
+    identical in DuckDB; Spark spells strpos as ``instr``.
+    """
+    return F.instr(F.lit("0123456789abcdef"), F.substring(hexstr, pos, 1)) - F.lit(1)

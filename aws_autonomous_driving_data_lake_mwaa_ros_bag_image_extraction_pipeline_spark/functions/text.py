@@ -1,0 +1,75 @@
+"""Text-analysis column helpers (north-star extensions over ``documents``).
+
+All JVM-side built-ins — tokenization, quality features, fingerprints compile
+to whole-stage-codegen expressions; no Python UDF in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal deterministic stopword list used by quality scoring / language-ID.
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization. DuckDB: ``string_split_regex(text, '\\s+')``."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def avg_token_len(text: Column) -> Column:
+    """Mean token length = (len without whitespace) / token count."""
+    stripped = F.length(F.regexp_replace(text, r"\s+", ""))
+    return stripped / token_count(text)
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return hits / F.size(toks)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not alphanumeric / whitespace."""
+    total = F.length(text)
+    clean = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    return clean / total
+
+
+def normalized(text: Column) -> Column:
+    """Lowercase + collapse whitespace — canonical form for fingerprinting."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint = md5 of the normalized text (exact-dup key)."""
+    return F.md5(normalized(text))
+
+
+def sorted_token_fingerprint(text: Column) -> Column:
+    """Bag-of-words fingerprint: md5 over the sorted distinct token set.
+
+    Catches shuffled/reordered near-duplicates that byte-level hashing misses.
+    DuckDB: ``md5(array_to_string(list_sort(list_distinct(...)), ' '))``.
+    """
+    toks = F.array_sort(F.array_distinct(tokens(F.lower(text))))
+    return F.md5(F.array_join(toks, " "))
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Word n-grams as strings (shingles) — input to MinHash / Jaccard."""
+    toks = tokens(F.lower(text))
+    k = F.size(toks) - F.lit(n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1)))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )

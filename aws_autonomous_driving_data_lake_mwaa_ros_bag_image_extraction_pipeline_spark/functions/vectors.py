@@ -1,0 +1,35 @@
+"""Vector (embedding-column) helpers over ``array<float>`` columns.
+
+Built-in higher-order functions (``zip_with`` + ``aggregate``) keep the dot
+product JVM-side; no Arrow round-trip for the brute-force path. For very wide
+vectors or very large candidate sets, the pandas-UDF batch path in
+``operators/similarity.py`` takes over.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity. DuckDB oracle: ``list_cosine_similarity``."""
+    return dot(a, b) / (norm(a) * norm(b))

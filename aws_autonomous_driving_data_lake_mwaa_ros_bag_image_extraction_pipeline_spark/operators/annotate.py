@@ -1,0 +1,140 @@
+"""Multimodal-column transforms: decode / annotate / batch-inference
+(operators P11, P12, P13, K7).
+
+Reference: bounding boxes are relative coords scaled by image size at draw
+time (processing.py:366-384); annotation draws green boxes per instance
+(processing.py:352-390); enrichment calls Rekognition one image per request
+(processing.py:320-327).
+
+Spark-first: images ride as opaque ``binary`` columns; the transforms are
+Arrow-batched pandas UDFs over ``mapInPandas`` so a 1000-executor cluster
+processes frames in vectorized batches instead of one network call per frame.
+Image codecs (PIL et al.) are not in this container, so the pixel-level steps
+are deterministic fakes behind the same signatures — the Spark-side plumbing
+(schema, batching, partitioning) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import LABELS_ARRAY_SCHEMA
+
+ANNOTATED_SCHEMA = (
+    "bag_id string, camera string, frame_index int, annotated binary"
+)
+
+
+def scale_box(box: Column, width: Column, height: Column) -> Column:
+    """P11: relative box × image dims → pixel corner points
+    (processing.py:366-375). Pure column arithmetic."""
+    return F.struct(
+        (box["Left"] * width).alias("x0"),
+        (box["Top"] * height).alias("y0"),
+        ((box["Left"] + box["Width"]) * width).alias("x1"),
+        ((box["Top"] + box["Height"]) * height).alias("y1"),
+    )
+
+
+def _fake_draw(content: bytes, n_boxes: int) -> bytes:
+    # Deterministic stand-in for ImageDraw (no PIL in container): appends a
+    # digest of (image bytes, box count). Replace with a real PIL draw by
+    # swapping this function only.
+    tag = hashlib.md5(bytes([n_boxes % 256]) + (content or b"")).digest()
+    return (content or b"") + tag
+
+
+def annotate_frames(frames_with_labels: DataFrame) -> DataFrame:
+    """P12/K7: frames + labels → annotated image column.
+
+    Input needs (bag_id, camera, frame_index, content, labels).
+    ``mapInPandas`` = one Arrow batch per partition slice; no per-row Python.
+    """
+    n_boxes = F.aggregate(
+        F.coalesce(F.col("labels"), F.array()),
+        F.lit(0),
+        lambda acc, l: acc + F.size(F.coalesce(l["Instances"], F.array())),
+    )
+    slim = frames_with_labels.select(
+        "bag_id", "camera", "frame_index", "content", n_boxes.alias("n_boxes")
+    )
+
+    def _annotate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["bag_id", "camera", "frame_index"]].copy()
+            out["annotated"] = [
+                _fake_draw(c, int(n)) for c, n in zip(pdf["content"], pdf["n_boxes"])
+            ]
+            yield out
+
+    return slim.mapInPandas(_annotate, schema=ANNOTATED_SCHEMA)
+
+
+def infer_labels(frames: DataFrame, model_fn=None) -> DataFrame:
+    """P13: pluggable batch object-detection enrich — ``frames → labels``.
+
+    The operator contract matches the Rekognition call site
+    (processing.py:320-327) but batches: each Arrow batch is one model
+    invocation. ``model_fn(list[bytes]) -> list[list[dict]]`` plugs in a real
+    model (ONNX/YOLO-class); the default is a deterministic fake keyed on the
+    image digest so the downstream aggregation pipeline is testable.
+    """
+    if model_fn is None:
+        model_fn = _fake_model
+
+    out_schema = (
+        "bag_id string, camera string, frame_index int, "
+        f"labels array<struct<Name:string,Confidence:double,"
+        f"Instances:array<struct<BoundingBox:struct<Width:double,Height:double,"
+        f"`Left`:double,Top:double>,Confidence:double>>,"
+        f"Parents:array<struct<Name:string>>>>"
+    )
+
+    def _infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["bag_id", "camera", "frame_index"]].copy()
+            out["labels"] = model_fn(list(pdf["content"]))
+            yield out
+
+    return frames.select("bag_id", "camera", "frame_index", "content").mapInPandas(
+        _infer, schema=out_schema
+    )
+
+
+_VOCAB = ["Car", "Person", "Bicycle", "Road", "Traffic Light"]
+
+
+def _fake_model(images: list[bytes]) -> list[list[dict]]:
+    out = []
+    for img in images:
+        h = hashlib.md5(img or b"").digest()
+        labels = []
+        for i, name in enumerate(_VOCAB):
+            if h[i] % 3 == 0:
+                k = h[i + 5] % 3
+                labels.append(
+                    {
+                        "Name": name,
+                        "Confidence": 50.0 + h[i + 10] / 255.0 * 50.0,
+                        "Instances": [
+                            {
+                                "BoundingBox": {
+                                    "Width": 0.1,
+                                    "Height": 0.1,
+                                    "Left": j * 0.2,
+                                    "Top": j * 0.1,
+                                },
+                                "Confidence": 60.0 + j,
+                            }
+                            for j in range(k)
+                        ],
+                        "Parents": [{"Name": "Vehicle"}] if name == "Car" else [],
+                    }
+                )
+        out.append(labels)
+    return out

@@ -1,0 +1,72 @@
+"""As-of (most-recent-prior) join — sensor-topic alignment primitive.
+
+The reference aligns streams implicitly (filename pairing, processing.py:362);
+a real multi-topic fusion needs "for each left row, the latest right row at or
+before its timestamp, per key". Spark has no native as-of join; this is the
+classic **union + last_value window** formulation: one sort-shuffle on
+(key, ts) instead of a per-row range probe, which is the scalable plan — the
+window is partitioned by key so skew maps to key skew, handled by AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+    tolerance_ms: int | None = None,
+) -> DataFrame:
+    """For each left row: values of the latest right row with
+    ``right.ts <= left.ts`` (same key). Nulls when no prior right row, or
+    the match is older than ``tolerance_ms``.
+    """
+    l_tag = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_vals],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
+    )
+    r_tag = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(l_tag.schema["__lrow"].dataType).alias("__lrow"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_vals],
+        F.col(right_ts).alias("__rts"),
+    )
+    # Right rows sort before left rows at the same ts → "at or before".
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_tag.unionByName(r_tag).select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in right_vals
+        ],
+        F.last("__rts", ignorenulls=True).over(w).alias("__f_rts"),
+    )
+    out = filled.filter(F.col("__is_left") == 1)
+    if tolerance_ms is not None:
+        in_tol = (
+            F.unix_millis(F.col("__ts")) - F.unix_millis(F.col("__f_rts"))
+        ) <= F.lit(tolerance_ms)
+        sel_vals = [
+            F.when(in_tol, F.col(f"__f_{c}")).alias(c) for c in right_vals
+        ]
+    else:
+        sel_vals = [F.col(f"__f_{c}").alias(c) for c in right_vals]
+    return out.select(
+        *[F.col(f"__lrow.{c}").alias(c) for c in left.columns], *sel_vals
+    )

@@ -1,0 +1,191 @@
+"""Similarity search over embedding columns (north-star).
+
+- brute_force_topk: exact cosine top-k — broadcast the (small) query set so
+  the corpus never shuffles; ranking via window over (query, sim).
+- lsh_buckets / lsh_topk: random-hyperplane LSH scale path — each vector
+  lands in one bucket per hash table; candidate comparison happens only
+  within buckets. Hyperplanes are derived deterministically from md5 so runs
+  are reproducible without a random seed exchange.
+- pandas_topk: Arrow/numpy batch path for very wide vectors — same contract,
+  vectorized matmul per partition.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (excluding self).
+
+    Plan shape: broadcast(queries) × corpus → narrow cosine expr → window
+    rank partitioned by query. The corpus side stays partition-local until
+    the final per-query top-k shuffle, which carries only (query, k) rows
+    after AQE's partial top-k pushdown via rank filter.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(dim: int, table: int, bit: int) -> list[float]:
+    """Deterministic pseudo-random unit hyperplane from md5 — no RNG state."""
+    import hashlib
+
+    vals = []
+    for d in range(dim):
+        h = hashlib.md5(f"{table}:{bit}:{d}".encode()).digest()
+        u = int.from_bytes(h[:8], "big") / 2**64  # [0,1)
+        v = int.from_bytes(h[8:16], "big") / 2**64
+        # Box-Muller → standard normal
+        vals.append(
+            math.sqrt(-2.0 * math.log(u + 1e-12)) * math.cos(2 * math.pi * v)
+        )
+    n = math.sqrt(sum(x * x for x in vals)) or 1.0
+    return [x / n for x in vals]
+
+
+def lsh_buckets(
+    emb: DataFrame,
+    dim: int,
+    n_tables: int = 4,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector a bucket per hash table (sign pattern of ``n_bits``
+    hyperplane projections). Output long-format: (id, table, bucket)."""
+    rows = []
+    for t in range(n_tables):
+        bits = []
+        for b in range(n_bits):
+            plane = _hyperplane(dim, t, b)
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(x) for x in plane]),
+                    lambda x, w: x.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+        rows.append(
+            F.struct(F.lit(t).alias("table"), F.concat(*bits).alias("bucket"))
+        )
+    return emb.select(
+        F.col(id_col), F.col(vec_col), F.explode(F.array(*rows)).alias("tb")
+    ).select(id_col, vec_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+
+def lsh_topk(
+    emb: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_tables: int = 4,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: compare only within shared LSH buckets.
+
+    Self-join on (table, bucket) — join key cardinality ~ n_tables × 2^bits;
+    candidates deduped across tables before scoring so each pair is scored
+    once. At 100 TB this is the difference between O(n²) and O(n·bucket)."""
+    bk = lsh_buckets(emb, dim, n_tables, n_bits, id_col, vec_col)
+    a = bk.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "table", "bucket"
+    )
+    b = bk.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "table", "bucket"
+    )
+    cands = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(V.cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def pandas_topk(
+    corpus: DataFrame,
+    queries_pdf: pd.DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched numpy path: per-partition matmul against the broadcast
+    query matrix, local top-k, then global top-k merge. Use when vectors are
+    wide enough that per-element codegen loses to BLAS."""
+    import numpy as np
+
+    qids = queries_pdf[id_col].to_numpy()
+    qm = np.vstack(queries_pdf[vec_col].to_numpy()).astype("float64")
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+
+    schema = "query_id long, neighbor_id long, cosine double"
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cm @ qm.T  # (n_corpus, n_queries)
+            nids = pdf[id_col].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            for qi in range(sims.shape[1]):
+                col = sims[:, qi]
+                mask = nids != qids[qi]
+                order = np.argsort(-col[mask])[:k]
+                sel = np.where(mask)[0][order]
+                out_q.extend([qids[qi]] * len(sel))
+                out_n.extend(nids[sel])
+                out_s.extend(col[sel])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_s}
+            )
+
+    local = corpus.select(id_col, vec_col).mapInPandas(_score, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("cosine", F.round("cosine", 6))
+    )

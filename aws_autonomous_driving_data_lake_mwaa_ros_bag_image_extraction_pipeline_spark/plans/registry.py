@@ -1,0 +1,529 @@
+"""Query registry: every supported query as (spark_fn, oracle_sql).
+
+Each entry is one operator/capability from SURVEY §2 (or a north-star
+extension) expressed twice: as an idiomatic PySpark plan and as ANSI SQL the
+DuckDB oracle can run on the same parquet tables. Column names and value
+semantics are aligned so the driver's order-insensitive value-hash matches.
+
+Numeric-determinism rules used throughout (both sides identically):
+- sums/avgs of money-ish doubles go through DECIMAL(18,6) so accumulation is
+  exact and engine-order-independent, then cast back to DOUBLE;
+- min/max/stored values are compared raw (bit-identical in both engines);
+- genuinely real-valued outputs (cosines, ratios) are rounded to 4-6 digits,
+  far above both engines' accumulated fp error.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions import vectors as V
+from ..operators import asof as asof_op
+from ..operators import dedup, frames, sessionize, similarity, textstats
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dsum(col, alias):
+    """Exact (decimal-accumulated) sum of a double column, output DOUBLE."""
+    return F.sum(col.cast("decimal(18,6)")).cast("double").alias(alias)
+
+
+def davg(col, alias):
+    return (
+        F.sum(col.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))
+    ).alias(alias)
+
+
+SQL_DSUM = "CAST(SUM(CAST({x} AS DECIMAL(18,6))) AS DOUBLE)"
+SQL_DAVG = "CAST(SUM(CAST({x} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)"
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible, rows-only check
+    headline: bool = False  # included in bench.py
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, headline: bool = False):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, headline=headline)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY §2 S/P/A/K operators mapped onto the driver tables)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           {dsum_qty} AS sum_qty,
+           {dsum_price} AS sum_base_price,
+           {dsum_disc} AS sum_disc_price,
+           {davg_qty} AS avg_qty,
+           {davg_disc} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """.format(
+        dsum_qty=SQL_DSUM.format(x="l_quantity"),
+        dsum_price=SQL_DSUM.format(x="l_extendedprice"),
+        dsum_disc=SQL_DSUM.format(x="CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"),
+        davg_qty=SQL_DAVG.format(x="l_quantity"),
+        davg_disc=SQL_DAVG.format(x="l_discount"),
+    ),
+    headline=True,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-shaped pricing summary (scan→filter→agg; the shape
+    of the reference's per-frame aggregation A1/A2 on relational data).
+    Partial aggregation makes the shuffle 4 rows wide — scale-invariant."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "discovery_anti_join",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def discovery_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: tag-based anti-semi filter re-expressed — entities with no
+    matching state row (broadcast left-anti join, no shuffle of the big side)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        F.broadcast(orders.select(F.col("o_custkey").alias("c_custkey"))),
+        "c_custkey",
+        "left_anti",
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "first_match_pick",
+    "SELECT o_orderkey, o_custkey, o_orderdate FROM orders ORDER BY o_orderkey LIMIT 1",
+)
+def first_match_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: deterministic first-match (sensor takes key_matches[0])."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy("o_orderkey")
+        .limit(1)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+
+
+@register("distinct_types", "SELECT DISTINCT event_type FROM events")
+def distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: distinct-topic discovery."""
+    return _t(spark, sf_dir, "events").select("event_type").distinct()
+
+
+@register(
+    "json_flatten",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/S9: dynamic payload flatten — JSON path extraction + agg."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k_val")
+        )
+        .groupBy("k_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "regex_parse",
+    """
+    SELECT CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS INTEGER) AS brand_num,
+           COUNT(*) AS n, {s} AS total_price
+    FROM part GROUP BY 1
+    """.format(s=SQL_DSUM.format(x="p_retailprice")),
+)
+def regex_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/P7: regex identity extraction (camera/index parse analog)."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select(
+            F.regexp_extract("p_brand", r"#(\d+)", 1).cast("int").alias("brand_num"),
+            "p_retailprice",
+        )
+        .groupBy("brand_num")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("p_retailprice"), "total_price"),
+        )
+    )
+
+
+@register(
+    "time_derivation",
+    """
+    SELECT event_id,
+           make_timestamp((epoch_ms(ts) + event_id * 67) * 1000) AS derived_ts
+    FROM events WHERE event_id < 1000
+    """,
+)
+def time_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: frame-time derivation — base time + index × 67 ms
+    (processing.py:218-221), as pure column arithmetic."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return ev.select(
+        "event_id",
+        frames.frame_time(F.col("ts"), F.col("event_id")).alias("derived_ts"),
+    )
+
+
+@register(
+    "agg_counts_by_type",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           {s} AS total_value,
+           MAX(value) AS max_value, MIN(value) AS min_value
+    FROM events GROUP BY event_type
+    """.format(s=SQL_DSUM.format(x="value")),
+)
+def agg_counts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A3: grouped counters."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "total_value"),
+            F.max("value").alias("max_value"),
+            F.min("value").alias("min_value"),
+        )
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "pivot_max_value",
+    """
+    SELECT user_id,
+           MAX(value) FILTER (event_type = 'click') AS click,
+           MAX(value) FILTER (event_type = 'error') AS error,
+           MAX(value) FILTER (event_type = 'purchase') AS purchase,
+           MAX(value) FILTER (event_type = 'signup') AS signup,
+           MAX(value) FILTER (event_type = 'view') AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_max_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/K5: the DynamoDB conditional-max wide row as a pivot
+    (frame_stats.pivot_stats shape on the driver's events table). Explicit
+    value list skips the extra distinct scan."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", values=_EVENT_TYPES)
+        .agg(F.max("value"))
+    )
+
+
+@register(
+    "gap_audit",
+    """
+    SELECT user_id, prev_idx, event_id, event_id - prev_idx - 1 AS missed
+    FROM (
+      SELECT user_id, event_id,
+             lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_idx
+      FROM events
+    ) WHERE prev_idx IS NOT NULL AND event_id != prev_idx + 1
+    """,
+)
+def gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: sequence-gap audit (check_pngs.py:1970-1997) on the events table."""
+    ev = _t(spark, sf_dir, "events")
+    return frames.gap_audit(ev, part_cols=["user_id"], idx_col="event_id").select(
+        "user_id", "prev_idx", "event_id", "missed"
+    )
+
+
+@register(
+    "except_runs",
+    """
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def except_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: run-diff set difference (check_pngs.py:1983-2002)."""
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clickers.exceptAll(buyers)
+
+
+@register(
+    "region_revenue",
+    """
+    SELECT r_name, {s} AS revenue, COUNT(*) AS n_items
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY r_name
+    """.format(
+        s=SQL_DSUM.format(x="CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))")
+    ),
+    headline=True,
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join (TPC-H Q5 shape): dims broadcast, single shuffle on the
+    orders⋈lineitem key. Catalyst broadcasts region/nation/customer under the
+    64 MB threshold; lineitem never repartitions twice."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "topn_per_group",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-N per group — Spark pushes the rank filter into the window
+    (WindowGroupLimit) so executors keep only 3 rows per key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "rollup_priority",
+    """
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS INTEGER) AS lvl,
+           COUNT(*) AS n, {s} AS total
+    FROM orders
+    GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    """.format(s=SQL_DSUM.format(x="o_totalprice")),
+)
+def rollup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup/grouping-sets (capability the reference lacks; SURVEY §2 note)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice"), "total"),
+            (
+                F.grouping("o_orderpriority") * 2 + F.grouping("o_orderstatus")
+            ).cast("int").alias("lvl"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "lvl",
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "customer_order_counts",
+    """
+    SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders,
+           coalesce({s}, 0.0) AS total_spend
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """.format(s=SQL_DSUM.format(x="o_totalprice")),
+)
+def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving zero-order customers."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"),
+                F.lit(0.0),
+            ).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "asof_purchase_click",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT max(c.ts) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts <= p.ts) AS click_ts
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+    headline=True,
+)
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (sensor-alignment primitive): latest prior click per
+    purchase. Union+window plan — one sort-shuffle, no range probe."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    return asof_op.asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_vals=["click_ts"],
+    )
+
+
+@register(
+    "sessionize_stats",
+    """
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM (
+      SELECT user_id, ts,
+             SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+                    THEN 1 ELSE 0 END AS is_break
+        FROM events
+      )
+    )
+    GROUP BY user_id, session_id
+    """,
+    headline=True,
+)
+def sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (drive segmentation) — gap-and-island, one window pass."""
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize.session_stats(ev, key_col="user_id", ts_col="ts", gap_minutes=30)
+    return s.select(
+        "user_id",
+        F.col("session_id").cast("bigint").alias("session_id"),
+        "n_events",
+        "session_start",
+        "session_end",
+    )
+
+
+@register(
+    "window_tumbling",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time window agg (batch twin of the streaming path)."""
+    return sessionize.tumbling_window_agg(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "window_lag_delta",
+    """
+    SELECT event_id, user_id,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+    FROM events
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key ordered delta (velocity-from-pose style derivation)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )

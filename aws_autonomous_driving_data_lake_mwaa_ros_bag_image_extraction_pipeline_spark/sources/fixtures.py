@@ -1,0 +1,259 @@
+"""Deterministic fixture generators matching FIXTURES.md schemas.
+
+Used by tests (and the golden checks) in place of live bag decode — the same
+role the reference's sample bag plays for its ad-hoc tests (SURVEY §5).
+Seeded, pure-Python generation; small enough to build per-test.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import json
+import struct
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import (
+    BAG_MANIFEST_SCHEMA,
+    FRAMES_SCHEMA,
+    LABELS_TABLE_SCHEMA,
+    TOPIC_MESSAGES_SCHEMA,
+)
+
+BASE_TIME = dt.datetime(2020, 10, 5, 10, 0, 0)
+
+_TOPIC_RATES = {
+    "/imu": 100,
+    "/tf": 50,
+    "/gps": 10,
+    "/gps_time": 10,
+    "/pose_ground_truth": 20,
+    "/pose_localized": 20,
+    "/pose_raw": 20,
+    "/velocity_raw": 20,
+}
+
+
+def _h(s: str) -> float:
+    """Deterministic [0,1) from a string."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) / 2**32
+
+
+def _payload(topic: str, bag_id: str, i: int) -> dict[str, str]:
+    def v(field: str) -> str:
+        return f"{_h(f'{bag_id}:{topic}:{field}:{i}') * 2 - 1:.6f}"
+
+    if topic == "/imu":
+        keys = (
+            [f"orientation.{a}" for a in "xyzw"]
+            + [f"angular_velocity.{a}" for a in "xyz"]
+            + [f"linear_acceleration.{a}" for a in "xyz"]
+            + [f"orientation_covariance.{j}" for j in range(9)]
+        )
+    elif topic == "/gps":
+        return {
+            "latitude": v("latitude"),
+            "longitude": v("longitude"),
+            "altitude": v("altitude"),
+            "status.status": "0",
+            "status.service": "1",
+        }
+    elif topic == "/gps_time":
+        return {"time_ref.secs": str(1601892000 + i), "time_ref.nsecs": str(i * 1000)}
+    elif topic.startswith("/pose"):
+        keys = [f"position.{a}" for a in "xyz"] + [f"orientation.{a}" for a in "xyzw"]
+    elif topic == "/velocity_raw":
+        keys = [f"twist.linear.{a}" for a in "xyz"] + [f"twist.angular.{a}" for a in "xyz"]
+    else:  # /tf
+        return {
+            "child_frame_id": "base_link",
+            **{f"translation.{a}": v(f"translation.{a}") for a in "xyz"},
+            **{f"rotation.{a}": v(f"rotation.{a}") for a in "xyzw"},
+        }
+    return {k: v(k) for k in keys}
+
+
+def topic_messages(
+    spark: SparkSession,
+    n_bags: int = 3,
+    duration_s: int = 4,
+    gap_pct: float = 0.005,
+) -> DataFrame:
+    rows = []
+    base_ns = int(BASE_TIME.timestamp() * 1e9)
+    for b in range(n_bags):
+        bag_id = f"bag{b:04d}"
+        for topic, rate in _TOPIC_RATES.items():
+            n = rate * duration_s
+            for i in range(n):
+                if _h(f"gap:{bag_id}:{topic}:{i}") < gap_pct:
+                    continue  # injected seq gap (audit target)
+                rows.append(
+                    (
+                        bag_id,
+                        topic,
+                        base_ns + b * 60 * 10**9 + int(i / rate * 1e9),
+                        i,
+                        _payload(topic, bag_id, i),
+                    )
+                )
+    return spark.createDataFrame(rows, TOPIC_MESSAGES_SCHEMA)
+
+
+def _tiny_png(key: str) -> bytes:
+    """Valid 1×1 PNG with a color keyed by hash — real bytes, no PIL."""
+    c = hashlib.md5(key.encode()).digest()[:3]
+    raw = b"\x00" + bytes(c)  # filter byte + RGB
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def frames(
+    spark: SparkSession,
+    n_bags: int = 2,
+    frames_per_camera: int = 60,
+    drop_pct: float = 0.01,
+    with_content: bool = True,
+) -> DataFrame:
+    rows = []
+    for b in range(n_bags):
+        bag_id = f"bag{b:04d}"
+        bag_time = BASE_TIME + dt.timedelta(minutes=b)
+        for camera in ["front", "rear", "left", "right"]:
+            for i in range(frames_per_camera):
+                if _h(f"drop:{bag_id}:{camera}:{i}") < drop_pct:
+                    continue
+                rows.append(
+                    (
+                        bag_id,
+                        camera,
+                        i,
+                        f"{camera}{i:04d}.png",
+                        bag_time + dt.timedelta(milliseconds=67 * i),
+                        1280,
+                        720,
+                        _tiny_png(f"{bag_id}:{camera}:{i}") if with_content else None,
+                    )
+                )
+    return spark.createDataFrame(rows, FRAMES_SCHEMA)
+
+
+_VOCAB = [
+    ("Road", []),
+    ("Highway", [{"Name": "Road"}]),
+    ("Car", [{"Name": "Vehicle"}, {"Name": "Transportation"}]),
+    ("Person", []),
+    ("Bicycle", [{"Name": "Vehicle"}]),
+    ("Motorcycle", [{"Name": "Vehicle"}]),
+    ("Traffic Light", [{"Name": "Light"}]),
+    ("Tarmac", [{"Name": "Road"}]),
+]
+_INSTANCE_BEARING = {"Car", "Person", "Bicycle", "Motorcycle"}
+
+
+def labels(spark: SparkSession, frames_df: DataFrame) -> DataFrame:
+    """Per-frame label arrays in the Rekognition shape (outputs/*.json),
+    including duplicate names at different confidences (max-agg target) and
+    zero-instance Person labels (counter skip target, processing.py:244-246)."""
+    frame_rows = frames_df.select("bag_id", "camera", "frame_index").collect()
+    rows = []
+    for fr in frame_rows:
+        key = f"{fr.bag_id}:{fr.camera}:{fr.frame_index}"
+        labs = []
+        for j, (name, parents) in enumerate(_VOCAB):
+            r = _h(f"{key}:{name}")
+            if r < 0.55:
+                continue
+            conf = 50.0 + round(_h(f"{key}:{name}:conf") * 50, 3)
+            n_inst = (
+                int(_h(f"{key}:{name}:n") * 4) if name in _INSTANCE_BEARING else 0
+            )
+            instances = [
+                {
+                    "BoundingBox": {
+                        "Width": round(_h(f"{key}:{name}:{k}:w") * 0.5, 4),
+                        "Height": round(_h(f"{key}:{name}:{k}:h") * 0.5, 4),
+                        "Left": round(_h(f"{key}:{name}:{k}:l") * 0.5, 4),
+                        "Top": round(_h(f"{key}:{name}:{k}:t") * 0.5, 4),
+                    },
+                    "Confidence": 50.0 + round(_h(f"{key}:{name}:{k}:c") * 50, 3),
+                }
+                for k in range(n_inst)
+            ]
+            labs.append(
+                {
+                    "Name": name,
+                    "Confidence": conf,
+                    "Instances": instances,
+                    "Parents": parents,
+                }
+            )
+            # duplicate same-name label at different confidence (~20%)
+            if _h(f"{key}:{name}:dup") < 0.2:
+                labs.append(
+                    {
+                        "Name": name,
+                        "Confidence": conf - 10.0,
+                        "Instances": [],
+                        "Parents": parents,
+                    }
+                )
+        rows.append((fr.bag_id, fr.camera, fr.frame_index, labs))
+    return spark.createDataFrame(rows, LABELS_TABLE_SCHEMA)
+
+
+def bag_manifest(spark: SparkSession, n_bags: int = 20) -> DataFrame:
+    rows = []
+    statuses = [None, None, None, None, "complete", "complete", "complete", "failure", "in progress", None]
+    for b in range(n_bags):
+        bag_id = f"bag{b:04d}"
+        mm, ss = divmod(b * 97 % 3600, 60)
+        key = f"drives/2020-10-05-10-{mm:02d}-{ss:02d}_{bag_id}.bag"
+        if b % 10 == 9:
+            key = key.replace(".bag", ".txt")  # noise key (wildcard test)
+        rows.append(
+            (
+                bag_id,
+                "src-bucket",
+                key,
+                int(1e8 + _h(f"sz:{bag_id}") * 1.9e9),
+                statuses[b % 10],
+                BASE_TIME + dt.timedelta(seconds=b),
+            )
+        )
+    return spark.createDataFrame(rows, BAG_MANIFEST_SCHEMA)
+
+
+def golden_labels(spark: SparkSession, reference_outputs_dir: str = "/root/reference/outputs") -> DataFrame | None:
+    """Load the reference's two golden label JSONs as rows (read-only data,
+    used for hand-checkable parity tests; returns None when unavailable)."""
+    import os
+
+    files = {
+        ("bag0000", "left", 193): "left0193_labels.json",
+        ("bag0000", "right", 33): "right0033.json",
+    }
+    rows = []
+    for (bag, cam, idx), fn in files.items():
+        p = os.path.join(reference_outputs_dir, fn)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            rows.append((bag, cam, idx, json.load(f)))
+    return spark.createDataFrame(rows, LABELS_TABLE_SCHEMA)
