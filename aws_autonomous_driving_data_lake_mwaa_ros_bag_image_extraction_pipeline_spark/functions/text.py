@@ -66,10 +66,17 @@ def sorted_token_fingerprint(text: Column) -> Column:
 
 
 def word_ngrams(text: Column, n: int) -> Column:
-    """Word n-grams as strings (shingles) — input to MinHash / Jaccard."""
+    """Word n-grams as strings (shingles) — input to MinHash / Jaccard.
+
+    Documents with fewer than ``n`` tokens yield an empty array (a bare
+    ``sequence(0, k-1)`` with k<1 would generate a *descending* sequence and
+    make the downstream ``slice`` throw).
+    """
     toks = tokens(F.lower(text))
     k = F.size(toks) - F.lit(n - 1)
-    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1)))
+    idx = F.when(k >= 1, F.sequence(F.lit(0), k - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
     )

@@ -28,7 +28,26 @@ from ..operators import dedup, frames, sessionize, similarity, textstats
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one driver table; normalize the events timestamp.
+
+    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS). Spark 4
+    reads it only as a ns-epoch LONG (``spark.sql.legacy.parquet.nanosAsLong``,
+    set both here — the conf is runtime-settable — and in session.get_spark);
+    we truncate ns→µs exactly like DuckDB's native TIMESTAMP_NS→TIMESTAMP
+    read, so both engines see identical µs timestamps. Integer `div` keeps
+    full precision (ns epochs overflow double's 53-bit mantissa).
+    """
+    # Both confs are runtime-settable; pin them here so the queries behave
+    # identically under the driver's own (vanilla) SparkSession, not just
+    # under session.get_spark: UTC keeps collected timestamps aligned with
+    # DuckDB's naive reads on any host.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def dsum(col, alias):
@@ -527,3 +546,25 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.col("value") - F.lag("value").over(w)).alias("delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-contract accessors (__spark_entry__ delegates here)
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """name → (spark, sf_dir) -> DataFrame, one per registered query."""
+    return {name: spec.fn for name, spec in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    """name → DuckDB-runnable ANSI SQL; queries without an oracle (non-SQL-
+    expressible) are omitted → the driver records a rows-only check."""
+    return {
+        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
+    }
+
+
+def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The bench.py subset."""
+    return {n: s.fn for n, s in QUERIES.items() if s.headline}

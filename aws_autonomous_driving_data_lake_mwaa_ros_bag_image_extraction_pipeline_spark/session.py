@@ -30,6 +30,10 @@ def get_spark(app_name: str = "aads_spark", shuffle_partitions: int | None = Non
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The driver's events.parquet stores ts as TIMESTAMP(NANOS), which
+        # Spark 4 refuses to read natively; read it as a ns-epoch LONG and
+        # convert to a µs timestamp at scan time (plans/registry._t).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()
 

@@ -1,0 +1,111 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query via Spark and its DuckDB oracle at sf0.01,
+compares row count, sorted-by-name schema, and an order-insensitive
+value hash (rows rendered to canonical strings, sorted, md5'd).
+
+Usage: python tools/check_correctness.py [name ...]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def table_digest(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    return hashlib.md5("\n".join(lines).encode()).hexdigest(), len(rows)
+
+
+def main() -> None:
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.plans import registry
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.session import get_spark
+
+    spark = get_spark("check_correctness")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    only = set(sys.argv[1:])
+    results = {}
+    for name, spec in registry.QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = spec.fn(spark, SF_DIR)
+            s_cols = df.columns
+            s_rows = [tuple(r) for r in df.collect()]
+        except Exception as e:  # noqa: BLE001
+            results[name] = f"SPARK-ERR {type(e).__name__}: {str(e)[:200]}"
+            continue
+        if spec.oracle is None:
+            results[name] = f"rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)"
+            continue
+        try:
+            rel = con.sql(spec.oracle)
+            d_cols = rel.columns
+            d_rows = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            results[name] = f"ORACLE-ERR {type(e).__name__}: {str(e)[:200]}"
+            continue
+        s_hash, s_n = table_digest(s_cols, s_rows)
+        d_hash, d_n = table_digest(d_cols, d_rows)
+        if sorted(s_cols) != sorted(d_cols):
+            results[name] = f"SCHEMA-MISMATCH spark={sorted(s_cols)} duck={sorted(d_cols)}"
+        elif s_n != d_n:
+            results[name] = f"ROWCOUNT-MISMATCH spark={s_n} duck={d_n}"
+        elif s_hash != d_hash:
+            order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+            sl = sorted("|".join(canon(r[i]) for i in order) for r in s_rows)
+            dorder = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+            dl = sorted("|".join(canon(r[i]) for i in dorder) for r in d_rows)
+            diffs = [(a, b) for a, b in zip(sl, dl) if a != b][:3]
+            results[name] = f"HASH-MISMATCH ({s_n} rows) e.g. {diffs}"
+        else:
+            results[name] = f"PASS ({s_n} rows, {time.time()-t0:.1f}s)"
+
+    width = max(len(n) for n in results)
+    npass = sum(1 for v in results.values() if v.startswith("PASS"))
+    for name, v in results.items():
+        print(f"{name:<{width}}  {v}")
+    print(f"\n{npass} PASS / {len(results)} checked")
+
+
+if __name__ == "__main__":
+    main()
