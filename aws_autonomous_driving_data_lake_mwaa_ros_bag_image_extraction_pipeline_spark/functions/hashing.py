@@ -15,6 +15,19 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def quantize(col: Column, digits: int) -> Column:
+    """Half-up decimal quantization as ``floor(x·10^d + 0.5)/10^d``.
+
+    Unlike ``F.round``/DuckDB ``round`` — which disagree on doubles that sit
+    one ulp below a decimal boundary (DuckDB rounds 0.48424999999999996→0.4843,
+    Spark →0.4842) — this expression is pure double arithmetic, so any engine
+    computing it over the same input double yields the identical result.
+    DuckDB oracle spelling: ``floor(x * 10000 + 0.5) / 10000.0``.
+    """
+    p = float(10**digits)
+    return F.floor(col * F.lit(p) + F.lit(0.5)) / F.lit(p)
+
+
 def md5_hex(col: Column) -> Column:
     """Lowercase hex md5 — identical output in Spark and DuckDB."""
     return F.md5(col.cast("string"))

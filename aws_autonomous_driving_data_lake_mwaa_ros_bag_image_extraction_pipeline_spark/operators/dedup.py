@@ -59,6 +59,16 @@ def token_set_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: st
 
 # --- MinHash + LSH -----------------------------------------------------------
 
+def _seeded_min_hash(shingles: Column, seed: int) -> Column:
+    # One-arg lambda via closure: a `i=i` default param would make PySpark
+    # pass the array index as the second lambda arg (HOF arity comes from the
+    # signature, defaults included) and the seed literal would be garbage.
+    prefix = f"{seed}:"
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s)))
+    )
+
+
 def _min_hashes(shingles: Column, num_hashes: int) -> list[Column]:
     """k independent min-hashes of a shingle array.
 
@@ -67,13 +77,7 @@ def _min_hashes(shingles: Column, num_hashes: int) -> list[Column]:
     reproducible in any engine with md5.
     """
     return [
-        F.array_min(
-            F.transform(
-                shingles,
-                lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)),
-            )
-        ).alias(f"mh{i}")
-        for i in range(num_hashes)
+        _seeded_min_hash(shingles, i).alias(f"mh{i}") for i in range(num_hashes)
     ]
 
 
@@ -185,15 +189,16 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     over the document's distinct tokens. Bit source = low bit of each hex
     digit — reproducible in the SQL oracle via strpos arithmetic.
     """
+    def _bit_counter(b: int):
+        # Two-arg merge lambda via closure — a `b=b` default would raise the
+        # apparent arity to 3 and break F.aggregate (see _seeded_min_hash).
+        return lambda acc, h: acc + hex_digit_val(h, b + 1) % 2
+
     toks = F.array_distinct(T.tokens(F.lower(F.col(text_col))))
     hashes = F.transform(toks, lambda t: F.md5(t))
     bit_cols = []
     for b in range(bits):
-        ones = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h, b=b: acc + hex_digit_val(h, b + 1) % 2,
-        )
+        ones = F.aggregate(hashes, F.lit(0), _bit_counter(b))
         bit_cols.append(F.when(ones * 2 >= F.size(toks), F.lit("1")).otherwise(F.lit("0")))
     return docs.select(F.col(id_col), F.concat(*bit_cols).alias("simhash"))
 
@@ -212,15 +217,53 @@ def simhash_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
 
 def embedding_dup_pairs(
     emb: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    n_bits: int = 6,
+) -> DataFrame:
+    """Cosine-similar pairs above threshold — LSH-bucketed (the scale path).
+
+    Candidates come from hyperplane-LSH bucket collisions
+    (similarity.lsh_buckets): the self-join key is (table, bucket), so the
+    work is O(collisions), never O(n²). The candidate shuffle carries only id
+    pairs; vectors are joined back afterwards for the exact cosine verify.
+    Recall is tunable via (n_tables, n_bits) — more tables → higher recall,
+    fewer bits → bigger buckets. For an exact (oracle-checkable) answer use
+    ``embedding_dup_pairs_exact``.
+    """
+    from . import similarity
+
+    bk = similarity.lsh_buckets(emb, dim, n_tables, n_bits, id_col, vec_col)
+    a = bk.select(F.col(id_col).alias("id_a"), "table", "bucket")
+    b = bk.select(F.col(id_col).alias("id_b"), "table", "bucket")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", V.cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_dup_pairs_exact(
+    emb: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Cosine-similar pairs above threshold.
+    """Exact O(n²) cosine pairs — the correctness baseline / oracle target.
 
-    Exact O(n²) form — correct baseline, fine for dim-sized inputs. The
-    scale path buckets by hyperplane LSH first (similarity.lsh_buckets) so
-    the self-join only compares within buckets.
+    Fine for dim-sized inputs only; at scale use ``embedding_dup_pairs``.
     """
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))

@@ -183,9 +183,8 @@ def pandas_topk(
             )
 
     local = corpus.select(id_col, vec_col).mapInPandas(_score, schema=schema)
+    # Round BEFORE ranking (same as brute_force_topk) so near-equal scores at
+    # the k boundary produce the same neighbor set as the exact path/oracle.
+    rounded = local.withColumn("cosine", F.round("cosine", 6))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .withColumn("cosine", F.round("cosine", 6))
-    )
+    return rounded.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..functions.hashing import quantize
 
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -21,11 +22,17 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+def _marker_hits(toks: Column, markers: list[str]) -> Column:
+    # NB: the lambda must take exactly one arg — a `m=markers` default would
+    # make PySpark pass the array *index* as m (HOF arity is inspected from
+    # the signature, defaults included).
+    return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     toks = T.tokens(F.lower(text))
     return {
-        lang: F.size(F.filter(toks, lambda t, m=markers: t.isin(m)))
-        for lang, markers in LANG_MARKERS.items()
+        lang: _marker_hits(toks, markers) for lang, markers in LANG_MARKERS.items()
     }
 
 
@@ -52,7 +59,7 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.length(t).alias("n_chars"),
         T.token_count(t).alias("n_tokens"),
         T.distinct_token_count(t).alias("n_distinct_tokens"),
-        F.round(T.avg_token_len(t), 4).alias("avg_token_len"),
+        quantize(T.avg_token_len(t), 4).alias("avg_token_len"),
     )
 
 
@@ -72,10 +79,10 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     ) * (F.lit(1.0) - F.least(punct * 2, F.lit(1.0)))
     return docs.select(
         F.col(id_col),
-        F.round(diversity, 4).alias("diversity"),
-        F.round(stop, 4).alias("stopword_ratio"),
-        F.round(punct, 4).alias("punct_ratio"),
-        F.round(score, 4).alias("quality"),
+        quantize(diversity, 4).alias("diversity"),
+        quantize(stop, 4).alias("stopword_ratio"),
+        quantize(punct, 4).alias("punct_ratio"),
+        quantize(score, 4).alias("quality"),
     )
 
 

@@ -549,6 +549,265 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LLM-data-pipeline extensions: dedup / similarity / text analysis
+# (north-star operators over documents + embeddings; md5-based hashing was
+# chosen throughout precisely so DuckDB can reproduce results bit-for-bit)
+# ---------------------------------------------------------------------------
+
+# Shared DuckDB fragments, kept textually aligned with functions/text.py:
+# tokens = split(trim(lower(text)), '\s+'); normalized = collapse whitespace.
+_D_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_D_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+# word 3-gram shingles of the token list t (empty when < 3 tokens), matching
+# text.word_ngrams(n=3)
+_D_SHINGLES = (
+    "list_distinct(CASE WHEN len(t) - 2 >= 1 "
+    "THEN list_transform(range(0, len(t) - 2), "
+    "i -> array_to_string(t[i+1:i+3], ' ')) "
+    "ELSE [] END)"
+)
+
+
+@register(
+    "exact_dedup_groups",
+    f"""
+    SELECT md5({_D_NORM}) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+    FROM documents GROUP BY 1
+    """,
+)
+def q_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one shuffle on a 32-byte fingerprint, map-side combine."""
+    return dedup.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_set_dedup_groups",
+    f"""
+    SELECT md5(array_to_string(list_sort(list_distinct({_D_TOKS})), ' ')) AS fp,
+           COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+    FROM documents GROUP BY 1
+    """,
+)
+def q_token_set_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive dedup (bag-of-words fingerprint)."""
+    return dedup.token_set_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+    SELECT doc_id, md5({_D_NORM}) AS fp_exact,
+           md5(array_to_string(list_sort(list_distinct({_D_TOKS})), ' ')) AS fp_tokenset
+    FROM documents
+    """,
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def _d_minhash_sql() -> str:
+    """DuckDB replica of the banded-MinHash pipeline (12 hashes, 4 bands of 3,
+    3-word shingles, Jaccard ≥ 0.8) in operators/dedup.py."""
+    bands = []
+    for b in range(4):
+        mins = ", ".join(
+            f"list_min(list_transform(sh, s -> md5('{b * 3 + r}:' || s)))"
+            for r in range(3)
+        )
+        bands.append(f"md5(concat_ws('|', {mins})) AS band{b}")
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {_D_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_D_TOKS} AS t FROM documents)
+    ),
+    banded AS (
+      SELECT doc_id, {', '.join(bands)} FROM sh
+    ),
+    long AS (
+      SELECT doc_id, unnest([band0, band1, band2, band3]) AS bucket FROM banded
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM long a JOIN long b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = id_a
+    JOIN sh sb ON sb.doc_id = id_b
+    WHERE jaccard >= 0.8
+    """
+
+
+@register("minhash_dedup_pairs", _d_minhash_sql(), headline=True)
+def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band-bucket self-join (O(collisions), not
+    O(n²)) → exact shingle-Jaccard verify on the candidate set."""
+    return dedup.minhash_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def _d_simhash_sql(bits: int = 16) -> str:
+    bit_exprs = ", ".join(
+        "CASE WHEN 2 * list_sum(list_transform(d, t -> "
+        f"(strpos('0123456789abcdef', substr(md5(t), {b + 1}, 1)) - 1) % 2)) "
+        ">= len(d) THEN '1' ELSE '0' END"
+        for b in range(bits)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, list_distinct({_D_TOKS}) AS d FROM documents
+    ),
+    s AS (SELECT doc_id, concat({bit_exprs}) AS simhash FROM d)
+    SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+    FROM s GROUP BY simhash HAVING COUNT(*) > 1
+    """
+
+
+@register("simhash_groups", _d_simhash_sql())
+def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup buckets (16-bit majority-vote signature)."""
+    return dedup.simhash_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
+           floor(length(regexp_replace(text, '\\s+', '', 'g')) / len(toks)
+                 * 10000 + 0.5) / 10000.0 AS avg_token_len
+    FROM (SELECT doc_id, text, {_D_TOKS} AS toks FROM documents)
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_scores",
+    f"""
+    -- floor(x*1e4+0.5)/1e4 matches functions.hashing.quantize (plain F.round
+    -- and DuckDB round() disagree on doubles one ulp under a decimal boundary)
+    SELECT doc_id,
+           floor(len(list_distinct(rt)) / len(rt) * 10000 + 0.5) / 10000.0 AS diversity,
+           floor(stop * 10000 + 0.5) / 10000.0 AS stopword_ratio,
+           floor(punct * 10000 + 0.5) / 10000.0 AS punct_ratio,
+           floor(((0.4 * least(len(rt) / 100.0, 1.0)
+                  + 0.3 * (len(list_distinct(rt)) / len(rt))
+                  + 0.3 * least(stop * 5, 1.0))
+                 * (1.0 - least(punct * 2, 1.0))) * 10000 + 0.5) / 10000.0 AS quality
+    FROM (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS rt,
+             len(list_filter({_D_TOKS},
+                 t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
+               / len({_D_TOKS}) AS stop,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+               / length(text) AS punct
+      FROM documents
+    )
+    """,
+)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality features — all JVM built-ins."""
+    return textstats.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "language_id",
+    f"""
+    SELECT doc_id,
+           CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+                WHEN de >= greatest(en, es, fr) THEN 'de'
+                WHEN en >= greatest(es, fr) THEN 'en'
+                WHEN es >= fr THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM (
+      SELECT doc_id,
+        len(list_filter(toks, t -> list_contains(['der','die','das','und','ist'], t))) AS de,
+        len(list_filter(toks, t -> list_contains(['the','a','of','and','is'], t))) AS en,
+        len(list_filter(toks, t -> list_contains(['el','la','los','y','es'], t))) AS es,
+        len(list_filter(toks, t -> list_contains(['le','la','les','et','est'], t))) AS fr
+      FROM (SELECT doc_id, {_D_TOKS} AS toks FROM documents)
+    )
+    """,
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID; first-in-alpha-order wins ties, 'und'
+    when no marker hits."""
+    return textstats.language_id(_t(spark, sf_dir, "documents"))
+
+
+_D_COS = (
+    "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+    "CAST(c.embedding AS DOUBLE[])), 6)"
+)
+
+
+@register(
+    "brute_force_topk",
+    f"""
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rank
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_D_COS} AS cosine,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {_D_COS} DESC, c.vec_id) AS rnk
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 10
+    ) WHERE rnk <= 5
+    """,
+    headline=True,
+)
+def q_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for a 10-query probe set: broadcast(queries) ×
+    corpus, JVM-side higher-order-function dot product, window rank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register("lsh_topk", None)  # hyperplanes aren't SQL-reproducible → rows-only
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets — the 100 TB path
+    (compare only within buckets, O(n·bucket) not O(n²))."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, dim=64, k=5, n_tables=4, n_bits=8)
+
+
+@register(
+    "embedding_dup_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+)
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup pairs (oracle-checkable baseline). The
+    default/scale API is the LSH-bucketed ``dedup.embedding_dup_pairs``
+    (registered rows-only below)."""
+    pairs = dedup.embedding_dup_pairs_exact(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+    return pairs.withColumn("cosine", F.round("cosine", 6))
+
+
+@register("embedding_dup_pairs_lsh", None)  # hyperplane buckets → rows-only
+def q_embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding dedup: LSH bucket candidates (id-only
+    shuffle) → join vectors back → exact cosine verify."""
+    pairs = dedup.embedding_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), dim=64, threshold=0.4
+    )
+    return pairs.withColumn("cosine", F.round("cosine", 6))
+
+
+# ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------
 
