@@ -47,6 +47,40 @@ def seeded_md5(col: Column, seed: int) -> Column:
     return F.md5(F.concat(F.lit(str(seed)), F.lit(":"), col.cast("string")))
 
 
+# Mersenne prime 2^31 - 1: the modulus for the multiplicative hash family.
+# Products a·h stay < 2^62, so every intermediate fits int64 — no overflow
+# even under ANSI arithmetic (Spark 4 default) and DuckDB's checked BIGINT.
+MERSENNE_31 = (1 << 31) - 1
+
+
+def mix_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the pairwise-independent family
+    ``g_i(h) = (a_i·h + b_i) mod p`` over Z_p, p = 2^31-1.
+
+    Derived from md5 so both engines (and every run) agree without any RNG:
+    a ∈ [1, p-1], b ∈ [0, p-1].
+    """
+    import hashlib
+
+    p = MERSENNE_31
+    out = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"a{i}".encode()).hexdigest()[:8], 16) % (p - 1) + 1
+        b = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:8], 16) % p
+        out.append((a, b))
+    return out
+
+
+def md5_mod_p(col: Column) -> Column:
+    """``md5_long(x) mod (2^31-1)`` — a 31-bit uniform hash both engines can
+    compute bit-identically.
+
+    DuckDB spelling:
+    ``CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % 2147483647``.
+    """
+    return md5_long(col) % F.lit(MERSENNE_31)
+
+
 def hex_digit_val(hexstr: Column, pos: int) -> Column:
     """Integer value (0-15) of the 1-indexed hex digit at ``pos``.
 

@@ -65,18 +65,33 @@ def sorted_token_fingerprint(text: Column) -> Column:
     return F.md5(F.array_join(toks, " "))
 
 
+def bind(col: Column, fn) -> Column:
+    """Let-binding for Column expressions: evaluate ``col`` ONCE per row and
+    pass the bound value to ``fn``.
+
+    PySpark has no ``let``: a Column reused k times in an expression tree is
+    *inlined* and re-evaluated k times — catastrophic when it's a split or a
+    transform (e.g. n-grams referencing ``split(text)`` per index re-split
+    the text O(tokens) times). Wrapping in a 1-element array and going
+    through ``transform`` turns the value into a bound lambda variable.
+    """
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def word_ngrams(text: Column, n: int) -> Column:
     """Word n-grams as strings (shingles) — input to MinHash / Jaccard.
 
     Documents with fewer than ``n`` tokens yield an empty array (a bare
     ``sequence(0, k-1)`` with k<1 would generate a *descending* sequence and
-    make the downstream ``slice`` throw).
+    make the downstream ``slice`` throw). The token array is let-bound so the
+    underlying split runs once per row, not once per output n-gram.
     """
-    toks = tokens(F.lower(text))
-    k = F.size(toks) - F.lit(n - 1)
-    idx = F.when(k >= 1, F.sequence(F.lit(0), k - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
-    )
+
+    def _ngrams(toks: Column) -> Column:
+        k = F.size(toks) - F.lit(n - 1)
+        idx = F.when(k >= 1, F.sequence(F.lit(0), k - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+
+    return bind(tokens(F.lower(text)), _ngrams)

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import hashing as H
 from ..functions import text as T
 from ..functions import vectors as V
 from ..functions.hashing import hex_digit_val
@@ -59,26 +60,58 @@ def token_set_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: st
 
 # --- MinHash + LSH -----------------------------------------------------------
 
-def _seeded_min_hash(shingles: Column, seed: int) -> Column:
-    # One-arg lambda via closure: a `i=i` default param would make PySpark
-    # pass the array index as the second lambda arg (HOF arity comes from the
-    # signature, defaults included) and the seed literal would be garbage.
-    prefix = f"{seed}:"
-    return F.array_min(
-        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s)))
+def _shingle_table(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_len: int,
+    repartition_to: int | None,
+) -> DataFrame:
+    """(id, sh: array<string>) distinct word-shingle table.
+
+    The repartition happens BEFORE the (CPU-bound, higher-order-function)
+    shingle projection, so the n-gram work runs wide even when the source is
+    a single file; every downstream consumer built from the returned frame
+    shares that one exchange (ReusedExchange) instead of re-running the scan.
+    """
+    if repartition_to:
+        docs = docs.repartition(repartition_to, F.col(id_col))
+    return docs.select(
+        F.col(id_col),
+        F.array_distinct(T.word_ngrams(F.col(text_col), shingle_len)).alias("sh"),
     )
 
 
-def _min_hashes(shingles: Column, num_hashes: int) -> list[Column]:
-    """k independent min-hashes of a shingle array.
+def _signatures_from(sh_tbl: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """k min-hashes per doc from a shingle table, computed relationally:
 
-    Hash family = md5 of ``seed:shingle``; the *minimum hex string* under each
-    seed is a uniform permutation minimum — equivalent to numeric minhash and
-    reproducible in any engine with md5.
+    explode → ONE md5 per shingle (31-bit ``h``) → k cheap integer mixes
+    ``(a_i·h + b_i) mod (2^31-1)`` → ``groupBy(id).agg(min…)``.
+
+    Everything is whole-stage codegen (Spark evaluates HOF lambdas
+    interpreted, ~10× slower — so no per-seed ``transform``), the md5 runs
+    once per shingle instead of once per seed, and the min-agg combines
+    map-side. Explode preserves the parent's hash-partitioning on ``id``, so
+    when sh_tbl was repartitioned by id the groupBy needs no extra shuffle.
+    The mix family is pairwise independent over Z_p → the min under each mix
+    is a uniform permutation minimum (standard MinHash).
     """
-    return [
-        _seeded_min_hash(shingles, i).alias(f"mh{i}") for i in range(num_hashes)
+    # explode_outer, NOT explode: plain explode makes Catalyst infer a
+    # `size(sh) > 0 AND isnotnull(sh)` filter and push it below the
+    # repartition exchange — re-evaluating the whole n-gram expression
+    # (twice!) on the narrow pre-shuffle side. outer + an explicit
+    # post-generate null filter keeps the CPU-bound projection wide.
+    hashed = (
+        sh_tbl.select(F.col(id_col), F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .select(F.col(id_col), H.md5_mod_p(F.col("s")).alias("h"))
+    )
+    p = F.lit(H.MERSENNE_31)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % p).alias(f"mh{i}")
+        for i, (a, b) in enumerate(H.mix_constants(num_hashes))
     ]
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_signatures(
@@ -87,38 +120,34 @@ def minhash_signatures(
     text_col: str = "text",
     shingle_len: int = 3,
     num_hashes: int = 12,
+    repartition_to: int | None = None,
 ) -> DataFrame:
-    shingles = F.array_distinct(T.word_ngrams(F.col(text_col), shingle_len))
-    return docs.select(
-        F.col(id_col),
-        *[
-            c
-            for c in _min_hashes(shingles, num_hashes)
-        ],
-    )
+    """k independent min-hashes per document (see ``_signatures_from``).
 
+    Documents with fewer than ``shingle_len`` tokens have no shingles and are
+    absent from the output (they can't near-dup-match anything).
 
-def lsh_candidate_pairs(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    shingle_len: int = 3,
-    num_hashes: int = 12,
-    bands: int = 4,
-) -> DataFrame:
-    """Band-bucket self-join → candidate near-dup pairs (id_a < id_b).
-
-    Signature split into ``bands`` bands of ``num_hashes/bands`` rows; a pair
-    collides if any band matches exactly. The join key is the 32-byte band
-    hash — skew-safe for natural text; AQE skew-join splits pathological
-    buckets (e.g. empty docs).
+    ``repartition_to``: spread docs over N partitions before the CPU-bound
+    shingle+hash stage — needed when the input is a handful of big files;
+    omit when the source already has enough splits.
     """
+    sh_tbl = _shingle_table(docs, id_col, text_col, shingle_len, repartition_to)
+    return _signatures_from(sh_tbl, id_col, num_hashes)
+
+
+def _candidates_from(
+    sh_tbl: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, shingle_len, num_hashes)
+    sig = _signatures_from(sh_tbl, id_col, num_hashes)
     band_cols = [
         F.md5(
             F.concat_ws(
-                "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                "|",
+                *[
+                    F.col(f"mh{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
             )
         ).alias(f"band{b}")
         for b in range(bands)
@@ -137,25 +166,29 @@ def lsh_candidate_pairs(
     )
 
 
-def jaccard_pairs(
+def lsh_candidate_pairs(
     docs: DataFrame,
-    pairs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_len: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    repartition_to: int | None = None,
 ) -> DataFrame:
-    """Exact shingle-Jaccard for candidate pairs (verification step).
+    """Band-bucket candidates from raw documents (see ``_candidates_from``)."""
+    sh_tbl = _shingle_table(docs, id_col, text_col, shingle_len, repartition_to)
+    return _candidates_from(sh_tbl, id_col, num_hashes, bands)
 
-    Joins the (small) candidate set back to shingle arrays; intersection and
-    union computed JVM-side with array intrinsics.
-    """
-    sh = docs.select(
-        F.col(id_col),
-        F.array_distinct(T.word_ngrams(F.col(text_col), shingle_len)).alias("sh"),
-    )
+
+def _jaccard_from(sh_tbl: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     j = (
-        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        pairs.join(
+            sh_tbl.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"),
+            "id_a",
+        ).join(
+            sh_tbl.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"),
+            "id_b",
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -166,6 +199,23 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 3,
+    repartition_to: int | None = None,
+) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs (verification step).
+
+    Joins the (small — broadcast by AQE) candidate set back to shingle
+    arrays; intersection and union computed JVM-side with array intrinsics.
+    """
+    sh_tbl = _shingle_table(docs, id_col, text_col, shingle_len, repartition_to)
+    return _jaccard_from(sh_tbl, pairs, id_col)
+
+
 def minhash_dedup_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -174,10 +224,25 @@ def minhash_dedup_pairs(
     shingle_len: int = 3,
     num_hashes: int = 12,
     bands: int = 4,
+    repartition_to: int | None = None,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: candidates → exact Jaccard ≥ t."""
-    cands = lsh_candidate_pairs(docs, id_col, text_col, shingle_len, num_hashes, bands)
-    return jaccard_pairs(docs, cands, id_col, text_col, shingle_len).filter(
+    """Full MinHash-LSH near-dup pipeline: candidates → exact Jaccard ≥ t.
+
+    The Jaccard verify re-shingles ONLY the docs that appear in a candidate
+    pair (semi-join first): at scale candidates are a vanishing fraction of
+    the corpus, so the expensive n-gram projection never runs corpus-wide a
+    second time.
+    """
+    sh_tbl = _shingle_table(docs, id_col, text_col, shingle_len, repartition_to)
+    cands = _candidates_from(sh_tbl, id_col, num_hashes, bands)
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = docs.join(cand_ids, id_col, "left_semi")
+    sh_small = _shingle_table(cand_docs, id_col, text_col, shingle_len, None)
+    return _jaccard_from(sh_small, cands, id_col).filter(
         F.col("jaccard") >= threshold
     )
 
@@ -191,16 +256,23 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     """
     def _bit_counter(b: int):
         # Two-arg merge lambda via closure — a `b=b` default would raise the
-        # apparent arity to 3 and break F.aggregate (see _seeded_min_hash).
+        # apparent arity to 3 and break F.aggregate (see minhash notes).
         return lambda acc, h: acc + hex_digit_val(h, b + 1) % 2
+
+    def _sig(hashes: Column) -> Column:
+        # `hashes` is let-bound: without T.bind the md5 transform would be
+        # inlined — and re-evaluated — once per output bit.
+        bit_cols = []
+        for b in range(bits):
+            ones = F.aggregate(hashes, F.lit(0), _bit_counter(b))
+            bit_cols.append(
+                F.when(ones * 2 >= F.size(hashes), F.lit("1")).otherwise(F.lit("0"))
+            )
+        return F.concat(*bit_cols)
 
     toks = F.array_distinct(T.tokens(F.lower(F.col(text_col))))
     hashes = F.transform(toks, lambda t: F.md5(t))
-    bit_cols = []
-    for b in range(bits):
-        ones = F.aggregate(hashes, F.lit(0), _bit_counter(b))
-        bit_cols.append(F.when(ones * 2 >= F.size(toks), F.lit("1")).otherwise(F.lit("0")))
-    return docs.select(F.col(id_col), F.concat(*bit_cols).alias("simhash"))
+    return docs.select(F.col(id_col), T.bind(hashes, _sig).alias("simhash"))
 
 
 def simhash_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:

@@ -21,6 +21,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import hashing as H
 from ..functions import text as T
 from ..functions import vectors as V
 from ..operators import asof as asof_op
@@ -607,21 +608,33 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _d_minhash_sql() -> str:
     """DuckDB replica of the banded-MinHash pipeline (12 hashes, 4 bands of 3,
-    3-word shingles, Jaccard ≥ 0.8) in operators/dedup.py."""
+    3-word shingles, Jaccard ≥ 0.8) in operators/dedup.py: unnest shingles,
+    one md5 → 31-bit h, then min over the (a·h+b) mod p mix family — the same
+    relational shape (and bit-identical constants) as the Spark plan."""
+    p = H.MERSENNE_31
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {p}) AS mh{i}"
+        for i, (a, b) in enumerate(H.mix_constants(12))
+    )
     bands = []
     for b in range(4):
-        mins = ", ".join(
-            f"list_min(list_transform(sh, s -> md5('{b * 3 + r}:' || s)))"
-            for r in range(3)
-        )
-        bands.append(f"md5(concat_ws('|', {mins})) AS band{b}")
+        cols = ", ".join(f"mh{b * 3 + r}" for r in range(3))
+        bands.append(f"md5(concat_ws('|', {cols})) AS band{b}")
     return f"""
     WITH sh AS (
       SELECT doc_id, {_D_SHINGLES} AS sh
       FROM (SELECT doc_id, {_D_TOKS} AS t FROM documents)
     ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {p} AS h
+      FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+    ),
+    sig AS (
+      SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+    ),
     banded AS (
-      SELECT doc_id, {', '.join(bands)} FROM sh
+      SELECT doc_id, {', '.join(bands)} FROM sig
     ),
     long AS (
       SELECT doc_id, unnest([band0, band1, band2, band3]) AS bucket FROM banded
@@ -643,8 +656,16 @@ def _d_minhash_sql() -> str:
 @register("minhash_dedup_pairs", _d_minhash_sql(), headline=True)
 def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs: band-bucket self-join (O(collisions), not
-    O(n²)) → exact shingle-Jaccard verify on the candidate set."""
-    return dedup.minhash_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+    O(n²)) → exact shingle-Jaccard verify on the candidate set.
+
+    The testdata ships as one file per table, so the CPU-bound shingle+hash
+    stage is explicitly spread across the cluster; a real 100 TB corpus has
+    thousands of input splits and would omit the repartition."""
+    return dedup.minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.8,
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
 
 
 def _d_simhash_sql(bits: int = 16) -> str:

@@ -35,11 +35,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     heads = registry.headline_queries()
-    # Warm the JVM/codegen path once so per-query numbers measure the plan,
-    # not first-call session setup.
-    next(iter(heads.values()))(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # Warm each query once at the target SF (Janino codegen + HotSpot JIT of
+    # the generated classes — a one-time ~10-20s cost for the heaviest
+    # expression trees, and C2 only kicks in with enough rows), then time the
+    # steady state. That's what a long-running cluster job sees; cold-start
+    # compile time is not a per-query property. Verified: repeat runs re-run
+    # all stages (no cross-job shuffle reuse inflating the numbers).
+    for fn in heads.values():
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in heads.items():
