@@ -1,0 +1,111 @@
+"""Dedup operators: exact, token-set, MinHash-LSH, SimHash, embedding."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+    dedup,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "The  quick brown fox jumps over the lazy dog"),  # exact dup after normalize
+    (3, "dog lazy the over jumps fox brown quick the"),  # token-set dup of 1
+    (4, "the quick brown fox jumps over the sleepy dog"),  # near dup of 1
+    (5, "completely different text about spark engines and parquet files"),
+    (6, "tiny doc"),  # < 3 tokens → no shingles (ADVICE crash regression)
+    (7, ""),  # empty
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _jaccard(a: str, b: str, n: int = 3) -> float:
+    def sh(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    A, B = sh(a), sh(b)
+    return len(A & B) / len(A | B) if A | B else 0.0
+
+
+def test_exact_dedup_groups(spark, docs):
+    groups = {r.keep_id: r.n_docs for r in dedup.exact_dedup_groups(docs).collect()}
+    assert groups[1] == 2  # docs 1+2 (whitespace/case normalize)
+    assert sum(groups.values()) == len(DOCS)
+
+
+def test_exact_dedup_keeps_lowest_id(spark, docs):
+    kept = {r.doc_id for r in dedup.exact_dedup(docs).collect()}
+    assert 1 in kept and 2 not in kept
+    assert len(kept) == len(DOCS) - 1
+
+
+def test_token_set_dedup(spark, docs):
+    groups = {r.keep_id: r.n_docs for r in dedup.token_set_dedup_groups(docs).collect()}
+    assert groups[1] == 3  # docs 1,2,3 share the token set
+
+
+def test_minhash_finds_near_dups_and_survives_short_docs(spark, docs):
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    # true dups (jaccard=1.0) collide in every band; doc 3 reorders words so
+    # its 3-gram shingles differ — only the token-set path catches it
+    assert got[(1, 2)] == pytest.approx(1.0)
+    assert (1, 3) not in got
+    for (a, b), j in got.items():
+        assert j == pytest.approx(_jaccard(DOCS[a - 1][1], DOCS[b - 1][1]), abs=1e-9)
+
+
+def test_lsh_candidates_subset_of_pairs(spark, docs):
+    cands = {(r.id_a, r.id_b) for r in dedup.lsh_candidate_pairs(docs).collect()}
+    all_pairs = set(itertools.combinations([d[0] for d in DOCS], 2))
+    assert cands <= all_pairs
+    assert (1, 2) in cands
+
+
+def test_jaccard_pairs_exact_values(spark, docs):
+    pairs = spark.createDataFrame([(1, 4), (1, 5)], "id_a long, id_b long")
+    got = {(r.id_a, r.id_b): r.jaccard for r in dedup.jaccard_pairs(docs, pairs).collect()}
+    assert got[(1, 4)] == pytest.approx(_jaccard(DOCS[0][1], DOCS[3][1]))
+    assert got[(1, 5)] == pytest.approx(0.0)
+
+
+def test_simhash_groups_identical_docs(spark, docs):
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert sigs[1] == sigs[2] == sigs[3]  # same token set → same signature
+    assert len(sigs[1]) == 16 and set(sigs[1]) <= {"0", "1"}
+    groups = dedup.simhash_dup_groups(docs).collect()
+    assert any(g.n_docs >= 3 for g in groups)
+
+
+def test_embedding_dup_pairs_exact_and_lsh_agree(spark):
+    import math
+
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.embedding_dup_pairs_exact(emb, threshold=0.95).collect()
+    }
+    assert set(exact) == {(1, 2)}
+    want = (1 * 0.999) / (1.0 * math.hypot(0.999, 0.01))
+    assert exact[(1, 2)] == pytest.approx(want)
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_dup_pairs(emb, dim=4, threshold=0.95).collect()
+    }
+    assert lsh <= set(exact)  # LSH candidates verified exactly → no false pairs

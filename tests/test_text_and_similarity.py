@@ -1,0 +1,124 @@
+"""Text-analysis and similarity operators, including edge cases."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.functions import (
+    text as T,
+)
+from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+    similarity,
+    textstats,
+)
+
+
+def test_word_ngrams_short_docs(spark):
+    """ADVICE regression: docs with < n tokens must yield [] not throw."""
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("a",), ("",)], "text string"
+    )
+    got = [r.g for r in df.select(T.word_ngrams(F.col("text"), 3).alias("g")).collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == [] and got[2] == []
+
+
+def test_token_stats_values(spark):
+    docs = spark.createDataFrame([(1, "the cat sat on the mat")], "doc_id long, text string")
+    r = textstats.token_stats(docs).collect()[0]
+    assert r.n_tokens == 6 and r.n_distinct_tokens == 5
+    assert r.n_chars == 22
+    assert r.avg_token_len == pytest.approx((22 - 5) / 6, abs=1e-4)
+
+
+def test_language_id(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is here"),
+            (2, "der hund und die katze ist hier"),
+            (3, "zzz qqq xxx"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.pred_lang for r in textstats.language_id(docs).collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
+
+
+def test_quality_scores_bounds(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"), (2, "!!! ??? ...")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in textstats.quality_scores(docs).collect()}
+    assert 0.0 <= got[1].quality <= 1.0
+    assert got[2].quality == 0.0  # pure punctuation → fully penalized
+    assert got[2].punct_ratio > 0.5
+
+
+def _cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+
+VECS = [
+    (1, [1.0, 0.0, 0.0, 0.0]),
+    (2, [0.9, 0.1, 0.0, 0.0]),
+    (3, [0.0, 1.0, 0.0, 0.0]),
+    (4, [0.5, 0.5, 0.5, 0.5]),
+    (5, [0.0, 0.0, 0.3, 0.9]),
+]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk_matches_python(spark, emb):
+    queries = spark.createDataFrame(VECS[:1], "vec_id long, embedding array<double>")
+    got = similarity.brute_force_topk(emb, queries, k=3)
+    rows = got.orderBy(F.desc("cosine")).collect()
+    by_hand = sorted(
+        ((v[0], _cos(VECS[0][1], v[1])) for v in VECS if v[0] != 1),
+        key=lambda t: -t[1],
+    )[:3]
+    # returned neighbors exclude self and match python ranking
+    assert [(r.neighbor_id) for r in rows if r.neighbor_id != 1][: len(by_hand)] == [
+        b[0] for b in by_hand
+    ]
+    for r in rows:
+        if r.neighbor_id != 1:
+            want = dict(by_hand).get(r.neighbor_id)
+            if want is not None:
+                assert r.cosine == pytest.approx(round(want, 6), abs=1e-6)
+
+
+def test_pandas_topk_agrees_with_brute_force(spark, emb):
+    import pandas as pd
+
+    queries = spark.createDataFrame(VECS[:2], "vec_id long, embedding array<double>")
+    queries_pdf = pd.DataFrame(
+        {"vec_id": [v[0] for v in VECS[:2]], "embedding": [v[1] for v in VECS[:2]]}
+    )
+    bf = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.brute_force_topk(emb, queries, k=2).collect()
+    }
+    pk = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.pandas_topk(emb, queries_pdf, k=2).collect()
+    }
+    assert set(bf) == set(pk)
+    for k in bf:
+        assert bf[k] == pytest.approx(pk[k], abs=1e-6)
+
+
+def test_lsh_topk_neighbors_are_exact_cosines(spark, emb):
+    got = similarity.lsh_topk(emb, dim=4, k=2, n_tables=4, n_bits=2).collect()
+    for r in got:
+        a = dict(VECS)[r.query_id]
+        b = dict(VECS)[r.neighbor_id]
+        assert r.cosine == pytest.approx(round(_cos(a, b), 6), abs=1e-6)
