@@ -75,31 +75,115 @@ def _payload(topic: str, bag_id: str, i: int) -> dict[str, str]:
     return {k: v(k) for k in keys}
 
 
+def _bag_rows(
+    b: int, duration_s: int = 4, gap_pct: float = 0.005
+) -> list[tuple]:
+    """Message rows for one bag — shared by the DataFrame fixture and the
+    .bag-file writer so decode output is bit-identical to the fixture table."""
+    bag_id = f"bag{b:04d}"
+    base_ns = int(BASE_TIME.timestamp() * 1e9)
+    rows = []
+    for topic, rate in _TOPIC_RATES.items():
+        n = rate * duration_s
+        for i in range(n):
+            if _h(f"gap:{bag_id}:{topic}:{i}") < gap_pct:
+                continue  # injected seq gap (audit target)
+            rows.append(
+                (
+                    bag_id,
+                    topic,
+                    base_ns + b * 60 * 10**9 + int(i / rate * 1e9),
+                    i,
+                    _payload(topic, bag_id, i),
+                )
+            )
+    return rows
+
+
 def topic_messages(
     spark: SparkSession,
     n_bags: int = 3,
     duration_s: int = 4,
     gap_pct: float = 0.005,
 ) -> DataFrame:
-    rows = []
-    base_ns = int(BASE_TIME.timestamp() * 1e9)
+    rows = [r for b in range(n_bags) for r in _bag_rows(b, duration_s, gap_pct)]
+    return spark.createDataFrame(rows, TOPIC_MESSAGES_SCHEMA)
+
+
+BAG_MAGIC = b"#AADSBAG V1\n"
+
+
+def bag_bytes(b: int, duration_s: int = 4, gap_pct: float = 0.005) -> bytes:
+    """Serialize one fixture bag: magic + json-lines messages.
+
+    A deterministic stand-in for the ROS bag container (the real rosbag codec
+    is not in this environment); the decoder contract in
+    sources/frames_source.py is format-agnostic — swap in a real bag parser
+    without touching the Spark plumbing.
+    """
+    lines = [BAG_MAGIC.decode().rstrip("\n")]
+    for bag_id, topic, ts, seq, payload in _bag_rows(b, duration_s, gap_pct):
+        lines.append(
+            json.dumps(
+                {"bag_id": bag_id, "topic": topic, "t": ts, "seq": seq, "payload": payload},
+                sort_keys=True,
+            )
+        )
+    return ("\n".join(lines) + "\n").encode()
+
+
+def write_bag_dir(
+    dest_dir: str,
+    n_bags: int = 3,
+    tar_gz: tuple[int, ...] = (1,),
+    duration_s: int = 4,
+) -> list[str]:
+    """Write fixture ``.bag`` files (some ``.tar.gz``-wrapped, engine.py:35-51
+    semantics: exactly one bag per tarball). Returns the written paths."""
+    import io
+    import os
+    import tarfile
+
+    os.makedirs(dest_dir, exist_ok=True)
+    paths = []
     for b in range(n_bags):
         bag_id = f"bag{b:04d}"
-        for topic, rate in _TOPIC_RATES.items():
-            n = rate * duration_s
-            for i in range(n):
-                if _h(f"gap:{bag_id}:{topic}:{i}") < gap_pct:
-                    continue  # injected seq gap (audit target)
-                rows.append(
-                    (
-                        bag_id,
-                        topic,
-                        base_ns + b * 60 * 10**9 + int(i / rate * 1e9),
-                        i,
-                        _payload(topic, bag_id, i),
-                    )
-                )
-    return spark.createDataFrame(rows, TOPIC_MESSAGES_SCHEMA)
+        data = bag_bytes(b, duration_s)
+        if b in tar_gz:
+            p = os.path.join(dest_dir, f"2020-10-05-10-{b:02d}-00_{bag_id}.bag.tar.gz")
+            with tarfile.open(p, "w:gz") as tf:
+                info = tarfile.TarInfo(name=f"{bag_id}.bag")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+        else:
+            p = os.path.join(dest_dir, f"2020-10-05-10-{b:02d}-00_{bag_id}.bag")
+            with open(p, "wb") as f:
+                f.write(data)
+        paths.append(p)
+    return paths
+
+
+def write_topic_csvs(spark: SparkSession, dest_dir: str, n_bags: int = 2) -> list[str]:
+    """Reference CSV landing layout: ``csvs/topic=<t>/<t>.csv`` with one wide
+    header per topic (bag_to_csv.py:99-105,114-136). Input for the S8 path."""
+    import csv as _csv
+    import os
+
+    msgs = [r for b in range(n_bags) for r in _bag_rows(b)]
+    dirs = []
+    for topic in _TOPIC_RATES:
+        t_rows = [r for r in msgs if r[1] == topic]
+        fields = sorted(t_rows[0][4])
+        d = os.path.join(dest_dir, f"topic={topic.lstrip('/')}")
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, f"{topic.lstrip('/')}.csv")
+        with open(p, "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["bag_id", "rosbagTimestamp", "seq"] + fields)
+            for bag_id, _, ts, seq, payload in t_rows:
+                w.writerow([bag_id, ts, seq] + [payload[k] for k in fields])
+        dirs.append(d)
+    return dirs
 
 
 def _tiny_png(key: str) -> bytes:

@@ -40,12 +40,59 @@ def read_frames(spark: SparkSession, path: str) -> DataFrame:
     return with_frame_identity(df, "path")
 
 
-def default_bag_decoder(content: bytes, topics: list[str] | None) -> pd.DataFrame:
-    raise NotImplementedError(
-        "rosbag codec not available in this environment; plug a pure-Python "
-        "bag parser (importRosbag-style, cf. reference test.py:22-25) with "
-        "signature (bytes, topics) -> DataFrame[bag_id, topic, "
-        "rosbagTimestamp, seq, payload]"
+GZIP_MAGIC = b"\x1f\x8b"
+
+
+def untar_bag(content: bytes) -> bytes:
+    """S6: unwrap a ``.tar.gz``-packed bag; asserts exactly one ``.bag``
+    member (engine.py:35-51 semantics — a tarball is one bag, never more)."""
+    import io
+    import tarfile
+
+    with tarfile.open(fileobj=io.BytesIO(content), mode="r:gz") as tf:
+        members = [m for m in tf.getmembers() if m.name.endswith(".bag")]
+        if len(members) != 1:
+            raise ValueError(
+                f"expected exactly one .bag in archive, found {len(members)}"
+            )
+        f = tf.extractfile(members[0])
+        assert f is not None
+        return f.read()
+
+
+def fixture_bag_decoder(
+    path: str, content: bytes, topics: list[str] | None
+) -> pd.DataFrame:
+    """Default S4/S5 decoder: parses the deterministic fixture bag format
+    (sources/fixtures.bag_bytes — magic + json-lines) with S6 tar.gz unwrap.
+
+    The contract — ``(path, bytes, topics) -> DataFrame[bag_id, topic,
+    rosbagTimestamp, seq, payload]`` with the topic predicate applied during
+    the parse, not after — is exactly what a real rosbag 2.0 parser
+    (importRosbag-style, cf. reference test.py:22-25) plugs into; only this
+    function changes, never the Spark plumbing.
+    """
+    import json
+
+    from .fixtures import BAG_MAGIC
+
+    if content[:2] == GZIP_MAGIC:
+        content = untar_bag(content)
+    if not content.startswith(BAG_MAGIC):
+        raise ValueError(f"not a fixture bag (bad magic) at {path}")
+    want = set(topics) if topics else None
+    rows = []
+    for line in content.decode().splitlines()[1:]:
+        if not line:
+            continue
+        m = json.loads(line)
+        if want is not None and m["topic"] not in want:
+            continue
+        rows.append(
+            (m["bag_id"], m["topic"], m["t"], m["seq"], m["payload"])
+        )
+    return pd.DataFrame(
+        rows, columns=["bag_id", "topic", "rosbagTimestamp", "seq", "payload"]
     )
 
 
@@ -53,18 +100,23 @@ def read_bag_messages(
     spark: SparkSession,
     path: str,
     topics: list[str] | None = None,
-    decoder: Callable[[bytes, list[str] | None], pd.DataFrame] = default_bag_decoder,
+    decoder: Callable[[str, bytes, list[str] | None], pd.DataFrame] = fixture_bag_decoder,
 ) -> DataFrame:
     """Bag blobs → long topic_messages (S4/S6). One bag = one input split =
     one Arrow batch through the decoder; topic predicate is pushed into the
     decoder (reads only requested connections) rather than filtered after.
+
+    The glob accepts both bare ``.bag`` and ``.bag.tar.gz`` objects — the
+    decoder sniffs the gzip magic and unwraps (S6).
     """
-    blobs = spark.read.format("binaryFile").option("pathGlobFilter", "*.bag").load(path)
+    blobs = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "*.bag*"
+    ).load(path)
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for _, row in pdf.iterrows():
-                yield decoder(row["content"], topics)
+                yield decoder(row["path"], row["content"], topics)
 
     return blobs.select("path", "content").mapInPandas(
         _decode, schema=TOPIC_MESSAGES_DDL
