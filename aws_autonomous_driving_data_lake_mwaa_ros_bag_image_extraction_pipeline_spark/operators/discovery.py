@@ -22,8 +22,10 @@ from ..schemas import TERMINAL_OR_ACTIVE
 
 
 def is_bag_key(key: Column) -> Column:
-    """``fnmatch('*.bag')`` equivalent (s3_metadata_sensor.py:60-63)."""
-    return key.endswith(".bag")
+    """``fnmatch('*.bag')`` equivalent (s3_metadata_sensor.py:60-63), extended
+    to the ``.bag.tar.gz`` wrapping the reference unpacks at download time
+    (engine.py:35-51 — our S6 decoder unwraps it at scan time instead)."""
+    return key.endswith(".bag") | key.endswith(".bag.tar.gz")
 
 
 def discover_new(listing: DataFrame, manifest: DataFrame, key_col: str = "key") -> DataFrame:

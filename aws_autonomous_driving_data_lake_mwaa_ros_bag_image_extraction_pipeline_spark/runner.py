@@ -1,0 +1,98 @@
+"""End-to-end pipeline runner (E1: O1/O2 composition).
+
+The reference's DAG — sensor → tag → Fargate extract → label → aggregate →
+draw → tag complete (rosbag_processing.py:131-136, processing.py:30-50,
+141-173) — collapses into one incremental Spark job per tick:
+
+    discover (manifest anti-join / stream checkpoint)
+      → decode bags → topic landing (K1)
+      → frames → infer labels (P13) → frame_stats pivot (A1+A2, K4)
+      → annotate (P12) → binary sink (K7)
+      → manifest transitions in progress → complete | failure (O1/O2, K8)
+
+The empty-discovery branch (O1 ``no_work``) is a no-op tick; failures mark
+``failure`` per bag instead of the reference's silent container-STOP=success
+(processing.py:154-173). Every stage is a DataFrame transform — no XCom, no
+polling; lineage replaces cross-task value passing (O5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import annotate, frame_stats, sinks
+from .sources import frames_source
+from .streaming import pipeline as sp
+
+
+@dataclass
+class PipelineConfig:
+    bags_dir: str
+    output_dir: str
+    manifest_dir: str
+    topics: list[str] | None = None
+    model_fn: object = None  # P13 plug; None = deterministic fake
+    sync_dir: str | None = None  # optional K2 file-tree export
+    extra: dict = field(default_factory=dict)
+
+
+def process_bags(spark: SparkSession, cfg: PipelineConfig, batch: DataFrame) -> None:
+    """One batch of bag blobs through the full E2+E1 computation.
+
+    Both bag outputs (topic tables AND frames) come from the same scan —
+    the reference needs two full bag passes plus a realtime replay
+    (engine.py:96-137); here each is one ``mapInPandas`` decode over the
+    already-loaded blobs. Appends (not overwrites) so each incremental tick
+    adds its bags to the landing tables.
+    """
+    msgs = frames_source.decode_bag_blobs(batch, cfg.topics)
+    msgs.write.partitionBy("topic").mode("append").option(
+        "compression", "snappy"
+    ).parquet(f"{cfg.output_dir}/topic_messages")
+
+    frames = frames_source.decode_bag_frames(batch)
+    labels = annotate.infer_labels(frames, model_fn=cfg.model_fn)
+    stats = frame_stats.pivot_stats(labels)
+    stats.write.mode("append").parquet(f"{cfg.output_dir}/frame_stats")
+    labels.write.partitionBy("bag_id", "camera").mode("append").json(
+        f"{cfg.output_dir}/labels"
+    )
+
+    annotated = annotate.annotate_frames(
+        frames.join(labels, ["bag_id", "camera", "frame_index"])
+    )
+    annotated.write.partitionBy("bag_id", "camera").mode("append").parquet(
+        f"{cfg.output_dir}/annotated"
+    )
+    if cfg.sync_dir is not None:
+        sinks.export_binary_files(
+            annotated.withColumn("filename", sinks.frame_filename()),
+            cfg.sync_dir,
+        )
+
+
+def run_once(spark: SparkSession, cfg: PipelineConfig) -> list[str]:
+    """One incremental tick (batch form — the replay-capable path).
+
+    Returns the bag keys processed this tick; [] = the O1 ``no_work`` branch.
+    """
+    return sp.process_pending(
+        spark,
+        cfg.bags_dir,
+        cfg.manifest_dir,
+        lambda batch: process_bags(spark, cfg, batch),
+    )
+
+
+def run_stream_tick(spark: SparkSession, cfg: PipelineConfig, checkpoint_dir: str) -> None:
+    """One ``Trigger.AvailableNow`` streaming tick (exactly-once discovery
+    via checkpoint; the O4 form of the reference's 30-minute cron)."""
+    sp.run_available_now(
+        spark,
+        cfg.bags_dir,
+        checkpoint_dir,
+        cfg.manifest_dir,
+        lambda batch: process_bags(spark, cfg, batch),
+    )

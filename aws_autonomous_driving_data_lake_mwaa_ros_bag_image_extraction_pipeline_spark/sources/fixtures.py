@@ -113,19 +113,46 @@ def topic_messages(
 BAG_MAGIC = b"#AADSBAG V1\n"
 
 
-def bag_bytes(b: int, duration_s: int = 4, gap_pct: float = 0.005) -> bytes:
-    """Serialize one fixture bag: magic + json-lines messages.
+def bag_bytes(
+    b: int,
+    duration_s: int = 4,
+    gap_pct: float = 0.005,
+    frames_per_camera: int = 12,
+) -> bytes:
+    """Serialize one fixture bag: magic + json-lines messages + frame records.
 
     A deterministic stand-in for the ROS bag container (the real rosbag codec
     is not in this environment); the decoder contract in
     sources/frames_source.py is format-agnostic — swap in a real bag parser
-    without touching the Spark plumbing.
+    without touching the Spark plumbing. Camera frames ride as base64 records
+    (the real format stores sensor_msgs/Image messages) so one bag yields
+    both outputs of the reference container: topic tables AND frames.
     """
+    import base64
+
     lines = [BAG_MAGIC.decode().rstrip("\n")]
     for bag_id, topic, ts, seq, payload in _bag_rows(b, duration_s, gap_pct):
         lines.append(
             json.dumps(
                 {"bag_id": bag_id, "topic": topic, "t": ts, "seq": seq, "payload": payload},
+                sort_keys=True,
+            )
+        )
+    for bag_id, camera, idx, fname, ftime, w, h, png in _frame_rows(
+        b, frames_per_camera
+    ):
+        lines.append(
+            json.dumps(
+                {
+                    "bag_id": bag_id,
+                    "camera": camera,
+                    "idx": idx,
+                    "filename": fname,
+                    "t_us": int(ftime.timestamp() * 1_000_000),
+                    "w": w,
+                    "h": h,
+                    "png": base64.b64encode(png).decode(),
+                },
                 sort_keys=True,
             )
         )
@@ -208,6 +235,34 @@ def _tiny_png(key: str) -> bytes:
     )
 
 
+def _frame_rows(
+    b: int,
+    frames_per_camera: int = 60,
+    drop_pct: float = 0.01,
+    with_content: bool = True,
+) -> list[tuple]:
+    bag_id = f"bag{b:04d}"
+    bag_time = BASE_TIME + dt.timedelta(minutes=b)
+    rows = []
+    for camera in ["front", "rear", "left", "right"]:
+        for i in range(frames_per_camera):
+            if _h(f"drop:{bag_id}:{camera}:{i}") < drop_pct:
+                continue
+            rows.append(
+                (
+                    bag_id,
+                    camera,
+                    i,
+                    f"{camera}{i:04d}.png",
+                    bag_time + dt.timedelta(milliseconds=67 * i),
+                    1280,
+                    720,
+                    _tiny_png(f"{bag_id}:{camera}:{i}") if with_content else None,
+                )
+            )
+    return rows
+
+
 def frames(
     spark: SparkSession,
     n_bags: int = 2,
@@ -215,26 +270,11 @@ def frames(
     drop_pct: float = 0.01,
     with_content: bool = True,
 ) -> DataFrame:
-    rows = []
-    for b in range(n_bags):
-        bag_id = f"bag{b:04d}"
-        bag_time = BASE_TIME + dt.timedelta(minutes=b)
-        for camera in ["front", "rear", "left", "right"]:
-            for i in range(frames_per_camera):
-                if _h(f"drop:{bag_id}:{camera}:{i}") < drop_pct:
-                    continue
-                rows.append(
-                    (
-                        bag_id,
-                        camera,
-                        i,
-                        f"{camera}{i:04d}.png",
-                        bag_time + dt.timedelta(milliseconds=67 * i),
-                        1280,
-                        720,
-                        _tiny_png(f"{bag_id}:{camera}:{i}") if with_content else None,
-                    )
-                )
+    rows = [
+        r
+        for b in range(n_bags)
+        for r in _frame_rows(b, frames_per_camera, drop_pct, with_content)
+    ]
     return spark.createDataFrame(rows, FRAMES_SCHEMA)
 
 

@@ -86,6 +86,8 @@ def fixture_bag_decoder(
         if not line:
             continue
         m = json.loads(line)
+        if "topic" not in m:  # frame record — decode_bag_frames' concern
+            continue
         if want is not None and m["topic"] not in want:
             continue
         rows.append(
@@ -96,22 +98,85 @@ def fixture_bag_decoder(
     )
 
 
-def read_bag_messages(
-    spark: SparkSession,
-    path: str,
+FRAMES_DDL = (
+    "bag_id string, camera string, frame_index int, filename string, "
+    "frame_time timestamp, width int, height int, content binary"
+)
+
+
+def fixture_frame_decoder(path: str, content: bytes) -> pd.DataFrame:
+    """Frame records from a fixture bag (the E2 ``image_saver`` replacement:
+    deterministic scan instead of a lossy realtime replay, engine.py:96-99)."""
+    import base64
+    import json
+
+    from .fixtures import BAG_MAGIC
+
+    if content[:2] == GZIP_MAGIC:
+        content = untar_bag(content)
+    if not content.startswith(BAG_MAGIC):
+        raise ValueError(f"not a fixture bag (bad magic) at {path}")
+    rows = []
+    for line in content.decode().splitlines()[1:]:
+        if not line:
+            continue
+        m = json.loads(line)
+        if "camera" not in m:
+            continue
+        rows.append(
+            (
+                m["bag_id"],
+                m["camera"],
+                m["idx"],
+                m["filename"],
+                pd.Timestamp(m["t_us"], unit="us"),
+                m["w"],
+                m["h"],
+                base64.b64decode(m["png"]),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "bag_id",
+            "camera",
+            "frame_index",
+            "filename",
+            "frame_time",
+            "width",
+            "height",
+            "content",
+        ],
+    )
+
+
+def decode_bag_frames(
+    blobs: DataFrame,
+    decoder: Callable[[str, bytes], pd.DataFrame] = fixture_frame_decoder,
+) -> DataFrame:
+    """Binary bag rows → frames table (S10 via bag decode; multimodal
+    column). Same batching contract as ``decode_bag_blobs``."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                yield decoder(row["path"], row["content"])
+
+    return blobs.select("path", "content").mapInPandas(_decode, schema=FRAMES_DDL)
+
+
+def decode_bag_blobs(
+    blobs: DataFrame,
     topics: list[str] | None = None,
     decoder: Callable[[str, bytes, list[str] | None], pd.DataFrame] = fixture_bag_decoder,
 ) -> DataFrame:
-    """Bag blobs → long topic_messages (S4/S6). One bag = one input split =
-    one Arrow batch through the decoder; topic predicate is pushed into the
-    decoder (reads only requested connections) rather than filtered after.
+    """Binary bag rows (path, content) → long topic_messages (S4/S6).
 
-    The glob accepts both bare ``.bag`` and ``.bag.tar.gz`` objects — the
-    decoder sniffs the gzip magic and unwraps (S6).
+    One bag = one input split = one Arrow batch through the decoder; the
+    topic predicate is pushed into the decoder (reads only requested
+    connections) rather than filtered after. Accepts any DataFrame with
+    (path, content) — a batch scan, a streaming micro-batch, or a test frame.
     """
-    blobs = spark.read.format("binaryFile").option(
-        "pathGlobFilter", "*.bag*"
-    ).load(path)
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -121,6 +186,23 @@ def read_bag_messages(
     return blobs.select("path", "content").mapInPandas(
         _decode, schema=TOPIC_MESSAGES_DDL
     )
+
+
+def read_bag_messages(
+    spark: SparkSession,
+    path: str,
+    topics: list[str] | None = None,
+    decoder: Callable[[str, bytes, list[str] | None], pd.DataFrame] = fixture_bag_decoder,
+) -> DataFrame:
+    """Bag files under ``path`` → long topic_messages (S4/S6).
+
+    The glob accepts both bare ``.bag`` and ``.bag.tar.gz`` objects — the
+    decoder sniffs the gzip magic and unwraps (S6).
+    """
+    blobs = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "*.bag*"
+    ).load(path)
+    return decode_bag_blobs(blobs, topics, decoder)
 
 
 def bag_info(messages: DataFrame) -> DataFrame:

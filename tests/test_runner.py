@@ -1,0 +1,90 @@
+"""E1 integration: discover → decode → infer → aggregate → sinks → manifest."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark import (
+    runner,
+)
+from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.sources import (
+    fixtures,
+)
+from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.streaming import (
+    pipeline as sp,
+)
+
+
+def test_end_to_end_pipeline(spark, tmp_path):
+    bags = str(tmp_path / "bags")
+    out = str(tmp_path / "out")
+    manifest = str(tmp_path / "manifest")
+    sync = str(tmp_path / "sync")
+    fixtures.write_bag_dir(bags, n_bags=2, tar_gz=(1,))
+    cfg = runner.PipelineConfig(
+        bags_dir=bags, output_dir=out, manifest_dir=manifest, sync_dir=sync
+    )
+
+    processed = runner.run_once(spark, cfg)
+    assert len(processed) == 2
+
+    # manifest: both bags complete (O2 success path)
+    statuses = {r.key: r.status for r in sp.current_manifest(spark, manifest).collect()}
+    assert sorted(statuses.values()) == ["complete", "complete"]
+
+    # topic landing: partitioned by topic, counts match the fixture table
+    msgs = spark.read.parquet(f"{out}/topic_messages")
+    want = fixtures.topic_messages(spark, n_bags=2).count()
+    assert msgs.count() == want
+
+    # frame stats: one row per labeled frame, counter columns present
+    stats = spark.read.parquet(f"{out}/frame_stats")
+    frames_total = fixtures.frames(spark, n_bags=2, frames_per_camera=12).count()
+    labels_tbl = spark.read.json(f"{out}/labels")
+    labeled = labels_tbl.filter(F.size("labels") > 0).count()
+    assert labels_tbl.count() == frames_total
+    assert stats.count() == labeled > 0
+    assert {"Ped_Count", "Bike_Count", "Motorbike_Count"} <= set(stats.columns)
+
+    # annotated binary sink: digest column is content + 16-byte tag
+    ann = spark.read.parquet(f"{out}/annotated")
+    assert ann.count() == frames_total
+    row = ann.first()
+    assert len(row.annotated) > 16
+
+    # K2 file-tree export: one .png per frame of the synced cameras
+    png_files = [f for f in os.listdir(sync) if f.endswith(".png")]
+    # filenames collide across bags (same camera/idx); export keeps last write
+    distinct_names = {
+        (r.camera, r.frame_index)
+        for r in ann.select("camera", "frame_index").collect()
+    }
+    assert len(png_files) == len(distinct_names)
+
+    # idempotency (O1 no_work): second tick processes nothing, tables stable
+    assert runner.run_once(spark, cfg) == []
+    assert spark.read.parquet(f"{out}/topic_messages").count() == want
+
+
+def test_pipeline_failure_isolation(spark, tmp_path):
+    """A corrupt bag marks failure; good bags still complete (O2)."""
+    bags = str(tmp_path / "bags")
+    out = str(tmp_path / "out")
+    manifest = str(tmp_path / "manifest")
+    fixtures.write_bag_dir(bags, n_bags=1, tar_gz=())
+    with open(os.path.join(bags, "corrupt.bag"), "wb") as f:
+        f.write(b"not a bag at all")
+    cfg = runner.PipelineConfig(bags_dir=bags, output_dir=out, manifest_dir=manifest)
+    processed = runner.run_once(spark, cfg)
+    assert len(processed) == 2
+    statuses = {
+        r.key.split("/")[-1]: r.status
+        for r in sp.current_manifest(spark, manifest).collect()
+    }
+    assert statuses["corrupt.bag"] == "failure"
+    assert [v for k, v in statuses.items() if k != "corrupt.bag"] == ["complete"]
+    # the good bag's data landed
+    msgs = spark.read.parquet(f"{out}/topic_messages")
+    assert msgs.select(F.col("bag_id")).distinct().count() == 1

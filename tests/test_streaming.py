@@ -1,0 +1,109 @@
+"""O4: exactly-once streaming discovery, manifest ledger, replay semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.sources import (
+    fixtures,
+    frames_source,
+)
+from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.streaming import (
+    pipeline as sp,
+)
+
+
+def test_manifest_last_writer_wins(spark, tmp_path):
+    m = str(tmp_path / "manifest")
+    sp.append_status(spark, m, ["k1", "k2"], "in progress")
+    sp.append_status(spark, m, ["k1"], "complete")
+    got = {r.key: r.status for r in sp.current_manifest(spark, m).collect()}
+    assert got == {"k1": "complete", "k2": "in progress"}
+    sp.clear_status(spark, m, ["k1"])
+    got = {r.key: r.status for r in sp.current_manifest(spark, m).collect()}
+    assert got["k1"] is None
+    sp.compact_manifest(spark, m)
+    log = spark.read.parquet(m)
+    assert log.count() == 2  # one row per key after compaction
+    got = {r.key: r.status for r in sp.current_manifest(spark, m).collect()}
+    assert got == {"k1": None, "k2": "in progress"}
+
+
+def test_streaming_exactly_once_and_failure_marking(spark, tmp_path):
+    src = str(tmp_path / "bags")
+    ck = str(tmp_path / "ck")
+    m = str(tmp_path / "manifest")
+    out = str(tmp_path / "out")
+    fixtures.write_bag_dir(src, n_bags=2, tar_gz=())
+
+    processed: list[str] = []
+
+    def process(batch):
+        keys = [r.path for r in batch.select("path").collect()]
+        processed.extend(keys)
+        if any("bag0002" in k for k in keys):
+            raise RuntimeError("corrupt bag")  # injected failure
+        # real work: decode + append to a landing table
+        msgs = batch.select("path", "content")
+        pdf = msgs.toPandas()
+        import pandas as pd
+
+        frames = [
+            frames_source.fixture_bag_decoder(r["path"], r["content"], None)
+            for _, r in pdf.iterrows()
+        ]
+        sdf = spark.createDataFrame(pd.concat(frames), sp_schema())
+        sdf.write.mode("append").parquet(out)
+
+    def sp_schema():
+        return frames_source.TOPIC_MESSAGES_DDL
+
+    # tick 1: both bags processed, marked complete
+    sp.run_available_now(spark, src, ck, m, process)
+    got = {r.key.split("/")[-1]: r.status for r in sp.current_manifest(spark, m).collect()}
+    assert all(v == "complete" for v in got.values()) and len(got) == 2
+    n_first = len(processed)
+    assert n_first == 2
+
+    # tick 2 with no new files: nothing re-processed (checkpoint exactly-once)
+    sp.run_available_now(spark, src, ck, m, process)
+    assert len(processed) == n_first
+
+    # drop a new (failing) bag; only it is processed, and it's marked failure
+    fixtures.write_bag_dir(src, n_bags=3, tar_gz=())  # adds bag0002
+    sp.run_available_now(spark, src, ck, m, process)
+    got = {r.key.split("/")[-1]: r.status for r in sp.current_manifest(spark, m).collect()}
+    assert len(processed) == n_first + 1 and "bag0002" in processed[-1]
+    assert [v for k, v in got.items() if "bag0002" in k] == ["failure"]
+    assert sorted(v for k, v in got.items() if "bag0002" not in k) == ["complete", "complete"]
+
+    # decoded landing table holds exactly the two good bags' messages
+    landed = spark.read.parquet(out)
+    want = fixtures.topic_messages(spark, n_bags=2).count()
+    assert landed.count() == want
+
+
+def test_replay_by_clearing_status(spark, tmp_path):
+    src = str(tmp_path / "bags")
+    m = str(tmp_path / "manifest")
+    fixtures.write_bag_dir(src, n_bags=2, tar_gz=(1,))
+
+    runs: list[str] = []
+
+    def process(batch):
+        runs.extend(r.path for r in batch.select("path").collect())
+
+    first = sp.process_pending(spark, src, m, process)
+    assert len(first) == 2 and len(runs) == 2
+
+    # nothing pending on a second tick
+    assert sp.process_pending(spark, src, m, process) == []
+
+    # clearing one key re-enqueues exactly that key (reference README replay)
+    target = sorted(first)[0]
+    sp.clear_status(spark, m, [target])
+    replayed = sp.process_pending(spark, src, m, process)
+    assert replayed == [target]
+    got = {r.key: r.status for r in sp.current_manifest(spark, m).collect()}
+    assert got[target] == "complete"
