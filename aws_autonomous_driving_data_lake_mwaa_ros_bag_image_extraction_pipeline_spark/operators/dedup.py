@@ -285,6 +285,57 @@ def simhash_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     )
 
 
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash **Hamming distance**, found at scale.
+
+    Pigeonhole banding: the signature splits into ``bands`` equal slices; any
+    pair within Hamming distance ``bands - 1`` (default: ≤3 for 4 bands)
+    matches exactly on ≥1 slice, so candidates come from a band-bucket
+    self-join — O(collisions), never all-pairs. The exact distance is then
+    computed on candidates only, and pairs ≤ ``max_hamming`` survive.
+    (The exact-signature grouping in ``simhash_dup_groups`` is the distance-0
+    special case; this is the real near-dup pass.)
+    """
+    if max_hamming is None:
+        max_hamming = bands - 1
+    width = bits // bands
+    sig = simhash(docs, id_col, text_col, bits)
+    band_cols = [
+        F.concat(
+            F.lit(f"{b}:"), F.substring("simhash", b * width + 1, width)
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    long = sig.select(F.col(id_col), "simhash", *band_cols).select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket"),
+    )
+    a = long.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "bucket")
+    b = long.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "bucket")
+    cands = (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # exact Hamming distance over the bit strings (codegen: per-position xor)
+    ham = sum(
+        (F.substring("sig_a", i + 1, 1) != F.substring("sig_b", i + 1, 1)).cast("int")
+        for i in range(bits)
+    )
+    return cands.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
 # --- Embedding near-dup ------------------------------------------------------
 
 def embedding_dup_pairs(

@@ -1,0 +1,167 @@
+"""Multimodal-column operators: sampling, feature extraction, decode/resize.
+
+Images/audio/video ride as opaque ``binary`` columns with typed metadata
+(width/height/camera/frame_time — schemas.FRAMES_SCHEMA). The operators here
+are the training-data-pipeline staples over such columns:
+
+- ``frame_sample``: every-Nth / per-interval thinning — pure relational
+  filters (no Python, no shuffle), safe at any scale.
+- ``extract_features``: frames → embedding column via an Arrow-batched
+  ``mapInPandas`` extractor. The default extractor is a deterministic
+  md5-seeded pseudo-embedding (no vision model in this container) — swap in
+  an ONNX/torch model function without touching the plumbing; one Arrow
+  batch = one model invocation.
+- ``decode_image`` / ``resize_frames``: pixel codecs. PIL/cv2 are NOT in
+  this environment, so decode raises unless a codec function is supplied;
+  resize defaults to a clearly-marked metadata-only fake (content passes
+  through, width/height updated) so the batch plumbing stays testable.
+
+The extracted embeddings feed straight into operators/similarity.py and
+operators/dedup.py (embedding near-dup) — together these close the loop
+frames → features → ANN/dedup at 100 TB: every stage is either a narrow
+filter or a bucketed join; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def frame_sample(
+    frames: DataFrame,
+    every_n: int | None = None,
+    per_interval_ms: int | None = None,
+    idx_col: str = "frame_index",
+    ts_col: str = "frame_time",
+) -> DataFrame:
+    """Thin a frame stream: keep every Nth index, or one frame per time
+    bucket. Both are narrow filters — they push into the scan and cost no
+    shuffle (the per-interval form keeps the FIRST frame of each bucket via
+    an index tie-break window only when needed)."""
+    if every_n is not None:
+        return frames.filter(F.col(idx_col) % every_n == 0)
+    if per_interval_ms is not None:
+        bucket = (F.unix_millis(F.col(ts_col)) / per_interval_ms).cast("long")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("bag_id", "camera", bucket).orderBy(idx_col)
+        return (
+            frames.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    raise ValueError("pass every_n or per_interval_ms")
+
+
+def _fake_extractor(images: list[bytes], dim: int) -> list[list[float]]:
+    # Deterministic stand-in for a vision encoder: unit-norm vector seeded by
+    # the image digest. Replace via extract_features(extractor=...).
+    out = []
+    for img in images:
+        h = hashlib.md5(img or b"").digest()
+        vals = []
+        for i in range(dim):
+            b = hashlib.md5(h + i.to_bytes(2, "big")).digest()[0]
+            vals.append((b / 255.0) * 2 - 1)
+        norm = sum(v * v for v in vals) ** 0.5 or 1.0
+        out.append([v / norm for v in vals])
+    return out
+
+
+def extract_features(
+    frames: DataFrame,
+    dim: int = 64,
+    extractor: Callable[[list[bytes], int], list[list[float]]] | None = None,
+    content_col: str = "content",
+) -> DataFrame:
+    """frames → (bag_id, camera, frame_index, embedding array<double>).
+
+    Arrow-batched: each pandas batch is one extractor call — the batch shape
+    a GPU model wants. Output feeds similarity.*_topk / dedup.embedding_*."""
+    fn = extractor or _fake_extractor
+    out_schema = (
+        "bag_id string, camera string, frame_index int, embedding array<double>"
+    )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["bag_id", "camera", "frame_index"]].copy()
+            out["embedding"] = fn(list(pdf[content_col]), dim)
+            yield out
+
+    return frames.select("bag_id", "camera", "frame_index", content_col).mapInPandas(
+        _extract, schema=out_schema
+    )
+
+
+def decode_image(
+    frames: DataFrame,
+    codec: Callable[[bytes], tuple[int, int, bytes]] | None = None,
+    content_col: str = "content",
+) -> DataFrame:
+    """Decode image bytes → (width, height, raw RGB). No codec library ships
+    in this container: supply ``codec(png_bytes) -> (w, h, rgb)`` (e.g. a
+    PIL-backed function) — the batching contract is identical to
+    ``extract_features``."""
+    if codec is None:
+        raise NotImplementedError(
+            "no image codec in this environment; pass codec=(bytes)->(w,h,rgb)"
+        )
+    out_schema = (
+        "bag_id string, camera string, frame_index int, "
+        "width int, height int, rgb binary"
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["bag_id", "camera", "frame_index"]].copy()
+            decoded = [codec(c) for c in pdf[content_col]]
+            out["width"] = [d[0] for d in decoded]
+            out["height"] = [d[1] for d in decoded]
+            out["rgb"] = [d[2] for d in decoded]
+            yield out
+
+    return frames.select("bag_id", "camera", "frame_index", content_col).mapInPandas(
+        _decode, schema=out_schema
+    )
+
+
+def resize_frames(
+    frames: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize the image column to (width, height).
+
+    Without a codec the default is a METADATA-ONLY FAKE (clearly marked:
+    bytes pass through, width/height columns update) so pipelines and tests
+    exercise the real batching; pass ``resizer`` for actual pixels."""
+    if resizer is None:
+
+        def resizer(content: bytes, w: int, h: int) -> bytes:  # noqa: ARG001
+            return content  # fake: metadata-only resize
+
+    out_schema = (
+        "bag_id string, camera string, frame_index int, filename string, "
+        "frame_time timestamp, width int, height int, content binary"
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["content"] = [resizer(c, width, height) for c in pdf["content"]]
+            out["width"] = width
+            out["height"] = height
+            yield out
+
+    cols = [
+        "bag_id", "camera", "frame_index", "filename",
+        "frame_time", "width", "height", "content",
+    ]
+    return frames.select(*cols).mapInPandas(_resize, schema=out_schema)

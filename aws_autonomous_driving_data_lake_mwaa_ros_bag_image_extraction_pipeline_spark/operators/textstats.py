@@ -93,3 +93,89 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         T.fingerprint(t).alias("fp_exact"),
         T.sorted_token_fingerprint(t).alias("fp_tokenset"),
     )
+
+
+# GPT-style pre-tokenizer approximation, ASCII classes only so Java regex
+# (Spark) and RE2 (DuckDB) agree byte-for-byte: letter runs | digit runs |
+# single non-space symbols.
+SUBWORD_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# Average BPE piece ≈ 4 chars of a letter run (the classic ~4 chars/token
+# rule of thumb); digits and symbols count one piece each.
+CHARS_PER_PIECE = 4
+
+
+def subword_token_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Token counting beyond whitespace: regex pre-tokens and a BPE-piece
+    estimate (ceil(len/4) per letter run, 1 per digit-run/symbol) — the
+    number a training-data pipeline budgets context windows with. All JVM
+    expressions; the pre-token array is let-bound so the regex scan runs
+    once per row."""
+    t = F.col(text_col)
+
+    def _stats(pre: Column) -> Column:
+        pieces = F.aggregate(
+            pre,
+            F.lit(0),
+            lambda acc, tok: acc
+            + F.when(
+                tok.rlike("^[A-Za-z]+$"),
+                F.ceil(F.length(tok) / F.lit(float(CHARS_PER_PIECE))).cast("int"),
+            ).otherwise(F.lit(1)),
+        )
+        return F.struct(
+            F.size(pre).alias("n_pretokens"), pieces.alias("n_bpe_est")
+        )
+
+    s = T.bind(F.regexp_extract_all(t, F.lit(SUBWORD_PATTERN), 0), _stats)
+    return docs.select(
+        F.col(id_col),
+        T.token_count(t).alias("n_ws_tokens"),
+        s["n_pretokens"].alias("n_pretokens"),
+        s["n_bpe_est"].alias("n_bpe_est"),
+    )
+
+
+def rolling_fingerprints(
+    docs: DataFrame,
+    k: int = 16,
+    sample_mod: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing-style document fingerprint: hash every ``k``-char window,
+    keep the deterministic ``h % sample_mod == 0`` sample (mod-p sampling —
+    position-independent, so shared substrings select the same fingerprints
+    in both documents), digest the sorted distinct sample.
+
+    Relational shape: explode window positions → one md5 per window →
+    filter → groupBy(id) — codegen end to end, map-side combine, same
+    explode/agg pattern (and the same reasons) as the MinHash pipeline."""
+    from ..functions import hashing as H
+
+    n_windows = F.length(F.col(text_col)) - F.lit(k - 1)
+    idx = F.when(n_windows >= 1, F.sequence(F.lit(1), n_windows)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pos = docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+        F.explode_outer(idx).alias("p"),
+    ).filter(F.col("p").isNotNull())
+    h = H.md5_mod_p(F.col("__t").substr(F.col("p"), F.lit(k)))
+    sampled = pos.select(F.col(id_col), h.alias("h")).filter(
+        F.col("h") % sample_mod == 0
+    )
+    digest = F.md5(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_set("h")), lambda x: x.cast("string")
+            ),
+            "|",
+        )
+    )
+    return sampled.groupBy(id_col).agg(
+        F.count_distinct(F.col("h")).alias("n_fp"),
+        digest.alias("fp_digest"),
+    )

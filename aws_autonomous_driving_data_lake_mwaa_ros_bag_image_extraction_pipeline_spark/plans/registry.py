@@ -672,7 +672,8 @@ def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _d_simhash_sql(bits: int = 16) -> str:
+def _d_simhash_cte(bits: int = 16) -> str:
+    """Shared CTE text computing (doc_id, simhash) in DuckDB."""
     bit_exprs = ", ".join(
         "CASE WHEN 2 * list_sum(list_transform(d, t -> "
         f"(strpos('0123456789abcdef', substr(md5(t), {b + 1}, 1)) - 1) % 2)) "
@@ -683,9 +684,45 @@ def _d_simhash_sql(bits: int = 16) -> str:
     WITH d AS (
       SELECT doc_id, list_distinct({_D_TOKS}) AS d FROM documents
     ),
-    s AS (SELECT doc_id, concat({bit_exprs}) AS simhash FROM d)
+    s AS (SELECT doc_id, concat({bit_exprs}) AS simhash FROM d)"""
+
+
+def _d_simhash_sql(bits: int = 16) -> str:
+    return f"""
+    {_d_simhash_cte(bits)}
     SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
     FROM s GROUP BY simhash HAVING COUNT(*) > 1
+    """
+
+
+def _d_simhash_near_sql(bits: int = 16, bands: int = 4) -> str:
+    """Banded Hamming-neighbor search replica: same pigeonhole candidates,
+    same exact-distance verify as dedup.simhash_near_pairs."""
+    width = bits // bands
+    band_sel = ", ".join(
+        f"concat('{b}:', substr(simhash, {b * width + 1}, {width})) AS band{b}"
+        for b in range(bands)
+    )
+    ham = " + ".join(
+        f"CASE WHEN substr(sig_a, {i + 1}, 1) <> substr(sig_b, {i + 1}, 1) THEN 1 ELSE 0 END"
+        for i in range(bits)
+    )
+    return f"""
+    {_d_simhash_cte(bits)},
+    banded AS (SELECT doc_id, simhash, {band_sel} FROM s),
+    long AS (
+      SELECT doc_id, simhash,
+             unnest([{', '.join(f'band{b}' for b in range(bands))}]) AS bucket
+      FROM banded
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM long a JOIN long b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST({ham} AS INTEGER) AS hamming
+    FROM cands
+    WHERE {ham} <= {bands - 1}
     """
 
 
@@ -693,6 +730,13 @@ def _d_simhash_sql(bits: int = 16) -> str:
 def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup buckets (16-bit majority-vote signature)."""
     return dedup.simhash_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+@register("simhash_near_pairs", _d_simhash_near_sql())
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pairs within Hamming distance 3: pigeonhole band buckets →
+    self-join on bucket (O(collisions)) → exact distance on candidates."""
+    return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"))
 
 
 @register(
@@ -709,6 +753,53 @@ def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "subword_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len({_D_TOKS.replace("lower(text)", "text")}) AS INTEGER)
+             AS n_ws_tokens,
+           CAST(len(pre) AS INTEGER) AS n_pretokens,
+           CAST(coalesce(list_sum(list_transform(pre, t ->
+                CASE WHEN regexp_matches(t, '^[A-Za-z]+$')
+                     THEN CAST(ceil(len(t) / 4.0) AS INTEGER)
+                     ELSE 1 END)), 0) AS INTEGER) AS n_bpe_est
+    FROM (SELECT doc_id, text,
+                 regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS pre
+          FROM documents)
+    """,
+)
+def q_subword_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting beyond whitespace: GPT-style pre-token regex + a
+    BPE-piece estimate (context-window budgeting at corpus scale)."""
+    return textstats.subword_token_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "rolling_fingerprints",
+    f"""
+    WITH pos AS (
+      SELECT doc_id, text, unnest(range(1, greatest(len(text) - 15, 0) + 1)) AS p
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(substr(text, p, 16)), 1, 15)) AS BIGINT)
+               % {H.MERSENNE_31} AS h
+      FROM pos
+    )
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_fp,
+           md5(array_to_string(list_sort(list_distinct(list(h))), '|')) AS fp_digest
+    FROM h WHERE h % 8 = 0 GROUP BY doc_id
+    """,
+)
+def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprints (16-char windows, mod-8
+    sample): position-independent shared-substring detection."""
+    return textstats.rolling_fingerprints(_t(spark, sf_dir, "documents"))
 
 
 @register(

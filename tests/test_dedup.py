@@ -87,6 +87,17 @@ def test_simhash_groups_identical_docs(spark, docs):
     assert any(g.n_docs >= 3 for g in groups)
 
 
+def test_simhash_near_pairs_hamming(spark, docs):
+    """Identical-signature pairs surface at distance 0; every reported pair's
+    distance matches a python recompute on the signatures."""
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    got = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_near_pairs(docs).collect()}
+    assert got[(1, 2)] == 0 and got[(1, 3)] == 0
+    for (a, b), d in got.items():
+        want = sum(x != y for x, y in zip(sigs[a], sigs[b]))
+        assert d == want <= 3
+
+
 def test_embedding_dup_pairs_exact_and_lsh_agree(spark):
     import math
 
