@@ -159,6 +159,52 @@ def run_available_now(
     q.awaitTermination(timeout_s)
 
 
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming tumbling-window counts with late-data handling: events
+    older than the watermark are dropped and closed windows emit exactly
+    once (append mode). The batch twin is sessionize.tumbling_window_agg —
+    same grouping expression, so batch backfill and the live stream produce
+    the same table."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), group_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), group_col, "n_events")
+    )
+
+
+def session_window_stats(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Native session windows (F.session_window): state merges adjacent
+    events within ``gap`` per key; the watermark bounds state retention.
+    Works in batch too — the batch gap-and-island formulation
+    (sessionize.session_stats) is the window-function twin."""
+    df = events
+    if events.isStreaming:
+        df = events.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap).alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def process_pending(
     spark: SparkSession,
     source_dir: str,

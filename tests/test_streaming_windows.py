@@ -1,0 +1,88 @@
+"""Watermarked streaming aggregation: late-data discard, session windows."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+    sessionize,
+)
+from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.streaming import (
+    pipeline as sp,
+)
+
+T0 = dt.datetime(2021, 6, 1, 10, 0, 0)
+
+
+def _write_events(d: str, name: str, events: list[tuple[str, int]]) -> None:
+    with open(os.path.join(d, name), "w") as f:
+        for etype, minutes in events:
+            ts = (T0 + dt.timedelta(minutes=minutes)).strftime("%Y-%m-%dT%H:%M:%S")
+            f.write(json.dumps({"event_type": etype, "ts": ts}) + "\n")
+
+
+def _run_trigger(spark, src: str, ck: str, sink: list) -> None:
+    """One AvailableNow tick; emitted (append-mode) rows land in ``sink``.
+    foreachBatch, not the memory sink — memory cannot resume a checkpoint."""
+    stream = spark.readStream.schema("event_type string, ts timestamp").json(src)
+    agg = sp.windowed_event_counts(stream)
+
+    def _collect(df, _eid):
+        sink.extend(df.collect())
+
+    q = (
+        agg.writeStream.foreachBatch(_collect)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_watermark_discards_late_events(spark, tmp_path):
+    src = str(tmp_path / "events")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+
+    # trigger 1: events at 10:00, 10:30, 11:30 → watermark 11:00 after batch;
+    # the [10:00, 11:00) window closes and emits (count 2)
+    _write_events(src, "b1.json", [("click", 0), ("click", 30), ("click", 90)])
+    sink1: list = []
+    _run_trigger(spark, src, ck, sink1)
+    t1 = {(r.window_start, r.event_type): r.n_events for r in sink1}
+    assert t1 == {(T0, "click"): 2}
+
+    # trigger 2: a LATE event at 10:15 (behind the 11:00 watermark — must be
+    # dropped, its window already emitted) + a fresh one at 12:30 that
+    # advances the watermark to 12:00, closing [11:00, 12:00) with count 1
+    _write_events(src, "b2.json", [("click", 15), ("click", 150)])
+    sink2: list = []
+    _run_trigger(spark, src, ck, sink2)
+    t2 = {(r.window_start, r.event_type): r.n_events for r in sink2}
+    assert t2 == {(T0 + dt.timedelta(hours=1), "click"): 1}
+
+
+def test_session_window_batch_matches_gap_and_island(spark):
+    rows = [
+        (1, T0),
+        (1, T0 + dt.timedelta(minutes=10)),
+        (1, T0 + dt.timedelta(minutes=70)),  # > 30 min gap → new session
+        (2, T0),
+    ]
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    native = {
+        (r.user_id, r.session_start): r.n_events
+        for r in sp.session_window_stats(events).collect()
+    }
+    classic = {
+        (r.user_id, r.session_start): r.n_events
+        for r in sessionize.session_stats(events).collect()
+    }
+    assert native == classic == {
+        (1, T0): 2,
+        (1, T0 + dt.timedelta(minutes=70)): 1,
+        (2, T0): 1,
+    }
