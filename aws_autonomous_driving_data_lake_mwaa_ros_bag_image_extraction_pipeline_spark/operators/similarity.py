@@ -143,6 +143,95 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _ivf_centroids(
+    emb: DataFrame, n_lists: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Deterministic centroid sample: the n_lists vectors with the smallest
+    md5(id) — reproducible pseudo-random, no RNG, no fit."""
+    w = Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    return (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_lists)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid.
+
+    Centroids are a deterministic pseudo-random corpus sample — the
+    ``n_lists`` vectors with the smallest ``md5(id)`` (reproducible without
+    an RNG or a kmeans fit; one kmeans sweep can refine them later without
+    changing any downstream contract). Assignment broadcasts the centroid
+    set (tiny by construction: n_lists ≈ √N rows) against the corpus and
+    takes ``min_by`` distance per vector — one narrow pass, no corpus
+    shuffle beyond the final groupBy(id).
+    """
+    cents = _ivf_centroids(emb, n_lists, id_col, vec_col)
+    scored = emb.select(F.col(id_col), F.col(vec_col)).join(F.broadcast(cents))
+    dist = -V.cosine(F.col(vec_col), F.col("cv"))  # max cosine = min distance
+    assign = (
+        scored.select(F.col(id_col), F.col("cid"), dist.alias("d"))
+        .groupBy(id_col)
+        .agg(F.min_by("cid", "d").alias("list_id"))
+    )
+    return emb.join(assign, id_col)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via inverted lists: each query probes only its
+    ``n_probe`` nearest centroid lists — the classic IVF-flat trade: recall
+    grows with n_probe, cost stays O(N · n_probe / n_lists) instead of
+    O(N · Q). The alternative scale path to hyperplane LSH (lsh_topk):
+    IVF adapts to the data distribution, LSH needs no fit at all.
+    """
+    corpus = ivf_assign(emb, n_lists, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "list_id"
+    )
+    cents = _ivf_centroids(emb, n_lists, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    probes = (
+        q.join(F.broadcast(cents))
+        .select(
+            "query_id", "qv", F.col("cid").alias("list_id"),
+            (-V.cosine(F.col("qv"), F.col("cv"))).alias("d"),
+        )
+        .withColumn(
+            "__pr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("d", "list_id")
+            ),
+        )
+        .filter(F.col("__pr") <= n_probe)
+        .select("query_id", "qv", "list_id")
+    )
+    scored = (
+        corpus.join(probes, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(wr)).filter(F.col("rank") <= k)
+
+
 def pandas_topk(
     corpus: DataFrame,
     queries_pdf: pd.DataFrame,

@@ -429,6 +429,40 @@ def rollup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cube_status_priority",
+    """
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS INTEGER) AS lvl,
+           COUNT(*) AS n, {s} AS total
+    FROM orders
+    GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    """.format(s=SQL_DSUM.format(x="o_totalprice")),
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping sets in one pass — Spark expands to a single
+    shuffle with a grouping-id column, not one job per set."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice"), "total"),
+            (
+                F.grouping("o_orderpriority") * 2 + F.grouping("o_orderstatus")
+            ).cast("int").alias("lvl"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "lvl",
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
     "customer_order_counts",
     """
     SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders,
@@ -890,6 +924,15 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (compare only within buckets, O(n·bucket) not O(n²))."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, dim=64, k=5, n_tables=4, n_bits=8)
+
+
+@register("ivf_topk", None)  # float-distance quantizer → rows-only check
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF inverted lists (data-adaptive coarse
+    quantizer; each query probes n_probe of n_lists centroid lists)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, k=5, n_lists=16, n_probe=4)
 
 
 @register(

@@ -1,0 +1,89 @@
+"""Custom stateful streaming operators (``applyInPandasWithState``).
+
+Two canonical shapes a training-data / telemetry pipeline needs beyond
+built-in windowed aggs:
+
+- ``streaming_dedup``: keyed exactly-once-per-id emission — an id seen in
+  any earlier micro-batch (state survives batches AND restarts via the
+  checkpoint) is dropped. The streaming twin of dedup.exact_dedup.
+- ``running_counters``: per-key monotonically-updated counters emitted
+  every batch — the streaming form of the frame_stats counter upsert (K6),
+  with state instead of a re-aggregated table.
+
+State is per-key and partitioned by the grouping key, so a 1000-executor
+cluster shards state horizontally; timeouts bound state size in production
+(set ``GroupStateTimeout`` when keys churn).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Emit each (key, id) exactly once across all micro-batches.
+
+    State = the sorted list of ids already emitted for the key. At scale,
+    swap the exact id list for a bloom/sketch state when cardinality
+    explodes; the operator contract stays identical.
+    """
+    out_schema = f"{key_col} long, {id_col} long"
+    state_schema = "ids array<long>"
+
+    def _dedup(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        seen = set(state.get[0]) if state.exists else set()
+        fresh: list[int] = []
+        for pdf in pdfs:
+            for i in pdf[id_col]:
+                i = int(i)
+                if i not in seen:
+                    seen.add(i)
+                    fresh.append(i)
+        state.update((sorted(seen),))
+        if fresh:
+            yield pd.DataFrame({key_col: [key[0]] * len(fresh), id_col: fresh})
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        _dedup,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_counters(
+    events: DataFrame,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Per-key lifetime event count, emitted once per batch the key appears
+    in — K6's counter upsert as managed state."""
+    out_schema = f"{key_col} long, n_events long"
+    state_schema = "n long"
+
+    def _count(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [n]})
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        _count,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -34,6 +34,27 @@ def test_pick_first_is_lexicographic_min(spark):
     assert got[0].key == min(r.key for r in new.collect())
 
 
+def test_listing_source_feeds_discovery(spark, tmp_path):
+    """S7: metadata-only listing → DataFrame → anti-join discovery."""
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.sources import (
+        fixtures as fx,
+        listing,
+    )
+
+    d = str(tmp_path / "bags")
+    fx.write_bag_dir(d, n_bags=3, tar_gz=())
+    with open(f"{d}/noise.txt", "w") as f:
+        f.write("x")
+    lst = listing.list_files(spark, d, glob="*.bag*")
+    assert lst.count() == 3  # noise filtered by glob
+    assert all(r.size > 0 for r in lst.collect())
+    manifest = spark.createDataFrame(
+        [(lst.orderBy("key").first().key, "complete")], "key string, status string"
+    )
+    new = discovery.discover_new(lst, manifest)
+    assert new.count() == 2  # completed key excluded
+
+
 def test_update_status_transitions_only_hit_keys(spark):
     manifest = fixtures.bag_manifest(spark, n_bags=10)
     target = discovery.pick_first(

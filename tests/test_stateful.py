@@ -1,0 +1,69 @@
+"""applyInPandasWithState: state persists across micro-batches and restarts."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.streaming import (
+    stateful,
+)
+
+
+def _write(d: str, name: str, rows: list[tuple[int, int]]) -> None:
+    with open(os.path.join(d, name), "w") as f:
+        for uid, eid in rows:
+            f.write(json.dumps({"user_id": uid, "event_id": eid}) + "\n")
+
+
+def _tick(spark, src: str, ck: str, op, sink: list, mode: str) -> None:
+    stream = spark.readStream.schema("user_id long, event_id long").json(src)
+    out = op(stream)
+
+    def _collect(df, _eid):
+        sink.extend(df.collect())
+
+    q = (
+        out.writeStream.foreachBatch(_collect)
+        .outputMode(mode)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_streaming_dedup_across_triggers(spark, tmp_path):
+    src = str(tmp_path / "ev")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+
+    _write(src, "b1.json", [(1, 10), (1, 11), (2, 10), (1, 10)])
+    s1: list = []
+    _tick(spark, src, ck, stateful.streaming_dedup, s1, "append")
+    got1 = {(r.user_id, r.event_id) for r in s1}
+    assert got1 == {(1, 10), (1, 11), (2, 10)}  # in-batch dup dropped
+
+    # second trigger, separate query run, SAME checkpoint: previously seen
+    # ids stay deduped (state restored), new ones emit
+    _write(src, "b2.json", [(1, 10), (1, 12), (2, 10), (3, 1)])
+    s2: list = []
+    _tick(spark, src, ck, stateful.streaming_dedup, s2, "append")
+    got2 = {(r.user_id, r.event_id) for r in s2}
+    assert got2 == {(1, 12), (3, 1)}
+
+
+def test_running_counters_accumulate(spark, tmp_path):
+    src = str(tmp_path / "ev")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+
+    _write(src, "b1.json", [(1, 1), (1, 2), (2, 1)])
+    s1: list = []
+    _tick(spark, src, ck, stateful.running_counters, s1, "update")
+    assert {(r.user_id, r.n_events) for r in s1} == {(1, 2), (2, 1)}
+
+    _write(src, "b2.json", [(1, 3)])
+    s2: list = []
+    _tick(spark, src, ck, stateful.running_counters, s2, "update")
+    assert {(r.user_id, r.n_events) for r in s2} == {(1, 3)}  # 2 + 1, restored

@@ -160,6 +160,33 @@ def test_pandas_topk_agrees_with_brute_force(spark, emb):
         assert bf[k] == pytest.approx(pk[k], abs=1e-6)
 
 
+def test_ivf_topk_recall_and_exact_scores(spark):
+    """IVF with full probing (n_probe = n_lists) must equal brute force;
+    partial probing returns a subset with exact cosines."""
+    import hashlib
+
+    vecs = [
+        (i, [((int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:4], 16) / 65535) * 2 - 1) for d in range(8)])
+        for i in range(1, 41)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id <= 3")
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, queries, k=3).collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(emb, queries, k=3, n_lists=4, n_probe=4).collect()
+    }
+    assert full == bf
+    partial = similarity.ivf_topk(emb, queries, k=3, n_lists=4, n_probe=1).collect()
+    lookup = dict(vecs)
+    for r in partial:
+        want = _cos(lookup[r.query_id], lookup[r.neighbor_id])
+        assert r.cosine == pytest.approx(round(want, 6), abs=1e-6)
+
+
 def test_lsh_topk_neighbors_are_exact_cosines(spark, emb):
     got = similarity.lsh_topk(emb, dim=4, k=2, n_tables=4, n_bits=2).collect()
     for r in got:
