@@ -1,0 +1,58 @@
+"""Skew mitigation for joins and aggregations.
+
+AQE's skew-join splitting (on in session.py) handles most skew at runtime
+by splitting oversized shuffle partitions. Salting is the explicit fallback
+for the cases AQE can't fix — e.g. a broadcast-ineligible dimension joined
+on a key where ONE value dominates (null keys, a default id, a celebrity
+entity): the salt spreads that single key across ``n_salts`` reducers at
+the cost of replicating the small side n_salts times.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join with the big side salted and the small side replicated.
+
+    The big side's salt is deterministic (hash of the whole row, mod
+    n_salts) so repeated runs shuffle identically; the small side explodes
+    to every salt value, so each (key, salt) reducer holds the full small
+    partition for that key. Result == plain join (tested), wall-clock ∝
+    1/n_salts on a single hot key.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    big_s = big.withColumn("__salt", salt)
+    small_s = small.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])),
+    )
+    return big_s.join(small_s, [*on, "__salt"], how).drop("__salt")
+
+
+def salted_count_distinct(
+    df: DataFrame, group_col: str, value_col: str, n_salts: int = 16
+) -> DataFrame:
+    """Two-stage EXACT distinct count for skewed groups.
+
+    The salt is a hash of the VALUE, so each distinct value lands in exactly
+    one (group, salt) shard — per-shard distinct counts are disjoint and the
+    merge is a plain SUM. The hottest group fans across n_salts reducers in
+    stage one and the merge shuffles just n_salts tiny rows per group.
+    """
+    salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_salts))
+    partial = (
+        df.select(group_col, value_col)
+        .withColumn("__salt", salt)
+        .groupBy(group_col, "__salt")
+        .agg(F.count_distinct(value_col).alias("__n"))
+    )
+    return partial.groupBy(group_col).agg(F.sum("__n").alias("n_distinct"))

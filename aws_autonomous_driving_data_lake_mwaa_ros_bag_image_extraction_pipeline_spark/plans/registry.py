@@ -967,6 +967,141 @@ def q_embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SQL-surface breadth: percentiles, statistical aggs, set ops, subqueries,
+# date bucketing, fuzzy string matching
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "percentile_prices",
+    """
+    SELECT o_orderpriority,
+           floor(quantile_cont(o_totalprice, 0.25) * 1000000 + 0.5) / 1000000.0 AS p25,
+           floor(quantile_cont(o_totalprice, 0.5)  * 1000000 + 0.5) / 1000000.0 AS p50,
+           floor(quantile_cont(o_totalprice, 0.9)  * 1000000 + 0.5) / 1000000.0 AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``; quantized to kill the fp interpolation tail).
+    At 100 TB swap for ``approx_percentile`` — same call shape, sketch-based
+    and mergeable instead of a full sort per group."""
+    orders = _t(spark, sf_dir, "orders")
+    qs = [0.25, 0.5, 0.9]
+    names = ["p25", "p50", "p90"]
+    return orders.groupBy("o_orderpriority").agg(
+        *[
+            H.quantize(F.percentile("o_totalprice", F.lit(q)), 6).alias(n)
+            for q, n in zip(qs, names)
+        ]
+    )
+
+
+@register(
+    "stats_by_returnflag",
+    """
+    SELECT l_returnflag,
+           floor(corr(l_extendedprice, l_quantity) * 10000 + 0.5) / 10000.0 AS price_qty_corr,
+           floor(stddev_samp(l_discount) * 10000 + 0.5) / 10000.0 AS discount_sd,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr, stddev) — single-pass, map-side
+    combinable moments."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        H.quantize(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
+        H.quantize(F.stddev_samp("l_discount"), 4).alias("discount_sd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "intersect_custkeys",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (customers with both URGENT and LOW orders)."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b)
+
+
+@register(
+    "exists_high_value",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def exists_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS subquery as a left-semi join — the big side never duplicates
+    rows, and Catalyst pushes the price filter below the join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    hits = orders.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return cust.join(hits, "c_custkey", "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "monthly_order_counts",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           COUNT(*) AS n_orders, {s} AS total
+    FROM orders GROUP BY 1
+    """.format(s=SQL_DSUM.format(x="o_totalprice")),
+)
+def monthly_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing (date_trunc) — DuckDB months come back as DATE, so
+    both sides cast to date for the hash compare."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum(F.col("o_totalprice"), "total"))
+    )
+
+
+@register(
+    "similar_nation_names",
+    """
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS INTEGER) AS dist
+    FROM nation a JOIN nation b ON a.n_name < b.n_name
+    WHERE levenshtein(a.n_name, b.n_name) <= 4
+    """,
+)
+def similar_nation_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching (edit distance) over a dim-sized self-join —
+    the entity-resolution primitive; at fact scale, pre-block by a cheap key
+    (first letter / length band) before the distance."""
+    nation = _t(spark, sf_dir, "nation")
+    a = nation.select(F.col("n_name").alias("name_a"))
+    b = nation.select(F.col("n_name").alias("name_b"))
+    return (
+        a.join(b, F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("int"))
+        .filter(F.col("dist") <= 4)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------
 

@@ -47,10 +47,23 @@ def process_bags(spark: SparkSession, cfg: PipelineConfig, batch: DataFrame) -> 
     already-loaded blobs. Appends (not overwrites) so each incremental tick
     adds its bags to the landing tables.
     """
-    msgs = frames_source.decode_bag_blobs(batch, cfg.topics)
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    # A3: pipeline counters via observe() — collected from the write job
+    # itself, no extra pass over the data (the reference counts uploads in a
+    # Python loop, engine.py:282-300).
+    obs = Observation("decode_metrics")
+    msgs = frames_source.decode_bag_blobs(batch, cfg.topics).observe(
+        obs, F.count(F.lit(1)).alias("n_messages"),
+        # observe() forbids DISTINCT aggregates; HLL is exact at topic-count
+        # cardinalities
+        F.approx_count_distinct("topic").alias("n_topics"),
+    )
     msgs.write.partitionBy("topic").mode("append").option(
         "compression", "snappy"
     ).parquet(f"{cfg.output_dir}/topic_messages")
+    cfg.extra["last_metrics"] = obs.get
 
     frames = frames_source.decode_bag_frames(batch)
     labels = annotate.infer_labels(frames, model_fn=cfg.model_fn)

@@ -30,6 +30,10 @@ def test_end_to_end_pipeline(spark, tmp_path):
     processed = runner.run_once(spark, cfg)
     assert len(processed) == 2
 
+    # A3 observe() counters piggyback on the landing write
+    metrics = cfg.extra["last_metrics"]
+    assert metrics["n_topics"] == 8 and metrics["n_messages"] > 0
+
     # manifest: both bags complete (O2 success path)
     statuses = {r.key: r.status for r in sp.current_manifest(spark, manifest).collect()}
     assert sorted(statuses.values()) == ["complete", "complete"]
