@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis) for the flatten/n-gram/audit invariants
+promised in SURVEY §5. Each example batches many generated docs into ONE
+Spark job to keep runtime sane.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.functions import (
+    hashing as H,
+    text as T,
+)
+from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+    frames as fr,
+)
+
+WORD = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
+DOC = st.lists(WORD, min_size=0, max_size=12).map(" ".join)
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@SLOW
+@given(st.lists(DOC, min_size=1, max_size=30))
+def test_word_ngrams_invariants(spark, docs):
+    """|ngrams| == max(0, n_tokens - n + 1); every n-gram has n tokens and
+    appears verbatim in the source."""
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "i long, text string")
+    rows = df.select(
+        "i", T.word_ngrams(F.col("text"), 3).alias("g"), T.tokens(F.lower(F.col("text"))).alias("t")
+    ).collect()
+    for r in rows:
+        toks = docs[r.i].lower().split() if docs[r.i].strip() else [docs[r.i].lower()]
+        n_toks = len(r.t)
+        assert len(r.g) == max(0, n_toks - 2)
+        for g in r.g:
+            assert len(g.split(" ")) == 3
+            assert g in " ".join(r.t)
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    )
+)
+def test_gap_audit_reconstructs_missing_indices(spark, items):
+    """Sum of `missed` per camera == (max-min+1) - n_present."""
+    df = spark.createDataFrame(
+        [("bag", cam, idx) for cam, idx in items], "bag_id string, camera string, frame_index int"
+    )
+    audited = fr.gap_audit(df).groupBy("camera").agg(F.sum("missed").alias("m"))
+    got = {r.camera: r.m for r in audited.collect()}
+    per_cam: dict[str, list[int]] = {}
+    for cam, idx in items:
+        per_cam.setdefault(cam, []).append(idx)
+    for cam, idxs in per_cam.items():
+        want = (max(idxs) - min(idxs) + 1) - len(idxs)
+        assert got.get(cam, 0) == want
+
+
+@SLOW
+@given(st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=50))
+def test_quantize_half_up(spark, xs):
+    """quantize matches Python floor(x*10^4+0.5)/10^4 on identical doubles."""
+    import math
+
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "i long, x double")
+    got = {r.i: r.q for r in df.select("i", H.quantize(F.col("x"), 4).alias("q")).collect()}
+    for i, x in enumerate(xs):
+        assert got[i] == pytest.approx(math.floor(x * 10000 + 0.5) / 10000, abs=0, rel=None)
+
+
+@SLOW
+@given(st.lists(DOC, min_size=2, max_size=20))
+def test_fingerprint_iff_normalized_equal(spark, docs):
+    """Two docs share fp_exact iff their normalized forms are equal."""
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "i long, text string")
+    rows = df.select("i", T.fingerprint(F.col("text")).alias("fp")).collect()
+
+    def norm(s: str) -> str:
+        return " ".join(s.lower().split())
+
+    fps = {r.i: r.fp for r in rows}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            assert (fps[i] == fps[j]) == (norm(docs[i]) == norm(docs[j]))
