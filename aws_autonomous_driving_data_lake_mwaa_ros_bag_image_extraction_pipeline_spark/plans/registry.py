@@ -273,6 +273,7 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
            MAX(value) FILTER (event_type = 'view') AS view
     FROM events GROUP BY user_id
     """,
+    headline=True,
 )
 def pivot_max_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/K5: the DynamoDB conditional-max wide row as a pivot
@@ -613,6 +614,7 @@ _D_SHINGLES = (
     SELECT md5({_D_NORM}) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
     FROM documents GROUP BY 1
     """,
+    headline=True,
 )
 def q_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: one shuffle on a 32-byte fingerprint, map-side combine."""

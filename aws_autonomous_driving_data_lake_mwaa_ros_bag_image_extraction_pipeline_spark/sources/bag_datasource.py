@@ -1,0 +1,84 @@
+"""Bag files as a first-class Spark data source (Python Data Source API).
+
+The SURVEY §4 "optional custom piece": instead of the two-step
+``binaryFile`` + ``mapInPandas`` decode, bags read like any other format —
+
+    spark.dataSource.register(BagDataSource)
+    df = (spark.read.format("fixturebag")
+          .option("path", "/data/bags")
+          .option("topics", "/imu,/gps")      # pushed into the parse
+          .load())
+
+with real source semantics:
+
+- **one bag file = one input partition** → a 1000-bag backlog fans out to
+  1000 tasks with no repartition step;
+- **topic pushdown**: the ``topics`` option reaches the decoder, which
+  skips non-matching records while parsing (a real rosbag parser would skip
+  whole connection chunks);
+- **tar.gz unwrap** (S6) handled per partition.
+
+The record parser is the same pluggable fixture decoder contract as
+sources/frames_source.py — swapping in a real rosbag codec touches only
+``fixture_bag_decoder``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+TOPIC_MESSAGES_DDL = (
+    "bag_id string, topic string, rosbagTimestamp long, seq int, "
+    "payload map<string,string>"
+)
+
+
+class BagInputPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class BagDataSourceReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("fixturebag: option 'path' is required")
+        topics = options.get("topics")
+        self.topics = [t.strip() for t in topics.split(",")] if topics else None
+
+    def partitions(self) -> list[InputPartition]:
+        """One bag = one partition (the reference's unit of work)."""
+        import os
+
+        out = []
+        for dirpath, _dirs, files in os.walk(self.root):
+            for f in sorted(files):
+                if ".bag" in f:
+                    out.append(BagInputPartition(os.path.join(dirpath, f)))
+        if not out:
+            raise FileNotFoundError(f"no bag files under {self.root}")
+        return out
+
+    def read(self, partition: BagInputPartition) -> Iterator[tuple]:
+        # Executor-side: parse one bag, applying the topic pushdown.
+        from .frames_source import fixture_bag_decoder
+
+        with open(partition.path, "rb") as f:
+            content = f.read()
+        pdf = fixture_bag_decoder(partition.path, content, self.topics)
+        for row in pdf.itertuples(index=False):
+            yield tuple(row)
+
+
+class BagDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "fixturebag"
+
+    def schema(self) -> str:
+        return TOPIC_MESSAGES_DDL
+
+    def reader(self, schema) -> BagDataSourceReader:
+        return BagDataSourceReader(self.options)

@@ -80,6 +80,29 @@ def test_decode_flatten_write_prune(spark, bag_dir, tmp_path):
     assert wide.count() == msgs.filter(F.col("topic") == "/imu").count()
 
 
+def test_bag_datasource_matches_mapinpandas_path(spark, bag_dir):
+    """The Python Data Source reads the same rows as the mapInPandas decode,
+    fans out one partition per bag, and pushes the topic predicate."""
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.sources.bag_datasource import (
+        BagDataSource,
+    )
+
+    spark.dataSource.register(BagDataSource)
+    ds = spark.read.format("fixturebag").option("path", bag_dir).load()
+    via_map = frames_source.read_bag_messages(spark, bag_dir)
+    a = {(r.bag_id, r.topic, r.rosbagTimestamp, r.seq) for r in ds.collect()}
+    b = {(r.bag_id, r.topic, r.rosbagTimestamp, r.seq) for r in via_map.collect()}
+    assert a == b
+    assert ds.rdd.getNumPartitions() == 3  # one per bag file
+    gps = (
+        spark.read.format("fixturebag")
+        .option("path", bag_dir)
+        .option("topics", "/gps")
+        .load()
+    )
+    assert {r.topic for r in gps.select("topic").distinct().collect()} == {"/gps"}
+
+
 def test_csv_ingest_inferred_schema(spark, tmp_path):
     """S8: per-topic CSV with header+inferSchema — typed columns, counts."""
     root = str(tmp_path / "csvs")
