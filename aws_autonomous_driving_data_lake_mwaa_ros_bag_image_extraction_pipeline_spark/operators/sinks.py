@@ -50,12 +50,15 @@ def export_binary_files(
     allowed = tuple(suffixes)
 
     def _write(it) -> None:
-        os.makedirs(dest_dir, exist_ok=True)
         for row in it:
             name = row[0]
             if not name.endswith(allowed):
                 continue  # filtered sync (engine.py:282-300)
-            with open(os.path.join(dest_dir, name), "wb") as f:
+            # relative paths (e.g. "<bag_id>/left0193.png") mirror the
+            # reference's per-prefix layout and prevent cross-bag collisions
+            target = os.path.join(dest_dir, name)
+            os.makedirs(os.path.dirname(target), exist_ok=True)
+            with open(target, "wb") as f:
                 f.write(row[1] or b"")
 
     rows.foreachPartition(_write)
@@ -75,9 +78,16 @@ def write_frame_stats(stats: DataFrame, dest: str) -> None:
     stats.write.mode("overwrite").parquet(dest)
 
 
-def frame_filename(camera_col: str = "camera", idx_col: str = "frame_index") -> Column:
-    """``<camera><%04d idx>.png`` — the reference's frame naming
-    (export.launch:2-9), for the file-tree export path."""
-    return F.concat(
+def frame_filename(
+    camera_col: str = "camera",
+    idx_col: str = "frame_index",
+    bag_col: str | None = "bag_id",
+) -> Column:
+    """``[<bag_id>/]<camera><%04d idx>.png`` — the reference's frame naming
+    (export.launch:2-9) under the bag's prefix, for the file-tree export."""
+    name = F.concat(
         F.col(camera_col), F.lpad(F.col(idx_col).cast("string"), 4, "0"), F.lit(".png")
     )
+    if bag_col is None:
+        return name
+    return F.concat(F.col(bag_col), F.lit("/"), name)

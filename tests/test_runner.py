@@ -58,14 +58,14 @@ def test_end_to_end_pipeline(spark, tmp_path):
     row = ann.first()
     assert len(row.annotated) > 16
 
-    # K2 file-tree export: one .png per frame of the synced cameras
-    png_files = [f for f in os.listdir(sync) if f.endswith(".png")]
-    # filenames collide across bags (same camera/idx); export keeps last write
-    distinct_names = {
-        (r.camera, r.frame_index)
-        for r in ann.select("camera", "frame_index").collect()
-    }
-    assert len(png_files) == len(distinct_names)
+    # K2 file-tree export: one .png per frame, under the bag's prefix dir
+    png_files = [
+        os.path.join(d, f)
+        for d in os.listdir(sync)
+        for f in os.listdir(os.path.join(sync, d))
+        if f.endswith(".png")
+    ]
+    assert len(png_files) == frames_total  # no cross-bag collisions
 
     # idempotency (O1 no_work): second tick processes nothing, tables stable
     assert runner.run_once(spark, cfg) == []
