@@ -106,6 +106,38 @@ def infer_labels(frames: DataFrame, model_fn=None) -> DataFrame:
     )
 
 
+def infer_labels_by_camera(frames: DataFrame, model_fn=None) -> DataFrame:
+    """P13 variant: per-camera grouped inference (``applyInPandas``).
+
+    Use when the model is camera-specific (per-sensor calibration /
+    resolution) or when batches must be homogeneous: each group arrives as
+    ONE pandas frame per camera instead of arbitrary partition slices. Same
+    output contract as ``infer_labels`` (tested equivalent for a
+    camera-agnostic model). Grouping shuffles on camera — prefer
+    ``infer_labels`` when the model doesn't care."""
+    if model_fn is None:
+        model_fn = _fake_model
+
+    out_schema = (
+        "bag_id string, camera string, frame_index int, "
+        f"labels array<struct<Name:string,Confidence:double,"
+        f"Instances:array<struct<BoundingBox:struct<Width:double,Height:double,"
+        f"`Left`:double,Top:double>,Confidence:double>>,"
+        f"Parents:array<struct<Name:string>>>>"
+    )
+
+    def _infer_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[["bag_id", "camera", "frame_index"]].copy()
+        out["labels"] = model_fn(list(pdf["content"]))
+        return out
+
+    return (
+        frames.select("bag_id", "camera", "frame_index", "content")
+        .groupBy("camera")
+        .applyInPandas(_infer_group, schema=out_schema)
+    )
+
+
 _VOCAB = ["Car", "Person", "Bicycle", "Road", "Traffic Light"]
 
 

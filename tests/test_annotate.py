@@ -32,6 +32,21 @@ def test_infer_labels_schema_and_determinism(spark):
     assert {"Ped_Count", "Bike_Count", "Motorbike_Count"} <= set(stats.columns)
 
 
+def test_grouped_inference_matches_mapinpandas(spark):
+    """applyInPandas per-camera grouping == mapInPandas for a
+    camera-agnostic model (same deterministic fake)."""
+    frames_df = fixtures.frames(spark, n_bags=1, frames_per_camera=5)
+    a = {
+        (r.bag_id, r.camera, r.frame_index): r.labels
+        for r in annotate.infer_labels(frames_df).collect()
+    }
+    b = {
+        (r.bag_id, r.camera, r.frame_index): r.labels
+        for r in annotate.infer_labels_by_camera(frames_df).collect()
+    }
+    assert a == b
+
+
 def test_annotate_frames_digest_roundtrip(spark):
     frames_df = fixtures.frames(spark, n_bags=1, frames_per_camera=4)
     labels_df = fixtures.labels(spark, frames_df)

@@ -83,6 +83,47 @@ def test_quantize_half_up(spark, xs):
 
 
 @SLOW
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 1000)), min_size=1, max_size=25),
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 1000)), min_size=0, max_size=25),
+)
+def test_asof_join_matches_bisect(spark, lefts, rights):
+    """asof_join == python bisect of the latest right ts <= left ts per key."""
+    import bisect
+    import datetime as dt
+
+    t0 = dt.datetime(2021, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.asof import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [(k, ts(s), i) for i, (k, s) in enumerate(lefts)], "k long, lts timestamp, lid long"
+    )
+    right = spark.createDataFrame(
+        [(k, ts(s), f"v{k}:{s}") for k, s in set(rights)], "k long, rts timestamp, val string"
+    )
+    got = {
+        r.lid: r.val
+        for r in asof_join(left, right, "k", "lts", "rts", ["val"]).collect()
+    }
+    by_key: dict[int, list[tuple[int, str]]] = {}
+    for k, s in set(rights):
+        by_key.setdefault(k, []).append((s, f"v{k}:{s}"))
+    for v in by_key.values():
+        v.sort()
+    for i, (k, s) in enumerate(lefts):
+        cands = by_key.get(k, [])
+        pos = bisect.bisect_right([c[0] for c in cands], s)
+        want = cands[pos - 1][1] if pos else None
+        assert got[i] == want, (i, k, s)
+
+
+@SLOW
 @given(st.lists(DOC, min_size=2, max_size=20))
 def test_fingerprint_iff_normalized_equal(spark, docs):
     """Two docs share fp_exact iff their normalized forms are equal."""
