@@ -22,7 +22,6 @@ from pyspark.sql import functions as F
 from ..functions import hashing as H
 from ..functions import text as T
 from ..functions import vectors as V
-from ..functions.hashing import hex_digit_val
 
 
 def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -249,33 +248,51 @@ def minhash_dedup_pairs(
 
 # --- SimHash -----------------------------------------------------------------
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
-    """``bits``-bit SimHash: bit b = majority vote of bit b of md5(token)
-    over the document's distinct tokens. Bit source = low bit of each hex
-    digit — reproducible in the SQL oracle via strpos arithmetic.
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    repartition_to: int | None = None,
+) -> DataFrame:
+    """``bits``-bit SimHash as a BIGINT: bit b = majority vote of bit b of
+    md5(token) over the document's distinct tokens.
+
+    Relational shape (same reasons as the MinHash rewrite): explode distinct
+    tokens → ONE md5 → per-bit integer extraction ``(h >> b) & 1`` under a
+    groupBy with ``bits`` sums — all whole-stage codegen, map-side combined.
+    The integer signature makes downstream Hamming distance one
+    ``bit_count(xor)`` instead of per-character string compares, and both
+    expressions are bit-identical in the DuckDB oracle.
     """
-    def _bit_counter(b: int):
-        # Two-arg merge lambda via closure — a `b=b` default would raise the
-        # apparent arity to 3 and break F.aggregate (see minhash notes).
-        return lambda acc, h: acc + hex_digit_val(h, b + 1) % 2
+    if repartition_to:
+        docs = docs.repartition(repartition_to, F.col(id_col))
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.explode_outer(
+                F.array_distinct(T.tokens(F.lower(F.col(text_col))))
+            ).alias("t"),
+        )
+        .filter(F.col("t").isNotNull())
+    )
+    h = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("bigint")
+    hashed = toks.select(F.col(id_col), h.alias("h"))
+    aggs = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"s{b}")
+        for b in range(bits)
+    ] + [F.count(F.lit(1)).alias("n")]
+    bitsums = hashed.groupBy(id_col).agg(*aggs)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") * 2 >= F.col("n"), F.lit(1 << b)).otherwise(
+            F.lit(0)
+        )
+        sig = term if sig is None else sig + term
+    return bitsums.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
 
-    def _sig(hashes: Column) -> Column:
-        # `hashes` is let-bound: without T.bind the md5 transform would be
-        # inlined — and re-evaluated — once per output bit.
-        bit_cols = []
-        for b in range(bits):
-            ones = F.aggregate(hashes, F.lit(0), _bit_counter(b))
-            bit_cols.append(
-                F.when(ones * 2 >= F.size(hashes), F.lit("1")).otherwise(F.lit("0"))
-            )
-        return F.concat(*bit_cols)
 
-    toks = F.array_distinct(T.tokens(F.lower(F.col(text_col))))
-    hashes = F.transform(toks, lambda t: F.md5(t))
-    return docs.select(F.col(id_col), T.bind(hashes, _sig).alias("simhash"))
-
-
-def simhash_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
+def simhash_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
     """Documents sharing an identical simhash signature (near-dup buckets)."""
     return (
         simhash(docs, id_col, text_col, bits)
@@ -289,34 +306,38 @@ def simhash_near_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 16,
+    bits: int = 32,
     bands: int = 4,
     max_hamming: int | None = None,
+    repartition_to: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash **Hamming distance**, found at scale.
 
     Pigeonhole banding: the signature splits into ``bands`` equal slices; any
     pair within Hamming distance ``bands - 1`` (default: ≤3 for 4 bands)
     matches exactly on ≥1 slice, so candidates come from a band-bucket
-    self-join — O(collisions), never all-pairs. The exact distance is then
-    computed on candidates only, and pairs ≤ ``max_hamming`` survive.
+    self-join — O(collisions), never all-pairs. The exact distance
+    (``bit_count(xor)``) is then computed on candidates only. Band width =
+    bits/bands is the skew knob: 8-bit bands (256 values) keep buckets small
+    where 4-bit bands collapse a 5000-doc corpus into ~300-doc buckets.
     (The exact-signature grouping in ``simhash_dup_groups`` is the distance-0
     special case; this is the real near-dup pass.)
     """
     if max_hamming is None:
         max_hamming = bands - 1
     width = bits // bands
-    sig = simhash(docs, id_col, text_col, bits)
-    band_cols = [
-        F.concat(
-            F.lit(f"{b}:"), F.substring("simhash", b * width + 1, width)
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    long = sig.select(F.col(id_col), "simhash", *band_cols).select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket"),
+    mask = (1 << width) - 1
+    sig = simhash(docs, id_col, text_col, bits, repartition_to)
+    # bucket id = band_idx * 2^width + band_value — a single bigint join key
+    buckets = F.array(
+        *[
+            F.lit(b * (1 << width))
+            + F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    long = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(buckets).alias("bucket")
     )
     a = long.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "bucket")
     b = long.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "bucket")
@@ -326,11 +347,7 @@ def simhash_near_pairs(
         .select("id_a", "id_b", "sig_a", "sig_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # exact Hamming distance over the bit strings (codegen: per-position xor)
-    ham = sum(
-        (F.substring("sig_a", i + 1, 1) != F.substring("sig_b", i + 1, 1)).cast("int")
-        for i in range(bits)
-    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
     return cands.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )

@@ -708,22 +708,30 @@ def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _d_simhash_cte(bits: int = 16) -> str:
-    """Shared CTE text computing (doc_id, simhash) in DuckDB."""
-    bit_exprs = ", ".join(
-        "CASE WHEN 2 * list_sum(list_transform(d, t -> "
-        f"(strpos('0123456789abcdef', substr(md5(t), {b + 1}, 1)) - 1) % 2)) "
-        ">= len(d) THEN '1' ELSE '0' END"
-        for b in range(bits)
+def _d_simhash_cte(bits: int = 32) -> str:
+    """Shared CTE text computing (doc_id, simhash BIGINT) in DuckDB —
+    explode distinct tokens → one md5 → per-bit shift/mask sums, mirroring
+    the relational Spark plan bit-for-bit."""
+    sums = ", ".join(f"SUM((h >> {b}) & 1) AS s{b}" for b in range(bits))
+    sig = " + ".join(
+        f"CASE WHEN 2 * s{b} >= n THEN {1 << b} ELSE 0 END" for b in range(bits)
     )
     return f"""
-    WITH d AS (
-      SELECT doc_id, list_distinct({_D_TOKS}) AS d FROM documents
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({_D_TOKS})) AS t FROM documents
     ),
-    s AS (SELECT doc_id, concat({bit_exprs}) AS simhash FROM d)"""
+    h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+      FROM toks
+    ),
+    bitsums AS (
+      SELECT doc_id, COUNT(*) AS n, {sums} FROM h GROUP BY doc_id
+    ),
+    s AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bitsums)"""
 
 
-def _d_simhash_sql(bits: int = 16) -> str:
+def _d_simhash_sql(bits: int = 32) -> str:
     return f"""
     {_d_simhash_cte(bits)}
     SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
@@ -731,48 +739,51 @@ def _d_simhash_sql(bits: int = 16) -> str:
     """
 
 
-def _d_simhash_near_sql(bits: int = 16, bands: int = 4) -> str:
+def _d_simhash_near_sql(bits: int = 32, bands: int = 4) -> str:
     """Banded Hamming-neighbor search replica: same pigeonhole candidates,
-    same exact-distance verify as dedup.simhash_near_pairs."""
+    same bit_count(xor) verify as dedup.simhash_near_pairs."""
     width = bits // bands
-    band_sel = ", ".join(
-        f"concat('{b}:', substr(simhash, {b * width + 1}, {width})) AS band{b}"
+    mask = (1 << width) - 1
+    buckets = ", ".join(
+        f"{b * (1 << width)} + ((simhash >> {b * width}) & {mask})"
         for b in range(bands)
-    )
-    ham = " + ".join(
-        f"CASE WHEN substr(sig_a, {i + 1}, 1) <> substr(sig_b, {i + 1}, 1) THEN 1 ELSE 0 END"
-        for i in range(bits)
     )
     return f"""
     {_d_simhash_cte(bits)},
-    banded AS (SELECT doc_id, simhash, {band_sel} FROM s),
     long AS (
-      SELECT doc_id, simhash,
-             unnest([{', '.join(f'band{b}' for b in range(bands))}]) AS bucket
-      FROM banded
+      SELECT doc_id, simhash, unnest([{buckets}]) AS bucket FROM s
     ),
     cands AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
              a.simhash AS sig_a, b.simhash AS sig_b
       FROM long a JOIN long b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
     )
-    SELECT id_a, id_b, CAST({ham} AS INTEGER) AS hamming
+    SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
     FROM cands
-    WHERE {ham} <= {bands - 1}
+    WHERE bit_count(xor(sig_a, sig_b)) <= {bands - 1}
     """
 
 
 @register("simhash_groups", _d_simhash_sql())
 def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup buckets (16-bit majority-vote signature)."""
+    """SimHash near-dup buckets (32-bit majority-vote integer signature)."""
     return dedup.simhash_dup_groups(_t(spark, sf_dir, "documents"))
 
 
-@register("simhash_near_pairs", _d_simhash_near_sql())
+@register("simhash_near_pairs", _d_simhash_near_sql(bits=32))
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash pairs within Hamming distance 3: pigeonhole band buckets →
-    self-join on bucket (O(collisions)) → exact distance on candidates."""
-    return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"))
+    self-join on bucket (O(collisions)) → exact distance on candidates.
+
+    32-bit signatures (8-bit bands → 256 bucket values): 16-bit bands were
+    measured to collapse into ~300-doc buckets at sf0.1, exploding the
+    candidate set ~100×. Band width is the knob that keeps the self-join
+    O(collisions) as the corpus grows."""
+    return dedup.simhash_near_pairs(
+        _t(spark, sf_dir, "documents"),
+        bits=32,
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
 
 
 @register(
