@@ -120,3 +120,10 @@ def test_embedding_dup_pairs_exact_and_lsh_agree(spark):
         for r in dedup.embedding_dup_pairs(emb, dim=4, threshold=0.95).collect()
     }
     assert lsh <= set(exact)  # LSH candidates verified exactly → no false pairs
+    via_numpy = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.embedding_dup_pairs_numpy(emb, threshold=0.95).collect()
+    }
+    assert set(via_numpy) == set(exact)
+    for k, v in exact.items():
+        assert via_numpy[k] == pytest.approx(v, abs=1e-9)
