@@ -83,28 +83,49 @@ def lsh_buckets(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign each vector a bucket per hash table (sign pattern of ``n_bits``
-    hyperplane projections). Output long-format: (id, table, bucket)."""
-    rows = []
-    for t in range(n_tables):
-        bits = []
-        for b in range(n_bits):
-            plane = _hyperplane(dim, t, b)
-            proj = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(x) for x in plane]),
-                    lambda x, w: x.cast("double") * w,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+    hyperplane projections). Output long-format: (id, vec, table, bucket).
+
+    Vectorized: all ``n_tables × n_bits`` projections are ONE matmul per
+    Arrow batch against the (tiny, deterministic) plane matrix — the
+    equivalent column-expression form evaluates ~tables × bits × dim
+    interpreted ops per vector. No shuffle; the long format explodes
+    executor-side."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        [
+            [_hyperplane(dim, t, b) for b in range(n_bits)]
+            for t in range(n_tables)
+        ],
+        dtype="float64",
+    ).reshape(n_tables * n_bits, dim)
+    b_planes = emb.sparkSession.sparkContext.broadcast(planes)
+
+    vec_type = dict(emb.dtypes)[vec_col]
+    schema = f"{id_col} long, {vec_col} {vec_type}, table int, bucket string"
+
+    def _assign(batches):
+        P = b_planes.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            signs = (M @ P.T) >= 0  # (n, tables*bits)
+            out_id, out_vec, out_t, out_b = [], [], [], []
+            for i in range(len(pdf)):
+                row = signs[i]
+                for t in range(n_tables):
+                    bits = row[t * n_bits : (t + 1) * n_bits]
+                    out_id.append(pdf[id_col].iloc[i])
+                    out_vec.append(pdf[vec_col].iloc[i])
+                    out_t.append(t)
+                    out_b.append("".join("1" if x else "0" for x in bits))
+            yield pd.DataFrame(
+                {id_col: out_id, vec_col: out_vec, "table": out_t, "bucket": out_b}
             )
-            bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-        rows.append(
-            F.struct(F.lit(t).alias("table"), F.concat(*bits).alias("bucket"))
-        )
-    return emb.select(
-        F.col(id_col), F.col(vec_col), F.explode(F.array(*rows)).alias("tb")
-    ).select(id_col, vec_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+    return emb.select(id_col, vec_col).mapInPandas(_assign, schema=schema)
 
 
 def lsh_topk(
