@@ -1,0 +1,48 @@
+"""Mergeable sketches as relational operators.
+
+``approx_count_distinct`` (HLL) is built in; KMV (k-minimum-values) is the
+classic alternative that composes from plain relational ops — which makes
+it (a) transparent to Catalyst, (b) bit-for-bit reproducible in the DuckDB
+oracle, and (c) a template for custom sketches: any "keep the k extreme
+hashes per group" statistic gets the same shape.
+
+Estimator: hash values uniformly into [0,1); if a group keeps the k
+smallest distinct hashes and the k-th is ``m``, distinct ≈ (k-1)/m (exact
+count when fewer than k distinct values exist). The rank-filter window
+benefits from Spark's WindowGroupLimit pushdown — partial top-k happens
+map-side before the shuffle, so a skewed group never ships all its hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+
+TWO_POW_60 = float(1 << 60)
+
+
+def kmv_distinct(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate.
+
+    Output: (group, n_kept, est_distinct). ``est_distinct`` is exact when
+    the group has < k distinct values.
+    """
+    h = (H.md5_long(F.col(value_col)) / F.lit(TWO_POW_60)).alias("h")
+    hashes = df.select(F.col(group_col), h).distinct()
+    w = Window.partitionBy(group_col).orderBy("h")
+    kept = hashes.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    return kept.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        H.quantize(
+            F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")).otherwise(
+                (F.lit(float(k - 1))) / F.max("h")
+            ),
+            4,
+        ).alias("est_distinct"),
+    )

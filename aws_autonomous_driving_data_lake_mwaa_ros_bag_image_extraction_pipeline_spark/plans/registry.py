@@ -1116,6 +1116,73 @@ def similar_nation_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "range_join_events",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+           CAST(epoch_ms(p.pts) - epoch_ms(c.cts) AS BIGINT) AS delta_ms
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+          FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT event_id, user_id AS cu, CAST(ts AS TIMESTAMP) AS cts
+          FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.cu
+     AND abs(epoch_ms(p.pts) - epoch_ms(c.cts)) <= 120000
+    """,
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: every (purchase, click) pair per user within ±2 minutes.
+    Bucketed formulation (operators/range_join.py): equi-join on
+    (key, time-bucket) with a 3× candidate set, never a per-key nested loop.
+    """
+    from ..operators.range_join import range_join as _rj
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts").alias("cts")
+    )
+    joined = _rj(p, c, "user_id", "pts", "cts", tolerance_ms=120000)
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_id_r").alias("click_id"),
+        "user_id",
+        (F.unix_millis("pts") - F.unix_millis("cts")).alias("delta_ms"),
+    )
+
+
+@register(
+    "kmv_distinct_users",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) / {float(1 << 60)} AS h
+      FROM events
+    ),
+    kept AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h QUALIFY rn <= 64
+    )
+    SELECT event_type, COUNT(*) AS n_kept,
+           floor(CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                      ELSE 63.0 / MAX(h) END * 10000 + 0.5) / 10000.0
+             AS est_distinct
+    FROM kept GROUP BY event_type
+    """,
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per event type — a mergeable sketch built
+    from plain relational ops (distinct → windowed top-k → agg), bit-exact
+    in both engines; WindowGroupLimit pushes the top-k map-side."""
+    from ..operators.sketches import kmv_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_distinct(ev, "event_type", "user_id", k=64)
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

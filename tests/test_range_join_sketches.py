@@ -1,0 +1,68 @@
+"""Range join vs brute force; KMV sketch accuracy and exactness regimes."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.range_join import (
+    range_join,
+)
+from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.sketches import (
+    kmv_distinct,
+)
+
+T0 = dt.datetime(2021, 1, 1, 12, 0, 0)
+
+
+def _ts(s):
+    return T0 + dt.timedelta(seconds=s)
+
+
+def test_range_join_matches_bruteforce(spark):
+    import hashlib
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:6], 16)
+
+    lefts = [(i % 3, _ts(h(f"l{i}") % 600), i) for i in range(40)]
+    rights = [(i % 3, _ts(h(f"r{i}") % 600), 100 + i) for i in range(40)]
+    left = spark.createDataFrame(lefts, "k long, lts timestamp, lid long")
+    right = spark.createDataFrame(rights, "k long, rts timestamp, rid long")
+    tol = 30_000
+    got = {
+        (r.lid, r.rid)
+        for r in range_join(left, right, "k", "lts", "rts", tol).collect()
+    }
+    want = {
+        (lid, rid)
+        for lk, lt, lid in lefts
+        for rk, rt, rid in rights
+        if lk == rk and abs((lt - rt).total_seconds()) * 1000 <= tol
+    }
+    assert got == want and want
+
+
+def test_range_join_exactly_once_per_pair(spark):
+    """Bucket boundaries must not duplicate pairs."""
+    left = spark.createDataFrame([(1, _ts(60), 1)], "k long, lts timestamp, lid long")
+    right = spark.createDataFrame(
+        [(1, _ts(30), 2), (1, _ts(60), 3), (1, _ts(89), 4)],
+        "k long, rts timestamp, rid long",
+    )
+    rows = range_join(left, right, "k", "lts", "rts", 30_000).collect()
+    assert sorted(r.rid for r in rows) == [2, 3, 4]  # each pair once
+
+
+def test_kmv_exact_below_k_and_close_above(spark):
+    rows = [("small", f"u{i}") for i in range(20)] + [
+        ("big", f"v{i}") for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "g string, u string")
+    got = {r.g: (r.n_kept, r.est_distinct) for r in kmv_distinct(df, "g", "u", k=64).collect()}
+    assert got["small"] == (20, 20.0)  # exact below k
+    n_kept, est = got["big"]
+    assert n_kept == 64
+    assert est == pytest.approx(5000, rel=0.25)  # KMV σ ≈ 1/√(k-2) ≈ 12.6%
