@@ -59,6 +59,41 @@ def token_set_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: st
 
 # --- MinHash + LSH -----------------------------------------------------------
 
+def _shingle_long(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_len: int,
+    repartition_to: int | None,
+) -> DataFrame:
+    """(id, sh) long-format word-shingle table — fully relational.
+
+    posexplode tokens → window ``lead`` chain → concat: every step is
+    whole-stage codegen. The HOF formulation (``transform`` over an index
+    sequence with ``slice``+``array_join``) evaluates interpreted at
+    ~13 ms/doc — 100× this plan. The window's sort piggybacks on the id
+    hash-partitioning (from ``repartition_to`` or the upstream layout), so
+    no extra exchange. Output may contain duplicate shingles (min-hash
+    doesn't care; set consumers dedup with collect_set).
+    """
+    if repartition_to:
+        docs = docs.repartition(repartition_to, F.col(id_col))
+    tok = docs.select(
+        F.col(id_col),
+        F.posexplode(T.tokens(F.lower(F.col(text_col)))).alias("p", "t"),
+    )
+    if shingle_len == 1:
+        return tok.select(F.col(id_col), F.col("t").alias("sh"))
+    w = Window.partitionBy(id_col).orderBy("p")
+    leads = [F.lead("t", i).over(w) for i in range(1, shingle_len)]
+    gram = F.concat_ws(" ", F.col("t"), *leads)
+    return (
+        tok.select(F.col(id_col), gram.alias("sh"), leads[-1].alias("__last"))
+        .filter(F.col("__last").isNotNull())
+        .drop("__last")
+    )
+
+
 def _shingle_table(
     docs: DataFrame,
     id_col: str,
@@ -66,45 +101,28 @@ def _shingle_table(
     shingle_len: int,
     repartition_to: int | None,
 ) -> DataFrame:
-    """(id, sh: array<string>) distinct word-shingle table.
-
-    The repartition happens BEFORE the (CPU-bound, higher-order-function)
-    shingle projection, so the n-gram work runs wide even when the source is
-    a single file; every downstream consumer built from the returned frame
-    shares that one exchange (ReusedExchange) instead of re-running the scan.
-    """
-    if repartition_to:
-        docs = docs.repartition(repartition_to, F.col(id_col))
-    return docs.select(
-        F.col(id_col),
-        F.array_distinct(T.word_ngrams(F.col(text_col), shingle_len)).alias("sh"),
+    """(id, sh: array<string>) distinct word-shingle table (from the long
+    form — collect_set dedups)."""
+    return (
+        _shingle_long(docs, id_col, text_col, shingle_len, repartition_to)
+        .groupBy(id_col)
+        .agg(F.collect_set("sh").alias("sh"))
     )
 
 
-def _signatures_from(sh_tbl: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
-    """k min-hashes per doc from a shingle table, computed relationally:
+def _signatures_from(sh_long: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """k min-hashes per doc from the LONG shingle table:
 
-    explode → ONE md5 per shingle (31-bit ``h``) → k cheap integer mixes
+    ONE md5 per shingle (31-bit ``h``) → k cheap integer mixes
     ``(a_i·h + b_i) mod (2^31-1)`` → ``groupBy(id).agg(min…)``.
 
-    Everything is whole-stage codegen (Spark evaluates HOF lambdas
-    interpreted, ~10× slower — so no per-seed ``transform``), the md5 runs
-    once per shingle instead of once per seed, and the min-agg combines
-    map-side. Explode preserves the parent's hash-partitioning on ``id``, so
-    when sh_tbl was repartitioned by id the groupBy needs no extra shuffle.
+    Whole-stage codegen end to end; the md5 runs once per shingle instead of
+    once per seed, the min-agg combines map-side, and duplicate shingles in
+    the long form are harmless (min over a multiset == min over its set).
     The mix family is pairwise independent over Z_p → the min under each mix
     is a uniform permutation minimum (standard MinHash).
     """
-    # explode_outer, NOT explode: plain explode makes Catalyst infer a
-    # `size(sh) > 0 AND isnotnull(sh)` filter and push it below the
-    # repartition exchange — re-evaluating the whole n-gram expression
-    # (twice!) on the narrow pre-shuffle side. outer + an explicit
-    # post-generate null filter keeps the CPU-bound projection wide.
-    hashed = (
-        sh_tbl.select(F.col(id_col), F.explode_outer("sh").alias("s"))
-        .filter(F.col("s").isNotNull())
-        .select(F.col(id_col), H.md5_mod_p(F.col("s")).alias("h"))
-    )
+    hashed = sh_long.select(F.col(id_col), H.md5_mod_p(F.col("sh")).alias("h"))
     p = F.lit(H.MERSENNE_31)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % p).alias(f"mh{i}")
@@ -130,15 +148,15 @@ def minhash_signatures(
     shingle+hash stage — needed when the input is a handful of big files;
     omit when the source already has enough splits.
     """
-    sh_tbl = _shingle_table(docs, id_col, text_col, shingle_len, repartition_to)
-    return _signatures_from(sh_tbl, id_col, num_hashes)
+    sh_long = _shingle_long(docs, id_col, text_col, shingle_len, repartition_to)
+    return _signatures_from(sh_long, id_col, num_hashes)
 
 
 def _candidates_from(
-    sh_tbl: DataFrame, id_col: str, num_hashes: int, bands: int
+    sh_long: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
     rows_per_band = num_hashes // bands
-    sig = _signatures_from(sh_tbl, id_col, num_hashes)
+    sig = _signatures_from(sh_long, id_col, num_hashes)
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -175,8 +193,8 @@ def lsh_candidate_pairs(
     repartition_to: int | None = None,
 ) -> DataFrame:
     """Band-bucket candidates from raw documents (see ``_candidates_from``)."""
-    sh_tbl = _shingle_table(docs, id_col, text_col, shingle_len, repartition_to)
-    return _candidates_from(sh_tbl, id_col, num_hashes, bands)
+    sh_long = _shingle_long(docs, id_col, text_col, shingle_len, repartition_to)
+    return _candidates_from(sh_long, id_col, num_hashes, bands)
 
 
 def _jaccard_from(sh_tbl: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
@@ -229,11 +247,10 @@ def minhash_dedup_pairs(
 
     The Jaccard verify re-shingles ONLY the docs that appear in a candidate
     pair (semi-join first): at scale candidates are a vanishing fraction of
-    the corpus, so the expensive n-gram projection never runs corpus-wide a
-    second time.
+    the corpus, so the n-gram work never runs corpus-wide a second time.
     """
-    sh_tbl = _shingle_table(docs, id_col, text_col, shingle_len, repartition_to)
-    cands = _candidates_from(sh_tbl, id_col, num_hashes, bands)
+    sh_long = _shingle_long(docs, id_col, text_col, shingle_len, repartition_to)
+    cands = _candidates_from(sh_long, id_col, num_hashes, bands)
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .union(cands.select(F.col("id_b").alias(id_col)))
