@@ -44,13 +44,13 @@ def main() -> None:
     for fn in heads.values():
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # min of 2 timed runs per query: single measurements on a shared host
+    # min of 3 timed runs per query: single measurements on a shared host
     # showed 3x outliers from CPU contention; the min is the standard
     # noise-resistant estimator of the plan's actual cost.
     timings: dict[str, float] = {}
     for name, fn in heads.items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
