@@ -178,23 +178,69 @@ def _ivf_centroids(
     )
 
 
+def refine_centroids(
+    emb: DataFrame,
+    n_lists: int = 16,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd-iteration refinement of the sampled IVF centroids.
+
+    Each iteration: assign every vector to its nearest centroid (broadcast,
+    ``min_by``), then recompute each centroid as the mean of its list —
+    computed relationally by exploding (list, pos, val) and averaging per
+    (list, pos), so the shuffle carries ``n_lists × dim`` partial sums, not
+    vectors. Deterministic: seeds come from ``_ivf_centroids``, ties break
+    identically every run. Returns (cid, cv) like ``_ivf_centroids``.
+    """
+    cents = _ivf_centroids(emb, n_lists, id_col, vec_col)
+    for _ in range(iterations):
+        scored = emb.select(F.col(id_col), F.col(vec_col)).join(F.broadcast(cents))
+        assign = (
+            scored.select(
+                F.col(id_col),
+                F.col("cid"),
+                (-V.cosine(F.col(vec_col), F.col("cv"))).alias("d"),
+            )
+            .groupBy(id_col)
+            .agg(F.min_by("cid", "d").alias("cid"))
+        ).join(emb.select(F.col(id_col), F.col(vec_col)), id_col)
+        cents = (
+            assign.select("cid", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+        )
+    return cents
+
+
 def ivf_assign(
     emb: DataFrame,
     n_lists: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid.
 
-    Centroids are a deterministic pseudo-random corpus sample — the
+    Default centroids are a deterministic pseudo-random corpus sample — the
     ``n_lists`` vectors with the smallest ``md5(id)`` (reproducible without
-    an RNG or a kmeans fit; one kmeans sweep can refine them later without
-    changing any downstream contract). Assignment broadcasts the centroid
-    set (tiny by construction: n_lists ≈ √N rows) against the corpus and
-    takes ``min_by`` distance per vector — one narrow pass, no corpus
-    shuffle beyond the final groupBy(id).
+    an RNG); pass ``centroids=refine_centroids(...)`` for Lloyd-refined
+    lists. Assignment broadcasts the centroid set (tiny by construction:
+    n_lists ≈ √N rows) against the corpus and takes ``min_by`` distance per
+    vector — one narrow pass, no corpus shuffle beyond the final
+    groupBy(id).
     """
-    cents = _ivf_centroids(emb, n_lists, id_col, vec_col)
+    cents = centroids if centroids is not None else _ivf_centroids(
+        emb, n_lists, id_col, vec_col
+    )
     scored = emb.select(F.col(id_col), F.col(vec_col)).join(F.broadcast(cents))
     dist = -V.cosine(F.col(vec_col), F.col("cv"))  # max cosine = min distance
     assign = (
@@ -213,17 +259,22 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via inverted lists: each query probes only its
     ``n_probe`` nearest centroid lists — the classic IVF-flat trade: recall
     grows with n_probe, cost stays O(N · n_probe / n_lists) instead of
     O(N · Q). The alternative scale path to hyperplane LSH (lsh_topk):
-    IVF adapts to the data distribution, LSH needs no fit at all.
+    IVF adapts to the data distribution (sampled centroids by default,
+    Lloyd-refined via ``centroids=refine_centroids(...)``), LSH needs no
+    fit at all.
     """
-    corpus = ivf_assign(emb, n_lists, id_col, vec_col).select(
+    cents = centroids if centroids is not None else _ivf_centroids(
+        emb, n_lists, id_col, vec_col
+    )
+    corpus = ivf_assign(emb, n_lists, id_col, vec_col, centroids=cents).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "list_id"
     )
-    cents = _ivf_centroids(emb, n_lists, id_col, vec_col)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     probes = (
         q.join(F.broadcast(cents))

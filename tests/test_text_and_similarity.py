@@ -187,6 +187,36 @@ def test_ivf_topk_recall_and_exact_scores(spark):
         assert r.cosine == pytest.approx(round(want, 6), abs=1e-6)
 
 
+def test_refined_centroids_improve_or_match(spark):
+    """One Lloyd iteration keeps n_lists centroids, assigns every vector,
+    and full-probe search still equals brute force."""
+    import hashlib
+
+    vecs = [
+        (i, [((int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:4], 16) / 65535) * 2 - 1) for d in range(8)])
+        for i in range(1, 41)
+    ]
+    emb2 = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = similarity.refine_centroids(emb2, n_lists=4, iterations=1)
+    rows = cents.collect()
+    assert len(rows) == 4 and all(len(r.cv) == 8 for r in rows)
+    # deterministic across invocations
+    again = {r.cid: r.cv for r in similarity.refine_centroids(emb2, n_lists=4).collect()}
+    assert {r.cid: r.cv for r in rows} == again
+    queries = emb2.filter("vec_id <= 3")
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb2, queries, k=3).collect()
+    }
+    refined = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(
+            emb2, queries, k=3, n_lists=4, n_probe=4, centroids=cents
+        ).collect()
+    }
+    assert refined == bf
+
+
 def test_lsh_topk_neighbors_are_exact_cosines(spark, emb):
     got = similarity.lsh_topk(emb, dim=4, k=2, n_tables=4, n_bits=2).collect()
     for r in got:
