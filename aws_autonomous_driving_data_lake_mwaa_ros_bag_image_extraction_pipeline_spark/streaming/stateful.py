@@ -62,6 +62,61 @@ def streaming_dedup(
     )
 
 
+def streaming_dedup_bloom(
+    events: DataFrame,
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    m_bytes: int = 1024,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """``streaming_dedup`` with BOUNDED state: a per-key Bloom filter.
+
+    The exact variant's state grows with distinct ids; here state is a fixed
+    ``m_bytes`` bit array + k md5-derived probe positions per id — the
+    standard trade: zero false negatives (a seen id is always dropped), a
+    tunable false-positive rate ≈ (1 - e^(-k·n/m))^k of fresh ids wrongly
+    dropped. Size for the expected per-key cardinality; 1 KiB / 4 hashes
+    holds ~1400 ids at <1% FP.
+    """
+    import hashlib
+
+    out_schema = f"{key_col} long, {id_col} long"
+    state_schema = "bits binary"
+    m_bits = m_bytes * 8
+
+    def _probes(i: int) -> list[int]:
+        h = hashlib.md5(str(i).encode()).digest()
+        return [
+            int.from_bytes(h[j * 4 : (j + 1) * 4], "big") % m_bits
+            for j in range(k_hashes)
+        ]
+
+    def _dedup(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        bits = bytearray(state.get[0]) if state.exists else bytearray(m_bytes)
+        fresh: list[int] = []
+        for pdf in pdfs:
+            for i in pdf[id_col]:
+                pos = _probes(int(i))
+                if all(bits[p >> 3] & (1 << (p & 7)) for p in pos):
+                    continue  # (probably) seen
+                for p in pos:
+                    bits[p >> 3] |= 1 << (p & 7)
+                fresh.append(int(i))
+        state.update((bytes(bits),))
+        if fresh:
+            yield pd.DataFrame({key_col: [key[0]] * len(fresh), id_col: fresh})
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        _dedup,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_counters(
     events: DataFrame,
     key_col: str = "user_id",

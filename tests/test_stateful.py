@@ -53,6 +53,23 @@ def test_streaming_dedup_across_triggers(spark, tmp_path):
     assert got2 == {(1, 12), (3, 1)}
 
 
+def test_bloom_dedup_bounded_state(spark, tmp_path):
+    src = str(tmp_path / "ev")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+
+    _write(src, "b1.json", [(1, 10), (1, 11), (1, 10), (2, 10)])
+    s1: list = []
+    _tick(spark, src, ck, stateful.streaming_dedup_bloom, s1, "append")
+    assert {(r.user_id, r.event_id) for r in s1} == {(1, 10), (1, 11), (2, 10)}
+
+    # state restored from checkpoint; fixed-size filter still dedupes
+    _write(src, "b2.json", [(1, 10), (1, 12)])
+    s2: list = []
+    _tick(spark, src, ck, stateful.streaming_dedup_bloom, s2, "append")
+    assert {(r.user_id, r.event_id) for r in s2} == {(1, 12)}
+
+
 def test_running_counters_accumulate(spark, tmp_path):
     src = str(tmp_path / "ev")
     ck = str(tmp_path / "ck")
