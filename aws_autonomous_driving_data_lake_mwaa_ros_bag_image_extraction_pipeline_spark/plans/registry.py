@@ -1183,6 +1183,66 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(ev, "event_type", "user_id", k=64)
 
 
+@register(
+    "running_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total
+    FROM orders WHERE o_custkey < 100
+    """,
+)
+def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window sum per customer (decimal-accumulated so the
+    running prefix sums are order-exact in both engines). The customer
+    filter is pushed to the scan; the window sorts only within each
+    customer's partition."""
+    orders = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        orders.filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .over(w)
+            .cast("double")
+            .alias("running_total"),
+        )
+    )
+
+
+@register(
+    "price_quartiles",
+    """
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER)
+             AS quartile
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing (deterministic tie-break on the key). A global-order
+    window — fine for a filtered slice; for full-table quantiles at scale
+    use percentile_prices' approx_percentile form instead."""
+    orders = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", F.ntile(4).over(w).cast("int").alias("quartile"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------
