@@ -44,17 +44,18 @@ def main() -> None:
     for fn in heads.values():
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # min of 3 timed runs per query: single measurements on a shared host
-    # showed 3x outliers from CPU contention; the min is the standard
-    # noise-resistant estimator of the plan's actual cost.
-    timings: dict[str, float] = {}
-    for name, fn in heads.items():
-        best = float("inf")
-        for _ in range(3):
+    # min of 3 timed runs per query, rounds INTERLEAVED across queries:
+    # single measurements on a shared host showed 3x outliers from CPU
+    # contention, and back-to-back repeats share the same burst — spreading
+    # a query's samples across the whole bench decorrelates them. The min is
+    # the standard noise-resistant estimator of the plan's actual cost.
+    timings: dict[str, float] = {n: float("inf") for n in heads}
+    for _round in range(3):
+        for name, fn in heads.items():
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            timings[name] = min(timings[name], time.time() - t0)
+    timings = {n: round(v, 3) for n, v in timings.items()}
 
     print(
         json.dumps(
