@@ -961,11 +961,11 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding near-dup pairs (oracle-checkable baseline) via the
-    numpy matmul path — same result as the column-expression exact join
-    with a ~50× smaller constant (measured 72s → ~2s at sf0.1). The
-    default/scale API is the LSH-bucketed ``dedup.embedding_dup_pairs``
-    (registered rows-only below)."""
-    pairs = dedup.embedding_dup_pairs_numpy(
+    column-expression self-join — fully distributed, no driver collect.
+    ``dedup.embedding_dup_pairs_numpy`` remains as a single-box speed
+    helper; the default/scale API is the LSH-bucketed
+    ``dedup.embedding_dup_pairs`` (registered rows-only below)."""
+    pairs = dedup.embedding_dup_pairs_exact(
         _t(spark, sf_dir, "embeddings"), threshold=0.4
     )
     return pairs.withColumn("cosine", F.round("cosine", 6))
@@ -1223,23 +1223,47 @@ def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "price_quartiles",
     """
+    WITH b AS (
+      SELECT floor(quantile_cont(o_totalprice, 0.25) * 1000000 + 0.5) / 1000000.0 AS q1,
+             floor(quantile_cont(o_totalprice, 0.50) * 1000000 + 0.5) / 1000000.0 AS q2,
+             floor(quantile_cont(o_totalprice, 0.75) * 1000000 + 0.5) / 1000000.0 AS q3
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
     SELECT o_orderkey,
-           CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER)
-             AS quartile
-    FROM orders WHERE o_orderpriority = '1-URGENT'
+           CAST(CASE WHEN o_totalprice <= q1 THEN 1
+                     WHEN o_totalprice <= q2 THEN 2
+                     WHEN o_totalprice <= q3 THEN 3
+                     ELSE 4 END AS INTEGER) AS quartile
+    FROM orders, b WHERE o_orderpriority = '1-URGENT'
     """,
 )
 def price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile bucketing (deterministic tie-break on the key). A global-order
-    window — fine for a filtered slice; for full-table quantiles at scale
-    use percentile_prices' approx_percentile form instead."""
+    """Value quartiles without a global-order window: a 1-row percentile
+    aggregate supplies the three boundaries (quantized so Spark
+    ``percentile`` == DuckDB ``quantile_cont`` bit-for-bit), broadcast
+    back over the slice, and a narrow CASE assigns buckets. Replaces the
+    former single-partition ``ntile(4)`` sort — this shape is a scan +
+    tiny agg + broadcast join, so it survives 100× (to go sketch-based
+    at 100 TB, swap ``percentile`` for ``approx_percentile``)."""
     orders = _t(spark, sf_dir, "orders")
-    from pyspark.sql import Window as W
-
-    w = W.orderBy("o_totalprice", "o_orderkey")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    bounds = urgent.agg(
+        *[
+            H.quantize(F.percentile("o_totalprice", F.lit(q)), 6).alias(n)
+            for q, n in [(0.25, "q1"), (0.50, "q2"), (0.75, "q3")]
+        ]
+    )
     return (
-        orders.filter(F.col("o_orderpriority") == "1-URGENT")
-        .select("o_orderkey", F.ntile(4).over(w).cast("int").alias("quartile"))
+        urgent.join(F.broadcast(bounds))
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_totalprice") <= F.col("q1"), 1)
+            .when(F.col("o_totalprice") <= F.col("q2"), 2)
+            .when(F.col("o_totalprice") <= F.col("q3"), 3)
+            .otherwise(4)
+            .cast("int")
+            .alias("quartile"),
+        )
     )
 
 
