@@ -9,9 +9,12 @@ time (processing.py:366-384); annotation draws green boxes per instance
 Spark-first: images ride as opaque ``binary`` columns; the transforms are
 Arrow-batched pandas UDFs over ``mapInPandas`` so a 1000-executor cluster
 processes frames in vectorized batches instead of one network call per frame.
-Image codecs (PIL et al.) are not in this container, so the pixel-level steps
-are deterministic fakes behind the same signatures — the Spark-side plumbing
-(schema, batching, partitioning) is real and tested.
+The annotate kernel is real — functions/png decodes, rasterizes the green
+outlines pixel-identically to the reference's PIL draw (verified against
+``outputs/left0193_labeled.png``), and re-encodes, all numpy+zlib. Only the
+detection *model* remains pluggable (``infer_labels(model_fn=...)``; the
+default is a deterministic fake keyed on the image digest — no vision model
+ships in this container).
 """
 
 from __future__ import annotations
@@ -23,6 +26,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import png
 from ..schemas import LABELS_ARRAY_SCHEMA
 
 ANNOTATED_SCHEMA = (
@@ -41,35 +45,39 @@ def scale_box(box: Column, width: Column, height: Column) -> Column:
     )
 
 
-def _fake_draw(content: bytes, n_boxes: int) -> bytes:
-    # Deterministic stand-in for ImageDraw (no PIL in container): appends a
-    # digest of (image bytes, box count). Replace with a real PIL draw by
-    # swapping this function only.
-    tag = hashlib.md5(bytes([n_boxes % 256]) + (content or b"")).digest()
-    return (content or b"") + tag
-
-
 def annotate_frames(frames_with_labels: DataFrame) -> DataFrame:
     """P12/K7: frames + labels → annotated image column.
 
-    Input needs (bag_id, camera, frame_index, content, labels).
-    ``mapInPandas`` = one Arrow batch per partition slice; no per-row Python.
+    Input needs (bag_id, camera, frame_index, content, labels). The per-box
+    extraction (flatten all Instances' BoundingBoxes) is a narrow JVM
+    expression; only the pixel work crosses into Python, Arrow-batched via
+    ``mapInPandas``. The draw is the real kernel: PNG decode → green
+    2-px outlines at relative-coords × image-dims (pixel-identical to
+    processing.py:366-384's PIL draw) → PNG encode.
     """
-    n_boxes = F.aggregate(
-        F.coalesce(F.col("labels"), F.array()),
-        F.lit(0),
-        lambda acc, l: acc + F.size(F.coalesce(l["Instances"], F.array())),
+    boxes = F.flatten(
+        F.transform(
+            F.coalesce(F.col("labels"), F.array()),
+            lambda l: F.transform(
+                F.coalesce(l["Instances"], F.array()), lambda i: i["BoundingBox"]
+            ),
+        )
     )
     slim = frames_with_labels.select(
-        "bag_id", "camera", "frame_index", "content", n_boxes.alias("n_boxes")
+        "bag_id", "camera", "frame_index", "content", boxes.alias("boxes")
     )
 
     def _annotate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf[["bag_id", "camera", "frame_index"]].copy()
-            out["annotated"] = [
-                _fake_draw(c, int(n)) for c, n in zip(pdf["content"], pdf["n_boxes"])
-            ]
+            annotated = []
+            for content, bxs in zip(pdf["content"], pdf["boxes"]):
+                arr = png.decode(bytes(content))
+                rel = [
+                    (b["Left"], b["Top"], b["Width"], b["Height"]) for b in bxs
+                ]
+                annotated.append(png.encode(png.draw_boxes(arr, rel)))
+            out["annotated"] = annotated
             yield out
 
     return slim.mapInPandas(_annotate, schema=ANNOTATED_SCHEMA)

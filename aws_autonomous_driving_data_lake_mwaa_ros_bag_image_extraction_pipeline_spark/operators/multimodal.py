@@ -11,10 +11,10 @@ are the training-data-pipeline staples over such columns:
   md5-seeded pseudo-embedding (no vision model in this container) — swap in
   an ONNX/torch model function without touching the plumbing; one Arrow
   batch = one model invocation.
-- ``decode_image`` / ``resize_frames``: pixel codecs. PIL/cv2 are NOT in
-  this environment, so decode raises unless a codec function is supplied;
-  resize defaults to a clearly-marked metadata-only fake (content passes
-  through, width/height updated) so the batch plumbing stays testable.
+- ``decode_image`` / ``resize_frames``: pixel codecs, real by default via
+  the pure-numpy PNG codec in functions/png (decode → pixel array →
+  nearest-neighbor resample → re-encode); pass ``codec``/``resizer`` to
+  substitute another format's kernel.
 
 The extracted embeddings feed straight into operators/similarity.py and
 operators/dedup.py (embedding near-dup) — together these close the loop
@@ -104,14 +104,18 @@ def decode_image(
     codec: Callable[[bytes], tuple[int, int, bytes]] | None = None,
     content_col: str = "content",
 ) -> DataFrame:
-    """Decode image bytes → (width, height, raw RGB). No codec library ships
-    in this container: supply ``codec(png_bytes) -> (w, h, rgb)`` (e.g. a
-    PIL-backed function) — the batching contract is identical to
+    """Decode image bytes → (width, height, raw RGB). Defaults to the
+    pure-numpy PNG codec (functions/png); supply ``codec(bytes) ->
+    (w, h, rgb)`` for other formats — the batching contract is identical to
     ``extract_features``."""
     if codec is None:
-        raise NotImplementedError(
-            "no image codec in this environment; pass codec=(bytes)->(w,h,rgb)"
-        )
+
+        def codec(content: bytes) -> tuple[int, int, bytes]:
+            from ..functions import png
+
+            arr = png.decode(bytes(content))
+            h, w = arr.shape[:2]
+            return w, h, arr.tobytes()
     out_schema = (
         "bag_id string, camera string, frame_index int, "
         "width int, height int, rgb binary"
@@ -139,13 +143,21 @@ def resize_frames(
 ) -> DataFrame:
     """Resize the image column to (width, height).
 
-    Without a codec the default is a METADATA-ONLY FAKE (clearly marked:
-    bytes pass through, width/height columns update) so pipelines and tests
-    exercise the real batching; pass ``resizer`` for actual pixels."""
+    Default kernel: PNG decode → nearest-neighbor resample (pure numpy
+    index gather) → PNG encode. Pass ``resizer(bytes, w, h) -> bytes`` for
+    other formats or interpolation schemes."""
     if resizer is None:
 
-        def resizer(content: bytes, w: int, h: int) -> bytes:  # noqa: ARG001
-            return content  # fake: metadata-only resize
+        def resizer(content: bytes, w: int, h: int) -> bytes:
+            import numpy as np
+
+            from ..functions import png
+
+            arr = png.decode(bytes(content))
+            src_h, src_w = arr.shape[:2]
+            ys = (np.arange(h) * src_h // h).clip(0, src_h - 1)
+            xs = (np.arange(w) * src_w // w).clip(0, src_w - 1)
+            return png.encode(arr[np.ix_(ys, xs)])
 
     out_schema = (
         "bag_id string, camera string, frame_index int, filename string, "

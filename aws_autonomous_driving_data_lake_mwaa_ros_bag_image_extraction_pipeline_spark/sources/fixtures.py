@@ -213,26 +213,24 @@ def write_topic_csvs(spark: SparkSession, dest_dir: str, n_bags: int = 2) -> lis
     return dirs
 
 
-def _tiny_png(key: str) -> bytes:
-    """Valid 1×1 PNG with a color keyed by hash — real bytes, no PIL."""
+FRAME_W, FRAME_H = 32, 24
+
+
+def _frame_png(key: str, w: int = FRAME_W, h: int = FRAME_H) -> bytes:
+    """Deterministic w×h RGB PNG keyed by hash — a gradient over a base
+    color, real pixels via the pure-numpy codec (functions/png)."""
+    import numpy as np
+
+    from ..functions import png
+
     c = hashlib.md5(key.encode()).digest()[:3]
-    raw = b"\x00" + bytes(c)  # filter byte + RGB
-    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
-
-    def chunk(tag: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + tag
-            + data
-            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
-        )
-
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw))
-        + chunk(b"IEND", b"")
-    )
+    yy, xx = np.mgrid[0:h, 0:w]
+    arr = np.stack(
+        [((yy * 7 + xx * 3 + band) % 64 + ch) % 256
+         for band, ch in zip((0, 85, 170), c)],
+        axis=2,
+    ).astype(np.uint8)
+    return png.encode(arr)
 
 
 def _frame_rows(
@@ -255,9 +253,9 @@ def _frame_rows(
                     i,
                     f"{camera}{i:04d}.png",
                     bag_time + dt.timedelta(milliseconds=67 * i),
-                    1280,
-                    720,
-                    _tiny_png(f"{bag_id}:{camera}:{i}") if with_content else None,
+                    FRAME_W,
+                    FRAME_H,
+                    _frame_png(f"{bag_id}:{camera}:{i}") if with_content else None,
                 )
             )
     return rows

@@ -1,14 +1,19 @@
-"""P12/P13 mapInPandas plumbing: batch inference + annotate round-trip.
+"""P12/P13: batch inference + the real annotate kernel.
 
-Pixel-level decode is a documented deterministic fake (no image libs in the
-container); these tests pin the Spark-side contract — schemas, batching,
-binary-column round-trip — which is the part that must survive at scale.
+The annotate path is pixel-real (pure-numpy PNG codec + PIL-parity box
+rasterizer); only the detection model is a documented deterministic fake.
+Includes a golden test: drawing the reference's own label JSON onto its
+original PNG reproduces its labeled PNG byte-for-byte.
 """
 
 from __future__ import annotations
 
-import hashlib
+import json
+import os
 
+from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.functions import (
+    png,
+)
 from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
     annotate,
     frame_stats,
@@ -47,7 +52,7 @@ def test_grouped_inference_matches_mapinpandas(spark):
     assert a == b
 
 
-def test_annotate_frames_digest_roundtrip(spark):
+def test_annotate_frames_draws_real_boxes(spark):
     frames_df = fixtures.frames(spark, n_bags=1, frames_per_camera=4)
     labels_df = fixtures.labels(spark, frames_df)
     joined = frames_df.join(labels_df, ["bag_id", "camera", "frame_index"])
@@ -60,7 +65,40 @@ def test_annotate_frames_digest_roundtrip(spark):
         for r in joined.collect()
     }
     assert set(out) == set(src)
+    checked_with_boxes = 0
     for key, (content, labels) in src.items():
-        n_boxes = sum(len(lab.Instances or []) for lab in labels)
-        want = content + hashlib.md5(bytes([n_boxes % 256]) + content).digest()
-        assert out[key] == want, key
+        boxes = [
+            (i.BoundingBox.Left, i.BoundingBox.Top, i.BoundingBox.Width,
+             i.BoundingBox.Height)
+            for lab in labels
+            for i in (lab.Instances or [])
+        ]
+        want = png.draw_boxes(png.decode(bytes(content)), boxes)
+        got = png.decode(bytes(out[key]))
+        assert (got == want).all(), key
+        if boxes:
+            checked_with_boxes += 1
+            assert (
+                (got[:, :, 0] == 0) & (got[:, :, 1] == 212) & (got[:, :, 2] == 0)
+            ).any(), key
+    assert checked_with_boxes > 0  # fixture must exercise the draw path
+
+
+def test_annotate_golden_parity_with_reference_output(spark):
+    """Reference golden: its label JSON drawn on its original PNG must equal
+    its labeled PNG pixel-for-pixel (processing.py:352-390 semantics)."""
+    ref = "/root/reference/outputs"
+    if not os.path.exists(f"{ref}/left0193_original.png"):
+        import pytest
+
+        pytest.skip("reference outputs not present")
+    labels = json.load(open(f"{ref}/left0193_labels.json"))
+    boxes = [
+        (b["Left"], b["Top"], b["Width"], b["Height"])
+        for item in labels
+        for inst in item.get("Instances", [])
+        for b in [inst["BoundingBox"]]
+    ]
+    orig = png.decode(open(f"{ref}/left0193_original.png", "rb").read())
+    gold = png.decode(open(f"{ref}/left0193_labeled.png", "rb").read())
+    assert (png.draw_boxes(orig, boxes) == gold).all()

@@ -65,25 +65,34 @@ def test_features_feed_similarity_and_dedup(spark, frames_df):
     assert topk.count() > 0
 
 
-def test_decode_requires_codec(spark, frames_df):
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(frames_df)
+def test_decode_default_png_codec(spark, frames_df):
+    got = multimodal.decode_image(frames_df)
+    row = got.first()
+    assert (row.width, row.height) == (fixtures.FRAME_W, fixtures.FRAME_H)
+    assert len(row.rgb) == fixtures.FRAME_W * fixtures.FRAME_H * 3
 
 
 def test_decode_with_plugged_codec(spark, frames_df):
-    def codec(png: bytes):
-        return 1, 1, png[-8:]  # stand-in "decode": fixed dims + tail bytes
+    def codec(png_bytes: bytes):
+        return 1, 1, png_bytes[-8:]  # stand-in "decode": fixed dims + tail
 
     got = multimodal.decode_image(frames_df, codec=codec)
     row = got.first()
     assert (row.width, row.height) == (1, 1) and len(row.rgb) == 8
 
 
-def test_resize_metadata_fake(spark, frames_df):
-    got = multimodal.resize_frames(frames_df, 640, 360)
+def test_resize_real_pixels(spark, frames_df):
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.functions import (
+        png,
+    )
+
+    got = multimodal.resize_frames(frames_df, 16, 12)
     rows = got.collect()
-    assert all((r.width, r.height) == (640, 360) for r in rows)
-    # fake resizer passes bytes through — content digest unchanged
+    assert all((r.width, r.height) == (16, 12) for r in rows)
     src = {(r.camera, r.frame_index): r.content for r in frames_df.collect()}
     for r in rows[:5]:
-        assert r.content == src[(r.camera, r.frame_index)]
+        arr = png.decode(bytes(r.content))
+        assert arr.shape == (12, 16, 3)
+        # nearest-neighbor: every resized pixel exists in the source image
+        src_arr = png.decode(bytes(src[(r.camera, r.frame_index)]))
+        assert (arr == src_arr[::2, ::2]).all()  # 32x24 → 16x12 is stride-2

@@ -52,11 +52,19 @@ def test_end_to_end_pipeline(spark, tmp_path):
     assert stats.count() == labeled > 0
     assert {"Ped_Count", "Bike_Count", "Motorbike_Count"} <= set(stats.columns)
 
-    # annotated binary sink: digest column is content + 16-byte tag
+    # annotated binary sink: real PNGs at the source frame dimensions
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.functions import (
+        png,
+    )
+
     ann = spark.read.parquet(f"{out}/annotated")
     assert ann.count() == frames_total
     row = ann.first()
-    assert len(row.annotated) > 16
+    assert png.decode(bytes(row.annotated)).shape == (
+        fixtures.FRAME_H,
+        fixtures.FRAME_W,
+        3,
+    )
 
     # K2 file-tree export: one .png per frame, under the bag's prefix dir
     png_files = [
