@@ -23,6 +23,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import annotate, frame_stats, sinks
+from .schemas import TOPIC_WHITELIST
 from .sources import frames_source
 from .streaming import pipeline as sp
 
@@ -32,7 +33,12 @@ class PipelineConfig:
     bags_dir: str
     output_dir: str
     manifest_dir: str
-    topics: list[str] | None = None
+    # the reference's acceptable_topics whitelist (engine.py:200-209);
+    # keeps sensor_msgs/Image blobs out of the message landing table
+    # (frames take the decode_bag_frames path). None = decode everything.
+    topics: list[str] | None = field(
+        default_factory=lambda: list(TOPIC_WHITELIST)
+    )
     model_fn: object = None  # P13 plug; None = deterministic fake
     sync_dir: str | None = None  # optional K2 file-tree export
     extra: dict = field(default_factory=dict)

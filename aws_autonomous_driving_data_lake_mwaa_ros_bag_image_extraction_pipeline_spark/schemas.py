@@ -63,16 +63,16 @@ TOPIC_FIELDS: dict[str, dict[str, str]] = {
     },
     "/gps_time": {"time_ref.secs": "bigint", "time_ref.nsecs": "bigint"},
     "/pose_ground_truth": {
-        **{f"position.{a}": "double" for a in "xyz"},
-        **{f"orientation.{a}": "double" for a in "xyzw"},
+        **{f"pose.position.{a}": "double" for a in "xyz"},
+        **{f"pose.orientation.{a}": "double" for a in "xyzw"},
     },
     "/pose_localized": {
-        **{f"position.{a}": "double" for a in "xyz"},
-        **{f"orientation.{a}": "double" for a in "xyzw"},
+        **{f"pose.position.{a}": "double" for a in "xyz"},
+        **{f"pose.orientation.{a}": "double" for a in "xyzw"},
     },
     "/pose_raw": {
-        **{f"position.{a}": "double" for a in "xyz"},
-        **{f"orientation.{a}": "double" for a in "xyzw"},
+        **{f"pose.position.{a}": "double" for a in "xyz"},
+        **{f"pose.orientation.{a}": "double" for a in "xyzw"},
     },
     "/velocity_raw": {
         **{f"twist.linear.{a}": "double" for a in "xyz"},
@@ -80,8 +80,8 @@ TOPIC_FIELDS: dict[str, dict[str, str]] = {
     },
     "/tf": {
         "child_frame_id": "string",
-        **{f"translation.{a}": "double" for a in "xyz"},
-        **{f"rotation.{a}": "double" for a in "xyzw"},
+        **{f"transform.translation.{a}": "double" for a in "xyz"},
+        **{f"transform.rotation.{a}": "double" for a in "xyzw"},
     },
 }
 

@@ -4,7 +4,7 @@ The SURVEY §4 "optional custom piece": instead of the two-step
 ``binaryFile`` + ``mapInPandas`` decode, bags read like any other format —
 
     spark.dataSource.register(BagDataSource)
-    df = (spark.read.format("fixturebag")
+    df = (spark.read.format("rosbag")
           .option("path", "/data/bags")
           .option("topics", "/imu,/gps")      # pushed into the parse
           .load())
@@ -13,14 +13,13 @@ with real source semantics:
 
 - **one bag file = one input partition** → a 1000-bag backlog fans out to
   1000 tasks with no repartition step;
-- **topic pushdown**: the ``topics`` option reaches the decoder, which
-  skips non-matching records while parsing (a real rosbag parser would skip
-  whole connection chunks);
+- **topic pushdown**: the ``topics`` option reaches the parser, which skips
+  message records on unrequested connections before deserialization;
 - **tar.gz unwrap** (S6) handled per partition.
 
-The record parser is the same pluggable fixture decoder contract as
-sources/frames_source.py — swapping in a real rosbag codec touches only
-``fixture_bag_decoder``.
+The record parser is the real ROS bag 2.0 codec
+(sources/rosbag_format.rosbag_decoder) — the same pluggable contract as
+sources/frames_source.py.
 """
 
 from __future__ import annotations
@@ -63,11 +62,11 @@ class BagDataSourceReader(DataSourceReader):
 
     def read(self, partition: BagInputPartition) -> Iterator[tuple]:
         # Executor-side: parse one bag, applying the topic pushdown.
-        from .frames_source import fixture_bag_decoder
+        from .rosbag_format import rosbag_decoder
 
         with open(partition.path, "rb") as f:
             content = f.read()
-        pdf = fixture_bag_decoder(partition.path, content, self.topics)
+        pdf = rosbag_decoder(partition.path, content, self.topics)
         for row in pdf.itertuples(index=False):
             yield tuple(row)
 
@@ -75,7 +74,7 @@ class BagDataSourceReader(DataSourceReader):
 class BagDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
-        return "fixturebag"
+        return "rosbag"
 
     def schema(self) -> str:
         return TOPIC_MESSAGES_DDL

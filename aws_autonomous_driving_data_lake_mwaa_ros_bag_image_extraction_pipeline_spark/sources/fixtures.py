@@ -63,14 +63,17 @@ def _payload(topic: str, bag_id: str, i: int) -> dict[str, str]:
     elif topic == "/gps_time":
         return {"time_ref.secs": str(1601892000 + i), "time_ref.nsecs": str(i * 1000)}
     elif topic.startswith("/pose"):
-        keys = [f"position.{a}" for a in "xyz"] + [f"orientation.{a}" for a in "xyzw"]
+        # geometry_msgs/PoseStamped flattening (real ROS field paths)
+        keys = [f"pose.position.{a}" for a in "xyz"] + [
+            f"pose.orientation.{a}" for a in "xyzw"
+        ]
     elif topic == "/velocity_raw":
         keys = [f"twist.linear.{a}" for a in "xyz"] + [f"twist.angular.{a}" for a in "xyz"]
-    else:  # /tf
+    else:  # /tf — geometry_msgs/TransformStamped flattening
         return {
             "child_frame_id": "base_link",
-            **{f"translation.{a}": v(f"translation.{a}") for a in "xyz"},
-            **{f"rotation.{a}": v(f"rotation.{a}") for a in "xyzw"},
+            **{f"transform.translation.{a}": v(f"translation.{a}") for a in "xyz"},
+            **{f"transform.rotation.{a}": v(f"rotation.{a}") for a in "xyzw"},
         }
     return {k: v(k) for k in keys}
 
@@ -119,14 +122,12 @@ def bag_bytes(
     gap_pct: float = 0.005,
     frames_per_camera: int = 12,
 ) -> bytes:
-    """Serialize one fixture bag: magic + json-lines messages + frame records.
+    """Serialize one bag in the LEGACY json-lines fixture format.
 
-    A deterministic stand-in for the ROS bag container (the real rosbag codec
-    is not in this environment); the decoder contract in
-    sources/frames_source.py is format-agnostic — swap in a real bag parser
-    without touching the Spark plumbing. Camera frames ride as base64 records
-    (the real format stores sensor_msgs/Image messages) so one bag yields
-    both outputs of the reference container: topic tables AND frames.
+    Retained as a *test helper* proving the decoder contract in
+    sources/frames_source.py is format-agnostic (``fixture_bag_decoder``
+    below plugs in where the real ROS bag codec is the default). Production
+    bags use ``rosbag_bytes`` — the genuine record format.
     """
     import base64
 
@@ -159,14 +160,102 @@ def bag_bytes(
     return ("\n".join(lines) + "\n").encode()
 
 
+def fixture_bag_decoder(path: str, content: bytes, topics: list[str] | None):
+    """Json-fixture-format decoder (test helper): proves any parser matching
+    ``(path, bytes, topics) -> DataFrame[bag_id, topic, rosbagTimestamp,
+    seq, payload]`` plugs into ``decode_bag_blobs`` unchanged."""
+    import pandas as pd
+
+    from .frames_source import GZIP_MAGIC, untar_bag
+
+    if content[:2] == GZIP_MAGIC:
+        content = untar_bag(content)
+    if not content.startswith(BAG_MAGIC):
+        raise ValueError(f"not a fixture bag (bad magic) at {path}")
+    want = set(topics) if topics else None
+    rows = []
+    for line in content.decode().splitlines()[1:]:
+        if not line:
+            continue
+        m = json.loads(line)
+        if "topic" not in m:  # frame record
+            continue
+        if want is not None and m["topic"] not in want:
+            continue
+        rows.append((m["bag_id"], m["topic"], m["t"], m["seq"], m["payload"]))
+    return pd.DataFrame(
+        rows, columns=["bag_id", "topic", "rosbagTimestamp", "seq", "payload"]
+    )
+
+
+def rosbag_bytes(
+    b: int,
+    duration_s: int = 4,
+    gap_pct: float = 0.005,
+    frames_per_camera: int = 12,
+    compression: str = "none",
+) -> bytes:
+    """Serialize one fixture bag in the REAL ROS bag 2.0 record format
+    (sources/rosbag_format.py): topic messages as their genuine ROS types
+    (sensor_msgs/Imu, NavSatFix, TimeReference; geometry_msgs/PoseStamped,
+    TwistStamped, TransformStamped) and camera frames as raw-pixel
+    sensor_msgs/Image messages. Decoding through ``rosbag_decoder`` /
+    ``rosbag_frame_decoder`` reproduces the DataFrame fixtures exactly.
+    """
+    from . import rosbag_format as rb
+
+    messages = []
+    for bag_id, topic, ts, seq, payload in _bag_rows(b, duration_s, gap_pct):
+        msg_type, definition = rb.TOPIC_TYPES[topic]
+        secs, nsecs = divmod(ts, 1_000_000_000)
+        flat = {
+            "header.seq": seq,
+            "header.stamp.secs": secs,
+            "header.stamp.nsecs": nsecs,
+            "header.frame_id": bag_id,
+            **payload,
+        }
+        messages.append((topic, msg_type, definition, ts, flat))
+    for bag_id, camera, idx, _fname, ftime, w, h, _png in _frame_rows(
+        b, frames_per_camera, with_content=False
+    ):
+        t_us = int(ftime.timestamp() * 1_000_000)
+        arr = _frame_array(f"{bag_id}:{camera}:{idx}", w, h)
+        flat = {
+            "header.seq": idx,
+            "header.stamp.secs": t_us // 1_000_000,
+            "header.stamp.nsecs": (t_us % 1_000_000) * 1000,
+            "header.frame_id": camera,
+            "height": h,
+            "width": w,
+            "encoding": "rgb8",
+            "is_bigendian": 0,
+            "step": w * 3,
+            "data": arr.tobytes(),
+        }
+        messages.append(
+            (
+                rb.IMAGE_TOPIC_FMT.format(camera=camera),
+                "sensor_msgs/Image",
+                rb.IMAGE_DEF,
+                t_us * 1000,
+                flat,
+            )
+        )
+    messages.sort(key=lambda m: m[3])  # chronological, like rosbag record
+    return rb.write_bag(messages, compression=compression)
+
+
 def write_bag_dir(
     dest_dir: str,
     n_bags: int = 3,
     tar_gz: tuple[int, ...] = (1,),
     duration_s: int = 4,
+    compression: str = "none",
 ) -> list[str]:
-    """Write fixture ``.bag`` files (some ``.tar.gz``-wrapped, engine.py:35-51
-    semantics: exactly one bag per tarball). Returns the written paths."""
+    """Write real-format ``.bag`` files (some ``.tar.gz``-wrapped,
+    engine.py:35-51 semantics: exactly one bag per tarball). Returns the
+    written paths."""
     import io
     import os
     import tarfile
@@ -175,15 +264,15 @@ def write_bag_dir(
     paths = []
     for b in range(n_bags):
         bag_id = f"bag{b:04d}"
-        data = bag_bytes(b, duration_s)
+        data = rosbag_bytes(b, duration_s, compression=compression)
         if b in tar_gz:
-            p = os.path.join(dest_dir, f"2020-10-05-10-{b:02d}-00_{bag_id}.bag.tar.gz")
+            p = os.path.join(dest_dir, f"{bag_id}.bag.tar.gz")
             with tarfile.open(p, "w:gz") as tf:
                 info = tarfile.TarInfo(name=f"{bag_id}.bag")
                 info.size = len(data)
                 tf.addfile(info, io.BytesIO(data))
         else:
-            p = os.path.join(dest_dir, f"2020-10-05-10-{b:02d}-00_{bag_id}.bag")
+            p = os.path.join(dest_dir, f"{bag_id}.bag")
             with open(p, "wb") as f:
                 f.write(data)
         paths.append(p)
@@ -216,21 +305,25 @@ def write_topic_csvs(spark: SparkSession, dest_dir: str, n_bags: int = 2) -> lis
 FRAME_W, FRAME_H = 32, 24
 
 
-def _frame_png(key: str, w: int = FRAME_W, h: int = FRAME_H) -> bytes:
-    """Deterministic w×h RGB PNG keyed by hash — a gradient over a base
-    color, real pixels via the pure-numpy codec (functions/png)."""
+def _frame_array(key: str, w: int = FRAME_W, h: int = FRAME_H):
+    """Deterministic w×h RGB pixel array keyed by hash — a gradient over a
+    base color (the raw form rides in sensor_msgs/Image fixture bags)."""
     import numpy as np
-
-    from ..functions import png
 
     c = hashlib.md5(key.encode()).digest()[:3]
     yy, xx = np.mgrid[0:h, 0:w]
-    arr = np.stack(
+    return np.stack(
         [((yy * 7 + xx * 3 + band) % 64 + ch) % 256
          for band, ch in zip((0, 85, 170), c)],
         axis=2,
     ).astype(np.uint8)
-    return png.encode(arr)
+
+
+def _frame_png(key: str, w: int = FRAME_W, h: int = FRAME_H) -> bytes:
+    """PNG-encoded form of ``_frame_array`` via the pure-numpy codec."""
+    from ..functions import png
+
+    return png.encode(_frame_array(key, w, h))
 
 
 def _frame_rows(

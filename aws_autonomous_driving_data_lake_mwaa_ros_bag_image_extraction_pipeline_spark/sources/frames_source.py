@@ -6,10 +6,10 @@ reference's "replay bag through ROS at 0.5× and save PNGs" (engine.py:96-99)
 with a deterministic one-pass scan.
 
 ``read_bag_messages`` is the bag-decode contract (S4): binary bag blobs →
-long ``topic_messages``. Real rosbag codec libraries aren't in this
-container; the decoder is pluggable and the default raises — the Spark-side
-plumbing (mapInPandas batching, topic/time pushdown options, output schema)
-is real and tested via the fixture decoder.
+long ``topic_messages``. The default decoder is the real pure-Python ROS
+bag 2.0 codec (sources/rosbag_format.py — record parser + definition-driven
+message deserializer, the format the reference reads via ``rosbag.Bag`` /
+``importRosbag``); the decoder stays pluggable for other container formats.
 """
 
 from __future__ import annotations
@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..operators.frames import with_frame_identity
 from ..schemas import TOPIC_MESSAGES_SCHEMA
+from .rosbag_format import rosbag_decoder, rosbag_frame_decoder
 
 TOPIC_MESSAGES_DDL = (
     "bag_id string, topic string, rosbagTimestamp long, seq int, "
@@ -60,102 +61,19 @@ def untar_bag(content: bytes) -> bytes:
         return f.read()
 
 
-def fixture_bag_decoder(
-    path: str, content: bytes, topics: list[str] | None
-) -> pd.DataFrame:
-    """Default S4/S5 decoder: parses the deterministic fixture bag format
-    (sources/fixtures.bag_bytes — magic + json-lines) with S6 tar.gz unwrap.
-
-    The contract — ``(path, bytes, topics) -> DataFrame[bag_id, topic,
-    rosbagTimestamp, seq, payload]`` with the topic predicate applied during
-    the parse, not after — is exactly what a real rosbag 2.0 parser
-    (importRosbag-style, cf. reference test.py:22-25) plugs into; only this
-    function changes, never the Spark plumbing.
-    """
-    import json
-
-    from .fixtures import BAG_MAGIC
-
-    if content[:2] == GZIP_MAGIC:
-        content = untar_bag(content)
-    if not content.startswith(BAG_MAGIC):
-        raise ValueError(f"not a fixture bag (bad magic) at {path}")
-    want = set(topics) if topics else None
-    rows = []
-    for line in content.decode().splitlines()[1:]:
-        if not line:
-            continue
-        m = json.loads(line)
-        if "topic" not in m:  # frame record — decode_bag_frames' concern
-            continue
-        if want is not None and m["topic"] not in want:
-            continue
-        rows.append(
-            (m["bag_id"], m["topic"], m["t"], m["seq"], m["payload"])
-        )
-    return pd.DataFrame(
-        rows, columns=["bag_id", "topic", "rosbagTimestamp", "seq", "payload"]
-    )
-
-
 FRAMES_DDL = (
     "bag_id string, camera string, frame_index int, filename string, "
     "frame_time timestamp, width int, height int, content binary"
 )
 
 
-def fixture_frame_decoder(path: str, content: bytes) -> pd.DataFrame:
-    """Frame records from a fixture bag (the E2 ``image_saver`` replacement:
-    deterministic scan instead of a lossy realtime replay, engine.py:96-99)."""
-    import base64
-    import json
-
-    from .fixtures import BAG_MAGIC
-
-    if content[:2] == GZIP_MAGIC:
-        content = untar_bag(content)
-    if not content.startswith(BAG_MAGIC):
-        raise ValueError(f"not a fixture bag (bad magic) at {path}")
-    rows = []
-    for line in content.decode().splitlines()[1:]:
-        if not line:
-            continue
-        m = json.loads(line)
-        if "camera" not in m:
-            continue
-        rows.append(
-            (
-                m["bag_id"],
-                m["camera"],
-                m["idx"],
-                m["filename"],
-                pd.Timestamp(m["t_us"], unit="us"),
-                m["w"],
-                m["h"],
-                base64.b64decode(m["png"]),
-            )
-        )
-    return pd.DataFrame(
-        rows,
-        columns=[
-            "bag_id",
-            "camera",
-            "frame_index",
-            "filename",
-            "frame_time",
-            "width",
-            "height",
-            "content",
-        ],
-    )
-
-
 def decode_bag_frames(
     blobs: DataFrame,
-    decoder: Callable[[str, bytes], pd.DataFrame] = fixture_frame_decoder,
+    decoder: Callable[[str, bytes], pd.DataFrame] = rosbag_frame_decoder,
 ) -> DataFrame:
     """Binary bag rows → frames table (S10 via bag decode; multimodal
-    column). Same batching contract as ``decode_bag_blobs``."""
+    column). Default: sensor_msgs/Image messages from real .bag bytes,
+    PNG-encoded. Same batching contract as ``decode_bag_blobs``."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -168,14 +86,15 @@ def decode_bag_frames(
 def decode_bag_blobs(
     blobs: DataFrame,
     topics: list[str] | None = None,
-    decoder: Callable[[str, bytes, list[str] | None], pd.DataFrame] = fixture_bag_decoder,
+    decoder: Callable[[str, bytes, list[str] | None], pd.DataFrame] = rosbag_decoder,
 ) -> DataFrame:
     """Binary bag rows (path, content) → long topic_messages (S4/S6).
 
     One bag = one input split = one Arrow batch through the decoder; the
-    topic predicate is pushed into the decoder (reads only requested
-    connections) rather than filtered after. Accepts any DataFrame with
-    (path, content) — a batch scan, a streaming micro-batch, or a test frame.
+    topic predicate is pushed into the decoder (messages on unrequested
+    connections are skipped before deserialization) rather than filtered
+    after. Accepts any DataFrame with (path, content) — a batch scan, a
+    streaming micro-batch, or a test frame.
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -192,7 +111,7 @@ def read_bag_messages(
     spark: SparkSession,
     path: str,
     topics: list[str] | None = None,
-    decoder: Callable[[str, bytes, list[str] | None], pd.DataFrame] = fixture_bag_decoder,
+    decoder: Callable[[str, bytes, list[str] | None], pd.DataFrame] = rosbag_decoder,
 ) -> DataFrame:
     """Bag files under ``path`` → long topic_messages (S4/S6).
 

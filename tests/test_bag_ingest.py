@@ -1,8 +1,8 @@
 """S4-S6, S8, S11, K1 end-to-end: bag decode → flatten → partitioned write.
 
-The bag files use the deterministic fixture format (a documented stand-in
-for the rosbag container); the decode plumbing — binaryFile scan,
-mapInPandas batching, tar.gz unwrap, topic pushdown — is the real path.
+The bag files are genuine ROS bag 2.0 bytes (sources/rosbag_format.py
+writer) decoded by the real record parser; binaryFile scan, mapInPandas
+batching, tar.gz unwrap, and topic pushdown are the same production path.
 """
 
 from __future__ import annotations
@@ -28,16 +28,23 @@ def bag_dir(tmp_path_factory):
 
 
 def test_decode_matches_fixture_table(spark, bag_dir):
-    """Decoded messages (incl. the tar.gz bag) == the fixture DataFrame."""
-    got = frames_source.read_bag_messages(spark, bag_dir)
+    """Real-format decode (incl. the tar.gz bag) == the fixture DataFrame."""
+    got = frames_source.read_bag_messages(
+        spark, bag_dir, topics=list(fixtures._TOPIC_RATES)
+    )
     want = fixtures.topic_messages(spark, n_bags=3)
     g = {(r.bag_id, r.topic, r.rosbagTimestamp, r.seq) for r in got.collect()}
     w = {(r.bag_id, r.topic, r.rosbagTimestamp, r.seq) for r in want.collect()}
     assert g == w
-    # payload survives the Arrow map round-trip
+    # payload values survive serialization + the Arrow map round-trip
+    # exactly (float64 round-trips; string forms differ: %.6f vs repr)
     sample_g = got.filter((F.col("topic") == "/imu") & (F.col("seq") == 0)).first()
     sample_w = want.filter((F.col("topic") == "/imu") & (F.col("seq") == 0)).first()
-    assert dict(sample_g.payload) == dict(sample_w.payload)
+    for key, val in dict(sample_w.payload).items():
+        assert float(sample_g.payload[key]) == float(val), key
+    # the real decode also carries the std_msgs/Header fields (str(msg)
+    # parity with bag_to_csv.py:116)
+    assert sample_g.payload["header.seq"] == "0"
 
 
 def test_topic_pushdown(spark, bag_dir):
@@ -88,14 +95,14 @@ def test_bag_datasource_matches_mapinpandas_path(spark, bag_dir):
     )
 
     spark.dataSource.register(BagDataSource)
-    ds = spark.read.format("fixturebag").option("path", bag_dir).load()
+    ds = spark.read.format("rosbag").option("path", bag_dir).load()
     via_map = frames_source.read_bag_messages(spark, bag_dir)
     a = {(r.bag_id, r.topic, r.rosbagTimestamp, r.seq) for r in ds.collect()}
     b = {(r.bag_id, r.topic, r.rosbagTimestamp, r.seq) for r in via_map.collect()}
     assert a == b
     assert ds.rdd.getNumPartitions() == 3  # one per bag file
     gps = (
-        spark.read.format("fixturebag")
+        spark.read.format("rosbag")
         .option("path", bag_dir)
         .option("topics", "/gps")
         .load()

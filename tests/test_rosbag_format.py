@@ -1,0 +1,180 @@
+"""The real ROS bag 2.0 codec: record layer, definition-driven messages,
+chunk compression, topic pushdown, frames, and the K1 DuckDB hash gate.
+
+Reference parity targets: ``rosbag.Bag``-style iteration (bag_to_csv.py:
+74-136), importRosbag-style typed import (test.py:22-25), image_saver PNG
+extraction (export.launch + engine.py:96-99).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+    flatten,
+)
+from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.sources import (
+    fixtures,
+    frames_source,
+    rosbag_format as rb,
+)
+
+
+def test_record_layer_roundtrip():
+    """Header fields and record framing survive write → parse."""
+    rec = rb._record({"op": b"\x02", "conn": rb._U32.pack(7)}, b"payload")
+    [(hdr, data)] = list(rb.iter_records(rec))
+    assert hdr["op"] == b"\x02" and rb._U32.unpack(hdr["conn"])[0] == 7
+    assert data == b"payload"
+
+
+def test_definition_parser_handles_constants_comments_and_sections():
+    types = rb.parse_definition(rb.NAVSATFIX_DEF)
+    root = types[""]
+    names = [f.name for f in root]
+    assert names == [
+        "header", "status", "latitude", "longitude", "altitude",
+        "position_covariance", "position_covariance_type",
+    ]
+    # constants (STATUS_FIX=0 etc.) are skipped, not fields
+    status_fields = [f.name for f in types["sensor_msgs/NavSatStatus"]]
+    assert status_fields == ["status", "service"]
+    # short-name aliasing
+    assert types["NavSatStatus"] is types["sensor_msgs/NavSatStatus"]
+
+
+def test_message_serializer_roundtrip_all_field_kinds():
+    defs = rb.parse_definition(rb.IMU_DEF)
+    write = rb.make_writer(defs)
+    read = rb.make_reader(defs)
+    flat = {
+        "header.seq": 42,
+        "header.stamp.secs": 1601892000,
+        "header.stamp.nsecs": 123456789,
+        "header.frame_id": "base_link",
+        "orientation.x": -0.25,
+        "orientation.w": 1.0,
+        **{f"orientation_covariance.{i}": float(i) / 7 for i in range(9)},
+        "angular_velocity.z": 3.5,
+    }
+    out: dict = {}
+    read(write(flat), 0, "", out)
+    for k, v in flat.items():
+        assert out[k] == v, k
+    # unset fields zero-fill
+    assert out["linear_acceleration.x"] == 0.0
+
+
+def test_bag_rejects_bad_magic():
+    with pytest.raises(ValueError, match="bad version magic"):
+        list(rb.read_messages(b"#NOTABAG\n" + b"\x00" * 32))
+
+
+def test_write_read_bag_with_bz2_chunks():
+    data_none = fixtures.rosbag_bytes(0, duration_s=1, frames_per_camera=2)
+    data_bz2 = fixtures.rosbag_bytes(
+        0, duration_s=1, frames_per_camera=2, compression="bz2"
+    )
+    assert len(data_bz2) < len(data_none)  # actually compressed
+    a = rb.rosbag_decoder("x/bag0000.bag", data_none, None)
+    b = rb.rosbag_decoder("x/bag0000.bag", data_bz2, None)
+    assert a.equals(b)
+
+
+def test_topic_pushdown_skips_image_bytes():
+    """The /imu pushdown never deserializes image messages — decode with a
+    truncated Image definition would fail if it tried."""
+    data = fixtures.rosbag_bytes(0, duration_s=1, frames_per_camera=2)
+    got = rb.rosbag_decoder("x/bag0000.bag", data, ["/imu"])
+    assert set(got.topic) == {"/imu"}
+    # connection pushdown marks unrequested conns as filtered (None)
+    assert len(got) == len([r for r in fixtures._bag_rows(0, 1) if r[1] == "/imu"])
+
+
+def test_frame_decoder_matches_frames_fixture(spark):
+    """sensor_msgs/Image → frames table == the DataFrame fixture,
+    including the PNG bytes (image_saver parity: left%04i.png naming)."""
+    data = fixtures.rosbag_bytes(0, duration_s=1, frames_per_camera=4)
+    got = rb.rosbag_frame_decoder("x/bag0000.bag", data)
+    want = {
+        (r[0], r[1], r[2]): r for r in fixtures._frame_rows(0, 4)
+    }
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        w = want[(r.bag_id, r.camera, r.frame_index)]
+        assert r.filename == w[3]
+        assert r.frame_time.to_pydatetime() == w[4]
+        assert (r.width, r.height) == (w[5], w[6])
+        assert bytes(r.content) == w[7]  # identical PNG bytes
+
+
+def test_fixture_json_decoder_still_plugs_in(spark, tmp_path):
+    """The decoder contract is format-agnostic: the legacy json fixture
+    decoder slots into decode_bag_blobs unchanged."""
+    d = tmp_path / "legacy"
+    d.mkdir()
+    (d / "bag0000.bag").write_bytes(fixtures.bag_bytes(0, duration_s=1))
+    blobs = spark.read.format("binaryFile").load(str(d))
+    got = frames_source.decode_bag_blobs(
+        blobs, decoder=fixtures.fixture_bag_decoder
+    )
+    assert got.count() == len(fixtures._bag_rows(0, 1))
+
+
+def test_decode_widen_write_duckdb_hash_gate(spark, tmp_path):
+    """The VERDICT gate: real-format bags → decode_bag_blobs → widen_topic
+    → K1 partitioned write, then Spark and DuckDB read the same parquet and
+    the /imu wide table hash-matches."""
+    duckdb = pytest.importorskip("duckdb")
+    bags = str(tmp_path / "bags")
+    fixtures.write_bag_dir(bags, n_bags=2, tar_gz=(1,))
+    msgs = frames_source.read_bag_messages(
+        spark, bags, topics=list(fixtures._TOPIC_RATES)
+    )
+    dest = str(tmp_path / "landing")
+    flatten.write_partitioned(msgs, dest)
+
+    wide = flatten.widen_topic(spark.read.parquet(dest), "/imu")
+    cols = sorted(wide.columns)
+    spark_rows = sorted(
+        tuple(f"{r[c]:.9f}" if isinstance(r[c], float) else str(r[c]) for c in cols)
+        for r in wide.collect()
+    )
+
+    # DuckDB map extraction returns a single-element LIST → [1] unwraps
+    sql_cols = ", ".join(
+        f'payload[\'{k}\'][1]::DOUBLE AS "{k.replace(".", "_")}"'
+        for k in fixtures._payload("/imu", "bag0000", 0)
+    )
+    duck = duckdb.sql(
+        f"SELECT bag_id, rosbagTimestamp, seq, {sql_cols} "
+        f"FROM read_parquet('{dest}/topic=*/*.parquet', hive_partitioning=1) "
+        # Spark URL-encodes '/' in partition dir names; DuckDB reads the
+        # raw value
+        f"WHERE replace(topic, '%2F', '/') = '/imu'"
+    ).df()
+    duck_rows = sorted(
+        tuple(
+            f"{row[c]:.9f}" if isinstance(row[c], float) else str(row[c])
+            for c in cols
+        )
+        for _, row in duck.iterrows()
+    )
+    h = lambda rows: hashlib.md5(repr(rows).encode()).hexdigest()  # noqa: E731
+    assert len(spark_rows) == len(duck_rows) > 0
+    assert h(spark_rows) == h(duck_rows)
+
+
+def test_read_bag_messages_seq_gaps_surface(spark, tmp_path):
+    """Injected seq gaps survive the real container round-trip (A4 target)."""
+    bags = str(tmp_path / "bags")
+    fixtures.write_bag_dir(bags, n_bags=1, tar_gz=(), duration_s=4)
+    msgs = frames_source.read_bag_messages(spark, bags, topics=["/imu"])
+    seqs = sorted(r.seq for r in msgs.select("seq").collect())
+    assert len(seqs) < 400  # fixture drops ~0.5% of 400
+    assert seqs == sorted(
+        r[3] for r in fixtures._bag_rows(0, 4) if r[1] == "/imu"
+    )

@@ -49,8 +49,15 @@ def test_streaming_exactly_once_and_failure_marking(spark, tmp_path):
         pdf = msgs.toPandas()
         import pandas as pd
 
+        from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.sources import (
+            fixtures as fx,
+            rosbag_format,
+        )
+
         frames = [
-            frames_source.fixture_bag_decoder(r["path"], r["content"], None)
+            rosbag_format.rosbag_decoder(
+                r["path"], r["content"], list(fx._TOPIC_RATES)
+            )
             for _, r in pdf.iterrows()
         ]
         sdf = spark.createDataFrame(pd.concat(frames), sp_schema())
