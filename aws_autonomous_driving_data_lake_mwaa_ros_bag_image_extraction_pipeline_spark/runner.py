@@ -44,7 +44,9 @@ class PipelineConfig:
     extra: dict = field(default_factory=dict)
 
 
-def process_bags(spark: SparkSession, cfg: PipelineConfig, batch: DataFrame) -> None:
+def process_bags(
+    spark: SparkSession, cfg: PipelineConfig, batch: DataFrame
+) -> list[str]:
     """One batch of bag blobs through the full E2+E1 computation.
 
     Both bag outputs (topic tables AND frames) come from the same scan —
@@ -52,29 +54,56 @@ def process_bags(spark: SparkSession, cfg: PipelineConfig, batch: DataFrame) -> 
     (engine.py:96-137); here each is one ``mapInPandas`` decode over the
     already-loaded blobs. Appends (not overwrites) so each incremental tick
     adds its bags to the landing tables.
+
+    Failure isolation is the quarantine pattern: the decoders run with
+    ``on_error="quarantine"`` so a corrupt bag becomes one error row, the
+    whole batch is ONE set of Spark jobs regardless of bag count, and the
+    failed paths ride back on the write job's ``observe()`` metrics (no
+    extra pass, no driver-side per-bag loop). Returns the failed bag paths
+    (O2: the caller records them as ``failure`` in the manifest).
     """
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
+
+    bad = F.col("decode_error").isNotNull()
+    failed_set = F.collect_set(F.when(bad, F.col("bag_path")))
 
     # A3: pipeline counters via observe() — collected from the write job
     # itself, no extra pass over the data (the reference counts uploads in a
     # Python loop, engine.py:282-300).
     obs = Observation("decode_metrics")
-    msgs = frames_source.decode_bag_blobs(batch, cfg.topics).observe(
-        obs, F.count(F.lit(1)).alias("n_messages"),
+    msgs = frames_source.decode_bag_blobs(
+        batch, cfg.topics, on_error="quarantine"
+    ).observe(
+        obs,
+        F.count(F.when(~bad, F.lit(1))).alias("n_messages"),
         # observe() forbids DISTINCT aggregates; HLL is exact at topic-count
         # cardinalities
-        F.approx_count_distinct("topic").alias("n_topics"),
+        F.approx_count_distinct(F.when(~bad, F.col("topic"))).alias("n_topics"),
+        failed_set.alias("failed_paths"),
     )
-    msgs.write.partitionBy("topic").mode("append").option(
-        "compression", "snappy"
-    ).parquet(f"{cfg.output_dir}/topic_messages")
+    msgs.filter(~bad).drop("bag_path", "decode_error").write.partitionBy(
+        "topic"
+    ).mode("append").option("compression", "snappy").parquet(
+        f"{cfg.output_dir}/topic_messages"
+    )
     cfg.extra["last_metrics"] = obs.get
+    failed = list(obs.get["failed_paths"])
 
-    frames = frames_source.decode_bag_frames(batch)
+    good = batch
+    if failed:
+        good = batch.filter(~F.col("path").isin(failed))
+    frames_obs = Observation("frame_decode")
+    frames = (
+        frames_source.decode_bag_frames(good, on_error="quarantine")
+        .observe(frames_obs, failed_set.alias("failed_paths"))
+        .filter(~bad)
+        .drop("bag_path", "decode_error")
+    )
     labels = annotate.infer_labels(frames, model_fn=cfg.model_fn)
     stats = frame_stats.pivot_stats(labels)
     stats.write.mode("append").parquet(f"{cfg.output_dir}/frame_stats")
+    failed += [p for p in frames_obs.get["failed_paths"] if p not in failed]
     labels.write.partitionBy("bag_id", "camera").mode("append").json(
         f"{cfg.output_dir}/labels"
     )
@@ -90,12 +119,14 @@ def process_bags(spark: SparkSession, cfg: PipelineConfig, batch: DataFrame) -> 
             annotated.withColumn("filename", sinks.frame_filename()),
             cfg.sync_dir,
         )
+    return failed
 
 
-def run_once(spark: SparkSession, cfg: PipelineConfig) -> list[str]:
+def run_once(spark: SparkSession, cfg: PipelineConfig) -> dict[str, str]:
     """One incremental tick (batch form — the replay-capable path).
 
-    Returns the bag keys processed this tick; [] = the O1 ``no_work`` branch.
+    Returns {bag key: "complete" | "failure"} for this tick; {} = the O1
+    ``no_work`` branch.
     """
     return sp.process_pending(
         spark,

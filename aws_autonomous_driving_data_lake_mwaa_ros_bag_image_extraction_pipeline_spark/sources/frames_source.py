@@ -66,27 +66,68 @@ FRAMES_DDL = (
     "frame_time timestamp, width int, height int, content binary"
 )
 
+# Quarantine columns appended by ``on_error="quarantine"``: every decoded
+# row carries its source path; a failed bag yields exactly one row with
+# ``decode_error`` set and all data columns null. This keeps per-bag
+# failure isolation inside ONE Spark job per tick (the O2 contract) —
+# no driver-side per-bag loop launching a filtered job per key.
+QUARANTINE_DDL = ", bag_path string, decode_error string"
 
-def decode_bag_frames(
-    blobs: DataFrame,
-    decoder: Callable[[str, bytes], pd.DataFrame] = rosbag_frame_decoder,
-) -> DataFrame:
-    """Binary bag rows → frames table (S10 via bag decode; multimodal
-    column). Default: sensor_msgs/Image messages from real .bag bytes,
-    PNG-encoded. Same batching contract as ``decode_bag_blobs``."""
+
+def _quarantined(
+    decode_one: Callable[[pd.Series], pd.DataFrame],
+    columns: list[str],
+    on_error: str,
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """Wrap a per-row decode in the quarantine contract (shared by the
+    message and frame paths)."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be raise|quarantine, got {on_error!r}")
+    quarantine = on_error == "quarantine"
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for _, row in pdf.iterrows():
-                yield decoder(row["path"], row["content"])
+                if not quarantine:
+                    yield decode_one(row)
+                    continue
+                try:
+                    out = decode_one(row)
+                except Exception as exc:  # noqa: BLE001 — quarantine boundary
+                    yield pd.DataFrame(
+                        [[None] * len(columns) + [row["path"], repr(exc)]],
+                        columns=columns + ["bag_path", "decode_error"],
+                    )
+                    continue
+                out = out.copy()
+                out["bag_path"] = row["path"]
+                out["decode_error"] = None
+                yield out
 
-    return blobs.select("path", "content").mapInPandas(_decode, schema=FRAMES_DDL)
+    return _decode
+
+
+def decode_bag_frames(
+    blobs: DataFrame,
+    decoder: Callable[[str, bytes], pd.DataFrame] = rosbag_frame_decoder,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Binary bag rows → frames table (S10 via bag decode; multimodal
+    column). Default: sensor_msgs/Image messages from real .bag bytes,
+    PNG-encoded. Same batching contract as ``decode_bag_blobs``."""
+    schema = FRAMES_DDL + (QUARANTINE_DDL if on_error == "quarantine" else "")
+    cols = [c.split()[0] for c in FRAMES_DDL.split(", ")]
+    _decode = _quarantined(
+        lambda row: decoder(row["path"], row["content"]), cols, on_error
+    )
+    return blobs.select("path", "content").mapInPandas(_decode, schema=schema)
 
 
 def decode_bag_blobs(
     blobs: DataFrame,
     topics: list[str] | None = None,
     decoder: Callable[[str, bytes, list[str] | None], pd.DataFrame] = rosbag_decoder,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Binary bag rows (path, content) → long topic_messages (S4/S6).
 
@@ -95,16 +136,18 @@ def decode_bag_blobs(
     connections are skipped before deserialization) rather than filtered
     after. Accepts any DataFrame with (path, content) — a batch scan, a
     streaming micro-batch, or a test frame.
+
+    ``on_error="quarantine"`` appends (bag_path, decode_error) columns and
+    converts a corrupt bag into one error row instead of a task failure.
     """
-
-    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                yield decoder(row["path"], row["content"], topics)
-
-    return blobs.select("path", "content").mapInPandas(
-        _decode, schema=TOPIC_MESSAGES_DDL
+    schema = TOPIC_MESSAGES_DDL + (
+        QUARANTINE_DDL if on_error == "quarantine" else ""
     )
+    cols = [c.split()[0] for c in TOPIC_MESSAGES_DDL.split(", ")]
+    _decode = _quarantined(
+        lambda row: decoder(row["path"], row["content"], topics), cols, on_error
+    )
+    return blobs.select("path", "content").mapInPandas(_decode, schema=schema)
 
 
 def read_bag_messages(

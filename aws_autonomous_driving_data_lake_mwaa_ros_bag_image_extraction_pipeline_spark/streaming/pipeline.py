@@ -96,34 +96,41 @@ def _process_batch(
     spark: SparkSession,
     batch: DataFrame,
     manifest_dir: str,
-    process_fn: Callable[[DataFrame], None],
+    process_fn: Callable[[DataFrame], list[str] | None],
     per_bag: bool,
-) -> None:
+) -> dict[str, str]:
     """Run ``process_fn`` with per-bag failure isolation + status ledger.
 
-    One bag = one unit of work (the reference's granularity): each bag's
-    slice gets its own try/except so one corrupt bag marks `failure` without
-    poisoning the batch (O2 semantics — unlike the reference, which treats
-    any container STOP as success, processing.py:154-173)."""
+    One bag = one unit of *accounting* (the reference's granularity), one
+    batch = one set of Spark jobs: ``process_fn`` handles the whole batch
+    and reports the keys that failed (the quarantine pattern — decoders
+    emit per-bag error rows instead of failing the task, see
+    runner.process_bags). A corrupt bag marks `failure` without poisoning
+    the batch (O2 semantics — unlike the reference, which treats any
+    container STOP as success, processing.py:154-173). A tick discovering
+    10k bags therefore runs a constant number of jobs, not 10k.
+
+    Returns {key: "complete" | "failure"} for the batch.
+    """
     keys = [r.path for r in batch.select("path").distinct().collect()]
     if not keys:
-        return
-    if not per_bag:
-        append_status(spark, manifest_dir, keys, "in progress")
-        try:
-            process_fn(batch)
-            append_status(spark, manifest_dir, keys, "complete")
-        except Exception:
-            append_status(spark, manifest_dir, keys, "failure")
-            raise
-        return
-    for key in keys:
-        append_status(spark, manifest_dir, [key], "in progress")
-        try:
-            process_fn(batch.filter(F.col("path") == key))
-            append_status(spark, manifest_dir, [key], "complete")
-        except Exception:
-            append_status(spark, manifest_dir, [key], "failure")
+        return {}
+    append_status(spark, manifest_dir, keys, "in progress")
+    try:
+        failed = set(process_fn(batch) or [])
+    except Exception:
+        # infrastructure failure (not a per-bag decode error): the whole
+        # batch is unaccounted-for → mark everything failed and surface it
+        append_status(spark, manifest_dir, keys, "failure")
+        raise
+    if failed and not per_bag:
+        failed = set(keys)  # all-or-nothing accounting
+    statuses = {k: "failure" if k in failed else "complete" for k in keys}
+    append_status(
+        spark, manifest_dir, [k for k in keys if k not in failed], "complete"
+    )
+    append_status(spark, manifest_dir, sorted(failed), "failure")
+    return statuses
 
 
 def run_available_now(
@@ -209,16 +216,18 @@ def process_pending(
     spark: SparkSession,
     source_dir: str,
     manifest_dir: str,
-    process_fn: Callable[[DataFrame], None],
+    process_fn: Callable[[DataFrame], list[str] | None],
     glob: str = "*.bag*",
     per_bag: bool = True,
-) -> list[str]:
+) -> dict[str, str]:
     """Batch incremental tick: discover files whose manifest status is not
     terminal/active (S1+S2 anti-join), process them, record transitions.
 
     This is the replay-capable path — a cleared status makes the key
-    discoverable again regardless of the streaming checkpoint. Returns the
-    keys that were processed."""
+    discoverable again regardless of the streaming checkpoint. Returns
+    {key: "complete" | "failure"} for this tick's keys ({} = no work) so
+    callers get a programmatic failure signal without scanning the
+    manifest."""
     listing = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
@@ -229,7 +238,4 @@ def process_pending(
     new = discover_new(listing, manifest, key_col="key").withColumnRenamed(
         "key", "path"
     )
-    keys = [r.path for r in new.select("path").distinct().collect()]
-    if keys:
-        _process_batch(spark, new, manifest_dir, process_fn, per_bag)
-    return keys
+    return _process_batch(spark, new, manifest_dir, process_fn, per_bag)

@@ -76,7 +76,7 @@ def test_end_to_end_pipeline(spark, tmp_path):
     assert len(png_files) == frames_total  # no cross-bag collisions
 
     # idempotency (O1 no_work): second tick processes nothing, tables stable
-    assert runner.run_once(spark, cfg) == []
+    assert runner.run_once(spark, cfg) == {}
     assert spark.read.parquet(f"{out}/topic_messages").count() == want
 
 
@@ -91,6 +91,11 @@ def test_pipeline_failure_isolation(spark, tmp_path):
     cfg = runner.PipelineConfig(bags_dir=bags, output_dir=out, manifest_dir=manifest)
     processed = runner.run_once(spark, cfg)
     assert len(processed) == 2
+    # programmatic per-key signal, no manifest scan needed
+    assert {k.split("/")[-1]: v for k, v in processed.items()} == {
+        "corrupt.bag": "failure",
+        "bag0000.bag": "complete",
+    }
     statuses = {
         r.key.split("/")[-1]: r.status
         for r in sp.current_manifest(spark, manifest).collect()
@@ -100,3 +105,34 @@ def test_pipeline_failure_isolation(spark, tmp_path):
     # the good bag's data landed
     msgs = spark.read.parquet(f"{out}/topic_messages")
     assert msgs.select(F.col("bag_id")).distinct().count() == 1
+
+
+def test_failure_isolation_is_one_job_per_tick(spark, tmp_path):
+    """Quarantine pattern: the number of Spark jobs per tick is constant —
+    it does NOT grow with the number of bags (no driver-side per-bag loop
+    launching one filtered job per key)."""
+    sc = spark.sparkContext
+
+    def tick_jobs(group: str, n_bags: int, with_corrupt: bool) -> int:
+        base = tmp_path / group
+        bags = str(base / "bags")
+        fixtures.write_bag_dir(bags, n_bags=n_bags, tar_gz=())
+        if with_corrupt:
+            with open(os.path.join(bags, "corrupt.bag"), "wb") as f:
+                f.write(b"junk")
+        cfg = runner.PipelineConfig(
+            bags_dir=bags,
+            output_dir=str(base / "out"),
+            manifest_dir=str(base / "manifest"),
+        )
+        sc.setJobGroup(group, group)
+        try:
+            runner.run_once(spark, cfg)
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    small = tick_jobs("tick-small", 1, True)
+    big = tick_jobs("tick-big", 4, True)
+    assert small > 0
+    assert big == small  # 4 bags: same job count as 1 (both with a corrupt bag)

@@ -42,11 +42,13 @@ def test_streaming_exactly_once_and_failure_marking(spark, tmp_path):
     def process(batch):
         keys = [r.path for r in batch.select("path").collect()]
         processed.extend(keys)
-        if any("bag0002" in k for k in keys):
-            raise RuntimeError("corrupt bag")  # injected failure
+        # quarantine contract: report failed keys, process the rest
+        failed = [k for k in keys if "bag0002" in k]  # injected failure
+        good = [k for k in keys if k not in failed]
+        if not good:
+            return failed
         # real work: decode + append to a landing table
-        msgs = batch.select("path", "content")
-        pdf = msgs.toPandas()
+        pdf = batch.select("path", "content").toPandas()
         import pandas as pd
 
         from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.sources import (
@@ -59,9 +61,11 @@ def test_streaming_exactly_once_and_failure_marking(spark, tmp_path):
                 r["path"], r["content"], list(fx._TOPIC_RATES)
             )
             for _, r in pdf.iterrows()
+            if r["path"] in good
         ]
         sdf = spark.createDataFrame(pd.concat(frames), sp_schema())
         sdf.write.mode("append").parquet(out)
+        return failed
 
     def sp_schema():
         return frames_source.TOPIC_MESSAGES_DDL
@@ -102,15 +106,15 @@ def test_replay_by_clearing_status(spark, tmp_path):
         runs.extend(r.path for r in batch.select("path").collect())
 
     first = sp.process_pending(spark, src, m, process)
-    assert len(first) == 2 and len(runs) == 2
+    assert sorted(first.values()) == ["complete", "complete"] and len(runs) == 2
 
     # nothing pending on a second tick
-    assert sp.process_pending(spark, src, m, process) == []
+    assert sp.process_pending(spark, src, m, process) == {}
 
     # clearing one key re-enqueues exactly that key (reference README replay)
     target = sorted(first)[0]
     sp.clear_status(spark, m, [target])
     replayed = sp.process_pending(spark, src, m, process)
-    assert replayed == [target]
+    assert replayed == {target: "complete"}
     got = {r.key: r.status for r in sp.current_manifest(spark, m).collect()}
     assert got[target] == "complete"
