@@ -242,11 +242,13 @@ def ivf_assign(
         emb, n_lists, id_col, vec_col
     )
     scored = emb.select(F.col(id_col), F.col(vec_col)).join(F.broadcast(cents))
-    dist = -V.cosine(F.col(vec_col), F.col("cv"))  # max cosine = min distance
+    # max cosine = min distance; rounded + struct-min so the nearest-list
+    # choice is deterministic (ties break on cid) and oracle-reproducible
+    dist = F.round(-V.cosine(F.col(vec_col), F.col("cv")), 6)
     assign = (
         scored.select(F.col(id_col), F.col("cid"), dist.alias("d"))
         .groupBy(id_col)
-        .agg(F.min_by("cid", "d").alias("list_id"))
+        .agg(F.min(F.struct("d", "cid"))["cid"].alias("list_id"))
     )
     return emb.join(assign, id_col)
 
@@ -280,7 +282,7 @@ def ivf_topk(
         q.join(F.broadcast(cents))
         .select(
             "query_id", "qv", F.col("cid").alias("list_id"),
-            (-V.cosine(F.col("qv"), F.col("cv"))).alias("d"),
+            F.round(-V.cosine(F.col("qv"), F.col("cv")), 6).alias("d"),
         )
         .withColumn(
             "__pr",

@@ -931,18 +931,115 @@ def q_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-@register("lsh_topk", None)  # hyperplanes aren't SQL-reproducible → rows-only
+def _planes_values(dim: int, n_tables: int, n_bits: int) -> str:
+    """The deterministic md5-derived hyperplanes (similarity._hyperplane) as
+    a DuckDB VALUES list — the oracle replays the exact bucket assignment.
+    Full-precision ``repr`` floats round-trip bit-exactly through the SQL
+    parser, so ``list_inner_product`` sees the same float64 planes numpy
+    matmuls against."""
+    rows = []
+    for t in range(n_tables):
+        for b in range(n_bits):
+            plane = similarity._hyperplane(dim, t, b)
+            lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+            rows.append(f"({t}, {b}, CAST({lit} AS DOUBLE[]))")
+    return "(VALUES " + ",\n ".join(rows) + ")"
+
+
+def _lsh_bucket_cte(dim: int, n_tables: int, n_bits: int) -> str:
+    """Shared CTE: (vec_id, tbl, bucket) — sign pattern of the hyperplane
+    projections, identical to similarity.lsh_buckets."""
+    return f"""
+    bk AS (
+      SELECT e.vec_id, p.tbl,
+             string_agg(CASE WHEN list_inner_product(
+                               CAST(e.embedding AS DOUBLE[]), p.plane) >= 0
+                        THEN '1' ELSE '0' END, '' ORDER BY p.bit) AS bucket
+      FROM embeddings e
+      CROSS JOIN {_planes_values(dim, n_tables, n_bits)} AS p(tbl, bit, plane)
+      GROUP BY e.vec_id, p.tbl
+    )"""
+
+
+@register(
+    "lsh_topk",
+    f"""
+    WITH {_lsh_bucket_cte(64, 4, 8)},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                         AND a.vec_id <> b.vec_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(n.embedding AS DOUBLE[])), 6) AS cosine
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings n ON n.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM scored) s
+    WHERE rnk <= 5
+    """,
+)
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets — the 100 TB path
-    (compare only within buckets, O(n·bucket) not O(n²))."""
+    (compare only within buckets, O(n·bucket) not O(n²)). The hyperplanes
+    are deterministic (md5-seeded), so the oracle replays them as literals."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, dim=64, k=5, n_tables=4, n_bits=8)
 
 
-@register("ivf_topk", None)  # float-distance quantizer → rows-only check
+@register(
+    "ivf_topk",
+    """
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cv
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    assign AS (
+      SELECT vec_id AS neighbor_id, embedding AS nv, cid AS list_id FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(-list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                               CAST(c.cv AS DOUBLE[])), 6),
+                 c.cid) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, list_id FROM (
+        SELECT q.vec_id AS query_id, c.cid AS list_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 round(-list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(c.cv AS DOUBLE[])), 6),
+                 c.cid) AS pr
+        FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 10
+      ) WHERE pr <= 4
+    ),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                          CAST(a.nv AS DOUBLE[])), 6) AS cosine
+      FROM probes p
+      JOIN assign a ON a.list_id = p.list_id AND a.neighbor_id <> p.query_id
+      JOIN embeddings qe ON qe.vec_id = p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM scored) s
+    WHERE rnk <= 5
+    """,
+)
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via IVF inverted lists (data-adaptive coarse
-    quantizer; each query probes n_probe of n_lists centroid lists)."""
+    quantizer; each query probes n_probe of n_lists centroid lists). The
+    centroid sample (smallest md5(id)) and the rounded, cid-tie-broken
+    nearest-list assignment are deterministic → SQL-replayable."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_topk(emb, queries, k=5, n_lists=16, n_probe=4)
@@ -971,10 +1068,29 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn("cosine", F.round("cosine", 6))
 
 
-@register("embedding_dup_pairs_lsh", None)  # hyperplane buckets → rows-only
+@register(
+    "embedding_dup_pairs_lsh",
+    f"""
+    WITH {_lsh_bucket_cte(64, 8, 6)},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                         AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(list_cosine_similarity(CAST(va.embedding AS DOUBLE[]),
+                                        CAST(vb.embedding AS DOUBLE[])), 6) AS cosine
+    FROM cand c
+    JOIN embeddings va ON va.vec_id = c.id_a
+    JOIN embeddings vb ON vb.vec_id = c.id_b
+    WHERE list_cosine_similarity(CAST(va.embedding AS DOUBLE[]),
+                                 CAST(vb.embedding AS DOUBLE[])) >= 0.4
+    """,
+)
 def q_embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for embedding dedup: LSH bucket candidates (id-only
-    shuffle) → join vectors back → exact cosine verify."""
+    shuffle) → join vectors back → exact cosine verify. Deterministic
+    hyperplanes make the banded candidate set oracle-replayable."""
     pairs = dedup.embedding_dup_pairs(
         _t(spark, sf_dir, "embeddings"), dim=64, threshold=0.4
     )
