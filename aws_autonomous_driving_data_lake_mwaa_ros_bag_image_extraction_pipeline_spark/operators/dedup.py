@@ -455,7 +455,8 @@ def embedding_dup_pairs_numpy(
     sc = emb.sparkSession.sparkContext
     b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
 
-    schema = "id_a long, id_b long, cosine double"
+    id_type = dict(emb.dtypes)[id_col]
+    schema = f"id_a {id_type}, id_b {id_type}, cosine double"
 
     def _pairs(batches):
         all_ids, all_mat = b_ids.value, b_mat.value

@@ -83,13 +83,15 @@ def lsh_buckets(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign each vector a bucket per hash table (sign pattern of ``n_bits``
-    hyperplane projections). Output long-format: (id, vec, table, bucket).
+    hyperplane projections, packed into an integer). Output long-format:
+    (id, vec, table, bucket).
 
-    Vectorized: all ``n_tables × n_bits`` projections are ONE matmul per
-    Arrow batch against the (tiny, deterministic) plane matrix — the
-    equivalent column-expression form evaluates ~tables × bits × dim
-    interpreted ops per vector. No shuffle; the long format explodes
-    executor-side."""
+    Fully vectorized — no per-row Python: all ``n_tables × n_bits``
+    projections are ONE matmul per Arrow batch against the (tiny,
+    deterministic) plane matrix, and bucket ids come from a second matmul
+    against bit weights (packbits-style, MSB first). Integer buckets also
+    shrink the candidate-join shuffle key vs the old '0101…' strings. No
+    shuffle here; the long format explodes executor-side."""
     import numpy as np
     import pandas as pd
 
@@ -102,27 +104,29 @@ def lsh_buckets(
     ).reshape(n_tables * n_bits, dim)
     b_planes = emb.sparkSession.sparkContext.broadcast(planes)
 
-    vec_type = dict(emb.dtypes)[vec_col]
-    schema = f"{id_col} long, {vec_col} {vec_type}, table int, bucket string"
+    dtypes = dict(emb.dtypes)
+    schema = (
+        f"{id_col} {dtypes[id_col]}, {vec_col} {dtypes[vec_col]}, "
+        "table int, bucket long"
+    )
+    weights = (1 << np.arange(n_bits)[::-1]).astype("int64")  # bit 0 = MSB
 
     def _assign(batches):
         P = b_planes.value
         for pdf in batches:
-            if len(pdf) == 0:
+            n = len(pdf)
+            if n == 0:
                 continue
             M = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
             signs = (M @ P.T) >= 0  # (n, tables*bits)
-            out_id, out_vec, out_t, out_b = [], [], [], []
-            for i in range(len(pdf)):
-                row = signs[i]
-                for t in range(n_tables):
-                    bits = row[t * n_bits : (t + 1) * n_bits]
-                    out_id.append(pdf[id_col].iloc[i])
-                    out_vec.append(pdf[vec_col].iloc[i])
-                    out_t.append(t)
-                    out_b.append("".join("1" if x else "0" for x in bits))
+            buckets = signs.reshape(n, n_tables, n_bits) @ weights  # (n, T)
             yield pd.DataFrame(
-                {id_col: out_id, vec_col: out_vec, "table": out_t, "bucket": out_b}
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_tables),
+                    vec_col: np.repeat(pdf[vec_col].to_numpy(), n_tables),
+                    "table": np.tile(np.arange(n_tables, dtype="int32"), n),
+                    "bucket": buckets.reshape(-1),
+                }
             )
 
     return emb.select(id_col, vec_col).mapInPandas(_assign, schema=schema)

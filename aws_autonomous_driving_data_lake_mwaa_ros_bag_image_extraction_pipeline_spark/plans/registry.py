@@ -948,13 +948,14 @@ def _planes_values(dim: int, n_tables: int, n_bits: int) -> str:
 
 def _lsh_bucket_cte(dim: int, n_tables: int, n_bits: int) -> str:
     """Shared CTE: (vec_id, tbl, bucket) — sign pattern of the hyperplane
-    projections, identical to similarity.lsh_buckets."""
+    projections packed MSB-first into an integer, identical to
+    similarity.lsh_buckets."""
     return f"""
     bk AS (
       SELECT e.vec_id, p.tbl,
-             string_agg(CASE WHEN list_inner_product(
-                               CAST(e.embedding AS DOUBLE[]), p.plane) >= 0
-                        THEN '1' ELSE '0' END, '' ORDER BY p.bit) AS bucket
+             SUM(CASE WHEN list_inner_product(
+                        CAST(e.embedding AS DOUBLE[]), p.plane) >= 0
+                 THEN 1 << ({n_bits} - 1 - p.bit) ELSE 0 END) AS bucket
       FROM embeddings e
       CROSS JOIN {_planes_values(dim, n_tables, n_bits)} AS p(tbl, bit, plane)
       GROUP BY e.vec_id, p.tbl

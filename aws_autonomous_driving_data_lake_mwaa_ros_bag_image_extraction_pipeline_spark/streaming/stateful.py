@@ -35,17 +35,17 @@ def streaming_dedup(
     swap the exact id list for a bloom/sketch state when cardinality
     explodes; the operator contract stays identical.
     """
-    out_schema = f"{key_col} long, {id_col} long"
-    state_schema = "ids array<long>"
+    dt = dict(events.dtypes)  # schemas follow the input's actual id types
+    out_schema = f"{key_col} {dt[key_col]}, {id_col} {dt[id_col]}"
+    state_schema = f"ids array<{dt[id_col]}>"
 
     def _dedup(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         seen = set(state.get[0]) if state.exists else set()
-        fresh: list[int] = []
+        fresh: list = []
         for pdf in pdfs:
-            for i in pdf[id_col]:
-                i = int(i)
+            for i in pdf[id_col].tolist():
                 if i not in seen:
                     seen.add(i)
                     fresh.append(i)
@@ -80,11 +80,12 @@ def streaming_dedup_bloom(
     """
     import hashlib
 
-    out_schema = f"{key_col} long, {id_col} long"
+    dt = dict(events.dtypes)
+    out_schema = f"{key_col} {dt[key_col]}, {id_col} {dt[id_col]}"
     state_schema = "bits binary"
     m_bits = m_bytes * 8
 
-    def _probes(i: int) -> list[int]:
+    def _probes(i) -> list[int]:
         h = hashlib.md5(str(i).encode()).digest()
         return [
             int.from_bytes(h[j * 4 : (j + 1) * 4], "big") % m_bits
@@ -95,15 +96,15 @@ def streaming_dedup_bloom(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         bits = bytearray(state.get[0]) if state.exists else bytearray(m_bytes)
-        fresh: list[int] = []
+        fresh: list = []
         for pdf in pdfs:
-            for i in pdf[id_col]:
-                pos = _probes(int(i))
+            for i in pdf[id_col].tolist():
+                pos = _probes(i)
                 if all(bits[p >> 3] & (1 << (p & 7)) for p in pos):
                     continue  # (probably) seen
                 for p in pos:
                     bits[p >> 3] |= 1 << (p & 7)
-                fresh.append(int(i))
+                fresh.append(i)
         state.update((bytes(bits),))
         if fresh:
             yield pd.DataFrame({key_col: [key[0]] * len(fresh), id_col: fresh})
@@ -123,7 +124,7 @@ def running_counters(
 ) -> DataFrame:
     """Per-key lifetime event count, emitted once per batch the key appears
     in — K6's counter upsert as managed state."""
-    out_schema = f"{key_col} long, n_events long"
+    out_schema = f"{key_col} {dict(events.dtypes)[key_col]}, n_events long"
     state_schema = "n long"
 
     def _count(
