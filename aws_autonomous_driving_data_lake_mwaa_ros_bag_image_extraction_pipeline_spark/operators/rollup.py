@@ -50,9 +50,19 @@ def update_rollup(
     group_col: str = "event_type",
     window: str = "1 hour",
 ) -> None:
-    """Fold one batch into the rollup table (see module docstring)."""
+    """Fold one batch into the rollup table (see module docstring).
+
+    The merged slice is staged to a sibling dir first, then the dynamic
+    partition overwrite reads FROM the staged copy — the job that deletes
+    old partition files never also reads them, so the self-read-overwrite
+    race (fatal on object-store committers, where overwrite deletion can
+    outrun the lazy read) cannot lose prior partials.
+    """
+    import shutil
+
     new = _partials(batch, ts_col, group_col, window)
     days = [r.day for r in new.select("day").distinct().collect()]
+    staging = None
     if os.path.exists(rollup_path):
         old = spark.read.parquet(rollup_path).filter(F.col("day").isin(days))
         merged = (
@@ -61,6 +71,9 @@ def update_rollup(
             .agg(F.sum("n_events").alias("n_events"))
             .select("window_start", group_col, "n_events", "day")
         )
+        staging = rollup_path.rstrip("/") + "__staging"
+        merged.write.mode("overwrite").parquet(staging)
+        merged = spark.read.parquet(staging)
     else:
         merged = new
     (
@@ -69,6 +82,8 @@ def update_rollup(
         .partitionBy("day")
         .parquet(rollup_path)
     )
+    if staging is not None:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:

@@ -27,6 +27,8 @@ slice of the batch.
 from __future__ import annotations
 
 import datetime as dt
+import os
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -42,7 +44,27 @@ MANIFEST_LOG_SCHEMA = "key string, status string, updated_at timestamp"
 
 # ---------------------------------------------------------------------------
 # Manifest ledger (K8 / S2 state store)
+#
+# Layout: generation subdirectories 000000/, 000001/, … under manifest_dir.
+# Appends land in the highest generation; compaction writes the snapshot as
+# a NEW generation (staged under an underscore dir, atomically renamed into
+# place) and never touches prior generations — so a reader holding a plan
+# over the old generation still resolves. Old generations are reclaimed
+# explicitly via ``vacuum_manifest`` during a maintenance window. Writers
+# are single-driver by contract (the reference's tag store is likewise
+# driven by one scheduler); on Delta/Iceberg this whole ledger maps to
+# MERGE INTO + VACUUM.
 # ---------------------------------------------------------------------------
+
+
+def _gens(manifest_dir: str) -> list[int]:
+    if not os.path.isdir(manifest_dir):
+        return []
+    return sorted(int(d) for d in os.listdir(manifest_dir) if d.isdigit())
+
+
+def _gen_path(manifest_dir: str, gen: int) -> str:
+    return os.path.join(manifest_dir, f"{gen:06d}")
 
 
 def append_status(
@@ -53,8 +75,10 @@ def append_status(
     rows = [(k, status, now) for k in keys]
     if not rows:
         return
+    gens = _gens(manifest_dir)
+    dest = _gen_path(manifest_dir, gens[-1] if gens else 0)
     spark.createDataFrame(rows, MANIFEST_LOG_SCHEMA).write.mode("append").parquet(
-        manifest_dir
+        dest
     )
 
 
@@ -65,12 +89,15 @@ def clear_status(spark: SparkSession, manifest_dir: str, keys: list[str]) -> Non
 
 
 def current_manifest(spark: SparkSession, manifest_dir: str) -> DataFrame:
-    """Last-writer-wins view of the log: (key, status, updated_at)."""
-    import os
+    """Last-writer-wins view of the log: (key, status, updated_at).
 
-    if not os.path.exists(manifest_dir):
+    Reads only the ACTIVE generation — a compaction snapshot carries
+    everything older, so the scan cost tracks the live key count, not the
+    full transition history."""
+    gens = _gens(manifest_dir)
+    if not gens:
         return spark.createDataFrame([], MANIFEST_LOG_SCHEMA)
-    log = spark.read.parquet(manifest_dir)
+    log = spark.read.parquet(_gen_path(manifest_dir, gens[-1]))
     w = Window.partitionBy("key").orderBy(F.desc("updated_at"))
     return (
         log.withColumn("__rn", F.row_number().over(w))
@@ -80,11 +107,27 @@ def current_manifest(spark: SparkSession, manifest_dir: str) -> DataFrame:
 
 
 def compact_manifest(spark: SparkSession, manifest_dir: str) -> None:
-    """Rewrite the log to one row per key (run when the log gets long)."""
-    snap = current_manifest(spark, manifest_dir).collect()
-    spark.createDataFrame(
-        [(r.key, r.status, r.updated_at) for r in snap], MANIFEST_LOG_SCHEMA
-    ).write.mode("overwrite").parquet(manifest_dir)
+    """Rewrite the log to one row per key (run when the log gets long).
+
+    The snapshot is written to a staging dir and renamed into place as the
+    next generation — never an in-place overwrite of files a reader may
+    hold, and the rename is atomic on a POSIX filesystem. Prior
+    generations stay on disk until ``vacuum_manifest``."""
+    gens = _gens(manifest_dir)
+    if not gens:
+        return
+    staging = os.path.join(manifest_dir, "_compacting")
+    current_manifest(spark, manifest_dir).write.mode("overwrite").parquet(staging)
+    os.rename(staging, _gen_path(manifest_dir, gens[-1] + 1))
+
+
+def vacuum_manifest(manifest_dir: str, keep: int = 2) -> None:
+    """Reclaim generations superseded by compaction, keeping the newest
+    ``keep``. Run when no reader predates the retained window (the same
+    contract as Delta VACUUM)."""
+    gens = _gens(manifest_dir)
+    for g in gens[:-keep] if keep > 0 else gens:
+        shutil.rmtree(_gen_path(manifest_dir, g), ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

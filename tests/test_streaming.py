@@ -24,10 +24,39 @@ def test_manifest_last_writer_wins(spark, tmp_path):
     got = {r.key: r.status for r in sp.current_manifest(spark, m).collect()}
     assert got["k1"] is None
     sp.compact_manifest(spark, m)
-    log = spark.read.parquet(m)
-    assert log.count() == 2  # one row per key after compaction
+    # the ACTIVE generation holds one row per key after compaction
+    log = spark.read.parquet(sp._gen_path(m, sp._gens(m)[-1]))
+    assert log.count() == 2
     got = {r.key: r.status for r in sp.current_manifest(spark, m).collect()}
     assert got == {"k1": None, "k2": "in progress"}
+
+
+def test_compaction_never_breaks_open_readers(spark, tmp_path):
+    """compact_manifest writes a NEW generation (staged + atomic rename);
+    a reader plan opened before compaction still resolves afterwards, and
+    vacuum reclaims superseded generations."""
+    m = str(tmp_path / "manifest")
+    sp.append_status(spark, m, ["k1", "k2"], "in progress")
+    sp.append_status(spark, m, ["k1"], "complete")
+
+    reader = sp.current_manifest(spark, m)  # lazy plan over generation 0
+    sp.compact_manifest(spark, m)
+    sp.append_status(spark, m, ["k3"], "in progress")  # lands in generation 1
+
+    # pre-compaction reader: generation 0 files are untouched
+    assert {r.key: r.status for r in reader.collect()} == {
+        "k1": "complete",
+        "k2": "in progress",
+    }
+    # live view: compacted snapshot + post-compaction append
+    want = {"k1": "complete", "k2": "in progress", "k3": "in progress"}
+    got = {r.key: r.status for r in sp.current_manifest(spark, m).collect()}
+    assert got == want
+
+    sp.vacuum_manifest(m, keep=1)
+    assert sp._gens(m) == [1]  # generation 0 reclaimed
+    got = {r.key: r.status for r in sp.current_manifest(spark, m).collect()}
+    assert got == want
 
 
 def test_streaming_exactly_once_and_failure_marking(spark, tmp_path):
