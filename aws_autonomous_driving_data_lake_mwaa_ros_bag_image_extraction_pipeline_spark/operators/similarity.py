@@ -172,13 +172,21 @@ def _ivf_centroids(
     emb: DataFrame, n_lists: int, id_col: str, vec_col: str
 ) -> DataFrame:
     """Deterministic centroid sample: the n_lists vectors with the smallest
-    md5(id) — reproducible pseudo-random, no RNG, no fit."""
-    w = Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-    return (
-        emb.select(F.col(id_col), F.col(vec_col))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n_lists)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    md5(id) — reproducible pseudo-random, no RNG, no fit.
+
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject — each
+    partition keeps its local top-k of a 2-column projection and only
+    k·partitions tiny rows merge; no global single-partition window sort
+    of the corpus, and the vectors ride a broadcast semi-join afterwards.
+    """
+    keys = (
+        emb.select(F.col(id_col), F.md5(F.col(id_col).cast("string")).alias("__m"))
+        .orderBy("__m", id_col)
+        .limit(n_lists)
+        .select(id_col)
+    )
+    return emb.join(F.broadcast(keys), id_col).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
     )
 
 

@@ -28,7 +28,17 @@ def salted_join(
     to every salt value, so each (key, salt) reducer holds the full small
     partition for that key. Result == plain join (tested), wall-clock ∝
     1/n_salts on a single hot key.
+
+    Only join types where replicating the SMALL side is sound are allowed:
+    with right/full outer, an unmatched small-side row would surface once
+    per salt, breaking the plain-join contract.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}: "
+            "replicating the small side would duplicate unmatched rows in "
+            "right/full outer joins"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     big_s = big.withColumn("__salt", salt)
     small_s = small.withColumn(

@@ -19,6 +19,20 @@ def test_salted_join_matches_plain_join(spark):
     salted = {(r.k, r.v, r.name) for r in skew.salted_join(big, small, ["k"]).collect()}
     assert salted == plain and len(plain) == 500
 
+    # semi form: salted big-side semi join equals the plain one
+    plain_semi = {(r.k, r.v) for r in big.join(small, ["k"], "left_semi").collect()}
+    salted_semi = {
+        (r.k, r.v)
+        for r in skew.salted_join(big, small, ["k"], how="left_semi").collect()
+    }
+    assert salted_semi == plain_semi
+
+    # join types where small-side replication is unsound are rejected
+    import pytest
+
+    with pytest.raises(ValueError, match="salted_join supports"):
+        skew.salted_join(big, small, ["k"], how="full_outer")
+
 
 def test_salted_count_distinct_exact(spark):
     df = spark.createDataFrame(
