@@ -770,7 +770,7 @@ def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_dup_groups(_t(spark, sf_dir, "documents"))
 
 
-@register("simhash_near_pairs", _d_simhash_near_sql(bits=32))
+@register("simhash_near_pairs", _d_simhash_near_sql(bits=32), headline=True)
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash pairs within Hamming distance 3: pigeonhole band buckets →
     self-join on bucket (O(collisions)) → exact distance on candidates.
@@ -985,6 +985,7 @@ def _lsh_bucket_cte(dim: int, n_tables: int, n_bits: int) -> str:
           FROM scored) s
     WHERE rnk <= 5
     """,
+    headline=True,
 )
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets — the 100 TB path
@@ -1245,6 +1246,7 @@ def similar_nation_names(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON p.user_id = c.cu
      AND abs(epoch_ms(p.pts) - epoch_ms(c.cts)) <= 120000
     """,
+    headline=True,
 )
 def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: every (purchase, click) pair per user within ±2 minutes.

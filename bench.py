@@ -57,17 +57,38 @@ def main() -> None:
             timings[name] = min(timings[name], time.time() - t0)
     timings = {n: round(v, 3) for n, v in timings.items()}
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    # Per-round history: compare against the latest recorded BENCH_r{N}.json
+    # so each round's line carries its own deltas (extra keys; the driver's
+    # parser only needs metric/value/unit/queries/sf).
+    prev_round, prev_queries = None, {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    import glob
+
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            rec = json.load(open(path))
+            parsed = rec.get("parsed", rec)
+            if parsed and parsed.get("queries"):
+                prev_round = int(re.search(r"BENCH_r(\d+)", path).group(1))
+                prev_queries = parsed["queries"]
+        except Exception:
+            continue
+
+    out = {
+        "metric": "headline_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if prev_queries:
+        out["prev_round"] = prev_round
+        out["delta_vs_prev"] = {
+            n: round(timings[n] - prev_queries[n], 3)
+            for n in timings
+            if n in prev_queries
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
