@@ -95,3 +95,21 @@ def word_ngrams(text: Column, n: int) -> Column:
         return F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
 
     return bind(tokens(F.lower(text)), _ngrams)
+
+
+def char_ngrams(text: Column, n: int) -> Column:
+    """Character n-grams of the lowercased text (sliding window of length
+    ``n``). Texts shorter than ``n`` yield an empty array. Let-bound so the
+    lowercasing runs once per row; ``substring`` accepts Column positions
+    (Spark ≥3.4) so the whole expression stays in codegen.
+    DuckDB twin: ``[substring(tx, i, n) for i in range(1, length(tx)-n+2)]``.
+    """
+
+    def _grams(t: Column) -> Column:
+        k = F.length(t) - F.lit(n - 1)
+        idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(idx, lambda i: F.substring(t, i, F.lit(n)))
+
+    return bind(F.lower(text), _grams)

@@ -263,6 +263,92 @@ def minhash_dedup_pairs(
     )
 
 
+# --- Character-n-gram Jaccard (prefix-filtered set-similarity join) ---------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT character-n-gram Jaccard pairs ≥ threshold via the prefix
+    filter (AllPairs/PPJoin family) — no hashing, no recall loss.
+
+    Candidate generation is an inverted-index self-join restricted to each
+    document's PREFIX: its ``|A| - ⌈t·|A|⌉ + 1`` globally-rarest grams
+    (ordered by document frequency, then gram). Any pair with J ≥ t must
+    share a gram inside both prefixes (the smallest common gram under the
+    global order lands in both), so the join over prefix postings finds
+    every qualifying pair while hot/common grams — the posting lists that
+    explode at scale — are excluded from candidate generation entirely.
+    Verification counts shared grams only for candidate pairs.
+
+    Complements MinHash-LSH: exact answer, same O(collisions) join shape,
+    and the df-ascending global order keeps posting lists short. Fully
+    relational (codegen end to end); the per-doc window sort piggybacks on
+    the id hash partitioning.
+    """
+    from ..functions.text import char_ngrams
+
+    grams = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(char_ngrams(F.col(text_col), n))).alias("g")
+    )
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
+    gdf = grams.groupBy("g").agg(F.count("*").alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "g")
+    prefix = (
+        grams.join(gdf, "g")
+        .withColumn("__rn", F.row_number().over(w))
+        .join(sizes, id_col)
+        .filter(
+            F.col("__rn")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        )
+        .select(id_col, "g", "sz", F.col("__rn").alias("pos"))
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "g",
+        F.col("sz").alias("sza"), F.col("pos").alias("posa"),
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), "g",
+        F.col("sz").alias("szb"), F.col("pos").alias("posb"),
+    )
+    # Length filter (J ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t) + PPJoin positional
+    # filter: for the SMALLEST shared gram, overlap ≤ min remaining grams
+    # after it + 1, which must reach ⌈t/(1+t)·(|A|+|B|)⌉ — both prune
+    # candidates only; the exact verify below fixes the answer.
+    alpha = F.ceil(F.lit(threshold / (1.0 + threshold)) * (F.col("sza") + F.col("szb")))
+    cand = (
+        a.join(b, "g")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("szb") >= F.lit(threshold) * F.col("sza"))
+            & (F.col("sza") >= F.lit(threshold) * F.col("szb"))
+            & (
+                F.least(
+                    F.col("sza") - F.col("posa"), F.col("szb") - F.col("posb")
+                )
+                + 1
+                >= alpha
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # Verify with per-doc gram ARRAYS + array_intersect (hash-based, one
+    # row per candidate pair) — an exploded gram-level join here would
+    # shuffle |cand| × grams rows, which detonates when the corpus
+    # vocabulary is small and the prefix filter can't prune (every gram
+    # common → near-all-pairs candidates).
+    gram_tbl = grams.groupBy(id_col).agg(F.collect_set("g").alias("sh"))
+    return _jaccard_from(gram_tbl, cand, id_col).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 def simhash(

@@ -635,6 +635,54 @@ def q_token_set_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ngram_jaccard_pairs",
+    """
+    WITH t AS (SELECT doc_id, lower(text) AS tx FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             unnest([substring(tx, i, 8)
+                     for i in range(1, greatest(length(tx) - 6, 1))]) AS g
+      FROM t
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    gdf AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
+    prefix AS (
+      SELECT doc_id, g, sz FROM (
+        SELECT gr.doc_id, gr.g, s.sz,
+               row_number() OVER (PARTITION BY gr.doc_id
+                                  ORDER BY d.df, gr.g) AS rn
+        FROM grams gr JOIN gdf d USING(g) JOIN sizes s USING(doc_id)
+      ) WHERE rn <= sz - CAST(ceil(0.8 * sz) AS BIGINT) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM prefix a JOIN prefix b ON a.g = b.g AND a.doc_id < b.doc_id
+       AND b.sz >= 0.8 * a.sz AND a.sz >= 0.8 * b.sz
+    ),
+    gt AS (SELECT doc_id, list(g) AS gs, COUNT(*) AS sz
+           FROM grams GROUP BY doc_id)
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+             / (a.sz + b.sz - len(list_intersect(a.gs, b.gs))) AS jaccard
+    FROM cand c JOIN gt a ON a.doc_id = c.id_a
+                JOIN gt b ON b.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+            / (a.sz + b.sz - len(list_intersect(a.gs, b.gs))) >= 0.8
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT char-8-gram Jaccard ≥ 0.8 pairs via the prefix-filtered
+    set-similarity join (AllPairs-style): candidates come only from each
+    doc's globally-rarest grams + the length filter, verification is one
+    array_intersect per candidate pair. The oracle replays the identical
+    algorithm; exactness (vs brute-force all-pairs) is pinned separately
+    in tests/test_dedup.py."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8, n=8
+    )
+
+
+@register(
     "doc_fingerprints",
     f"""
     SELECT doc_id, md5({_D_NORM}) AS fp_exact,

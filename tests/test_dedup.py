@@ -79,6 +79,33 @@ def test_jaccard_pairs_exact_values(spark, docs):
     assert got[(1, 5)] == pytest.approx(0.0)
 
 
+def test_ngram_jaccard_pairs_exact_vs_brute_force(spark, docs):
+    """The prefix-filtered set-similarity join is EXACT: same pairs and
+    values as brute-force all-pairs char-n-gram Jaccard."""
+    n, t = 4, 0.3  # low threshold → weak prefix filter → more candidates
+
+    def grams(s):
+        s = s.lower()
+        return {s[i : i + n] for i in range(len(s) - n + 1)}
+
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(DOCS, 2):
+        A, B = grams(ta), grams(tb)
+        if not A or not B:
+            continue
+        j = len(A & B) / len(A | B)
+        if j >= t:
+            want[(min(ia, ib), max(ia, ib))] = j
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=t, n=n).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+
+
 def test_simhash_groups_identical_docs(spark, docs):
     sigs = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
     assert sigs[1] == sigs[2] == sigs[3]  # same token set → same signature
