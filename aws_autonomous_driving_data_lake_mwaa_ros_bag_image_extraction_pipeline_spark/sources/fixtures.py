@@ -243,7 +243,9 @@ def rosbag_bytes(
             )
         )
     messages.sort(key=lambda m: m[3])  # chronological, like rosbag record
-    return rb.write_bag(messages, compression=compression)
+    # per-topic chunks: multi-chunk layout + chunk-info index, so the
+    # reader's whole-chunk topic skip is exercised by every fixture bag
+    return rb.write_bag(messages, compression=compression, chunk_mode="per_topic")
 
 
 def write_bag_dir(

@@ -68,18 +68,21 @@ def _parse_header(buf: bytes, start: int, end: int) -> dict[str, bytes]:
 
 def iter_records(
     buf: bytes, pos: int = 0, end: int | None = None
-) -> Iterator[tuple[dict[str, bytes], bytes]]:
-    """Yield (header_fields, data) for each record in ``buf[pos:end]``."""
+) -> Iterator[tuple[dict[str, bytes], bytes, int]]:
+    """Yield (header_fields, data, record_start_pos) for each record in
+    ``buf[pos:end]``. The start position is what chunk-info records key
+    their ``chunk_pos`` on."""
     if end is None:
         end = len(buf)
     while pos < end:
+        start = pos
         (hlen,) = _U32.unpack_from(buf, pos)
         hdr = _parse_header(buf, pos + 4, pos + 4 + hlen)
         pos += 4 + hlen
         (dlen,) = _U32.unpack_from(buf, pos)
         data = buf[pos + 4 : pos + 4 + dlen]
         pos += 4 + dlen
-        yield hdr, data
+        yield hdr, data, start
 
 
 def _decompress_chunk(hdr: dict[str, bytes], data: bytes) -> bytes:
@@ -329,28 +332,71 @@ def read_messages(
     records register lazily wherever they appear (inside chunks, or in the
     post-chunk index section). Messages on unrequested topics are skipped
     without deserialization.
+
+    Topic pushdown uses the bag's own index: a cheap top-level pre-scan
+    (which never decompresses chunk payloads) registers the index-section
+    connection records and the per-chunk connection counts from chunk-info
+    records; a chunk whose messages all belong to filtered-out connections
+    is then skipped WITHOUT decompression. An image-heavy bag scanned for
+    /imu never inflates the camera chunks — this is the same whole-chunk
+    skip ``rosbag.Bag.read_messages(topics=…)`` performs with the C++
+    index, and it's what makes topic pushdown real at 100 TB.
     """
     if not content.startswith(ROSBAG_MAGIC):
         raise ValueError("not a ROS bag 2.0 file (bad version magic)")
     conns: dict[int, Connection | None] = {}
 
-    def handle(hdr: dict[str, bytes], data: bytes) -> Iterator:
+    def register(hdr: dict[str, bytes], data: bytes) -> None:
+        (cid,) = _U32.unpack_from(hdr["conn"], 0)
+        if cid in conns:
+            return
+        inner = _parse_header(data, 0, len(data))
+        topic = inner.get("topic", hdr.get("topic", b"")).decode()
+        if topics is not None and topic not in topics:
+            conns[cid] = None  # known, filtered out
+            return
+        defs = parse_definition(
+            inner.get("message_definition", b"").decode("utf-8", "replace")
+        )
+        conns[cid] = Connection(
+            cid, topic, inner.get("type", b"").decode(), make_reader(defs)
+        )
+
+    # Index pre-scan: top-level records only, chunk payloads untouched.
+    chunk_counts: dict[int, dict[int, int]] = {}
+    if topics is not None:
+        for hdr, data, pos in iter_records(content, len(ROSBAG_MAGIC)):
+            op = hdr["op"][0]
+            if op == OP_CONNECTION:
+                register(hdr, data)
+            elif op == OP_CHUNK_INFO and "chunk_pos" in hdr:
+                (cpos,) = struct.unpack_from("<Q", hdr["chunk_pos"], 0)
+                (cnt,) = _U32.unpack_from(hdr["count"], 0)
+                counts: dict[int, int] = {}
+                off = 0
+                for _ in range(cnt):
+                    cid, n = struct.unpack_from("<II", data, off)
+                    off += 8
+                    counts[cid] = n
+                chunk_counts[cpos] = counts
+
+    def skippable(pos: int) -> bool:
+        """True iff the chunk at ``pos`` provably holds no wanted message:
+        its chunk-info lists only connections known to be filtered out. An
+        unindexed chunk or an unknown cid forces the decompress path."""
+        counts = chunk_counts.get(pos)
+        if counts is None:
+            return False
+        return all(
+            cid in conns and conns[cid] is None
+            for cid, n in counts.items()
+            if n > 0
+        )
+
+    def handle(hdr: dict[str, bytes], data: bytes, pos: int) -> Iterator:
         op = hdr["op"][0]
         if op == OP_CONNECTION:
-            (cid,) = _U32.unpack_from(hdr["conn"], 0)
-            if cid in conns:
-                return
-            inner = _parse_header(data, 0, len(data))
-            topic = inner.get("topic", hdr.get("topic", b"")).decode()
-            if topics is not None and topic not in topics:
-                conns[cid] = None  # known, filtered out
-                return
-            defs = parse_definition(
-                inner.get("message_definition", b"").decode("utf-8", "replace")
-            )
-            conns[cid] = Connection(
-                cid, topic, inner.get("type", b"").decode(), make_reader(defs)
-            )
+            register(hdr, data)
         elif op == OP_MSG:
             (cid,) = _U32.unpack_from(hdr["conn"], 0)
             conn = conns.get(cid)
@@ -359,13 +405,15 @@ def read_messages(
             secs, nsecs = _TIME.unpack_from(hdr["time"], 0)
             yield conn, secs * 1_000_000_000 + nsecs, data
         elif op == OP_CHUNK:
+            if skippable(pos):
+                return
             inner = _decompress_chunk(hdr, data)
-            for h2, d2 in iter_records(inner):
-                yield from handle(h2, d2)
+            for h2, d2, p2 in iter_records(inner):
+                yield from handle(h2, d2, p2)
         # ops 0x03/0x04/0x06 (bag header, index, chunk info) need no replay
 
-    for hdr, data in iter_records(content, len(ROSBAG_MAGIC)):
-        yield from handle(hdr, data)
+    for hdr, data, pos in iter_records(content, len(ROSBAG_MAGIC)):
+        yield from handle(hdr, data, pos)
 
 
 def stringify(value: object) -> str:
@@ -406,101 +454,134 @@ def _record(fields: dict[str, bytes], data: bytes) -> bytes:
 def write_bag(
     messages: list[tuple[str, str, str, int, dict[str, object]]],
     compression: str = "none",
+    chunk_mode: str = "single",
 ) -> bytes:
     """Serialize (topic, msg_type, definition, time_ns, flat_fields) rows
-    into a ROS bag 2.0 byte string: version line, bag header, one chunk
-    (optionally bz2), post-chunk connection records, per-connection index
-    data, and a chunk info record — the layout ``rosbag record`` produces.
+    into a ROS bag 2.0 byte string: version line, bag header, chunks
+    (optionally bz2) each followed by its index-data records, post-chunk
+    connection records, and one chunk-info record per chunk — the layout
+    ``rosbag record`` produces.
+
+    ``chunk_mode="per_topic"`` packs each topic's messages into its own
+    chunk (the shape a real recorder approximates over time as topics
+    burst) — the layout that lets the reader's chunk-info skip drop whole
+    camera chunks when scanning for telemetry topics.
     """
+    if chunk_mode == "per_topic":
+        order: list[str] = []
+        by_topic: dict[str, list] = {}
+        for m in messages:
+            if m[0] not in by_topic:
+                by_topic[m[0]] = []
+                order.append(m[0])
+            by_topic[m[0]].append(m)
+        groups = [by_topic[t] for t in order]
+    elif chunk_mode == "single":
+        groups = [messages] if messages else []
+    else:
+        raise ValueError(f"unknown chunk_mode {chunk_mode!r}")
+
     conn_ids: dict[str, int] = {}
     conn_meta: dict[int, tuple[str, str, str]] = {}
     writers: dict[int, Callable[[dict[str, object]], bytes]] = {}
-    chunk_parts: list[bytes] = []
-    index: dict[int, list[tuple[int, int]]] = {}
-
-    for topic, msg_type, definition, t_ns, flat in messages:
-        if topic not in conn_ids:
-            cid = conn_ids[topic] = len(conn_ids)
-            conn_meta[cid] = (topic, msg_type, definition)
-            writers[cid] = make_writer(parse_definition(definition))
-            chunk_parts.append(_connection_record(cid, topic, msg_type, definition))
-        cid = conn_ids[topic]
-        secs, nsecs = divmod(t_ns, 1_000_000_000)
-        offset = sum(len(p) for p in chunk_parts)
-        chunk_parts.append(
-            _record(
-                {
-                    "op": bytes([OP_MSG]),
-                    "conn": _U32.pack(cid),
-                    "time": _TIME.pack(secs, nsecs),
-                },
-                writers[cid](flat),
-            )
-        )
-        index.setdefault(cid, []).append((t_ns, offset))
-
-    chunk_data = b"".join(chunk_parts)
-    if compression == "bz2":
-        payload = bz2.compress(chunk_data)
-    elif compression == "none":
-        payload = chunk_data
-    else:
-        raise ValueError(f"unsupported write compression {compression!r}")
-
-    all_ns = [t_ns for _, _, _, t_ns, _ in messages] or [0]
-    start, end = min(all_ns), max(all_ns)
 
     pre = ROSBAG_MAGIC
-    bag_header_len = 4 + len(_hdr_bytes(_bag_header_fields(0, 0, 0))) + 4 + 4096
-    chunk_pos = len(pre) + bag_header_len
-    chunk_rec = _record(
-        {
-            "op": bytes([OP_CHUNK]),
-            "compression": compression.encode(),
-            "size": _U32.pack(len(chunk_data)),
-        },
-        payload,
-    )
-    index_pos = chunk_pos + len(chunk_rec)
+    pos = len(pre) + len(_padded_bag_header(0, 0, 0))
+    body: list[bytes] = []
+    infos: list[tuple[int, int, int, dict[int, int]]] = []
 
-    post: list[bytes] = []
-    for cid, (topic, msg_type, definition) in conn_meta.items():
-        post.append(_connection_record(cid, topic, msg_type, definition))
-    for cid, entries in index.items():
-        data = b"".join(
-            _TIME.pack(*divmod(t, 1_000_000_000)) + _U32.pack(off)
-            for t, off in entries
+    for group in groups:
+        chunk_parts: list[bytes] = []
+        index: dict[int, list[tuple[int, int]]] = {}
+        for topic, msg_type, definition, t_ns, flat in group:
+            if topic not in conn_ids:
+                cid = conn_ids[topic] = len(conn_ids)
+                conn_meta[cid] = (topic, msg_type, definition)
+                writers[cid] = make_writer(parse_definition(definition))
+                chunk_parts.append(
+                    _connection_record(cid, topic, msg_type, definition)
+                )
+            cid = conn_ids[topic]
+            secs, nsecs = divmod(t_ns, 1_000_000_000)
+            offset = sum(len(p) for p in chunk_parts)
+            chunk_parts.append(
+                _record(
+                    {
+                        "op": bytes([OP_MSG]),
+                        "conn": _U32.pack(cid),
+                        "time": _TIME.pack(secs, nsecs),
+                    },
+                    writers[cid](flat),
+                )
+            )
+            index.setdefault(cid, []).append((t_ns, offset))
+
+        chunk_data = b"".join(chunk_parts)
+        if compression == "bz2":
+            payload = bz2.compress(chunk_data)
+        elif compression == "none":
+            payload = chunk_data
+        else:
+            raise ValueError(f"unsupported write compression {compression!r}")
+        chunk_rec = _record(
+            {
+                "op": bytes([OP_CHUNK]),
+                "compression": compression.encode(),
+                "size": _U32.pack(len(chunk_data)),
+            },
+            payload,
         )
-        post.append(
-            _record(
+        chunk_pos = pos
+        body.append(chunk_rec)
+        pos += len(chunk_rec)
+        for cid, entries in index.items():
+            rec = _record(
                 {
                     "op": bytes([OP_INDEX]),
                     "ver": _U32.pack(1),
                     "conn": _U32.pack(cid),
                     "count": _U32.pack(len(entries)),
                 },
-                data,
+                b"".join(
+                    _TIME.pack(*divmod(t, 1_000_000_000)) + _U32.pack(off)
+                    for t, off in entries
+                ),
+            )
+            body.append(rec)
+            pos += len(rec)
+        ns = [m[3] for m in group]
+        infos.append(
+            (
+                chunk_pos,
+                min(ns),
+                max(ns),
+                {cid: len(e) for cid, e in index.items()},
             )
         )
-    post.append(
-        _record(
-            {
-                "op": bytes([OP_CHUNK_INFO]),
-                "ver": _U32.pack(1),
-                "chunk_pos": struct.pack("<Q", chunk_pos),
-                "start_time": _TIME.pack(*divmod(start, 1_000_000_000)),
-                "end_time": _TIME.pack(*divmod(end, 1_000_000_000)),
-                "count": _U32.pack(len(conn_meta)),
-            },
-            b"".join(
-                _U32.pack(cid) + _U32.pack(len(entries))
-                for cid, entries in index.items()
-            ),
-        )
-    )
 
-    bag_header = _padded_bag_header(index_pos, len(conn_meta), 1)
-    return pre + bag_header + chunk_rec + b"".join(post)
+    index_pos = pos
+    post: list[bytes] = []
+    for cid, (topic, msg_type, definition) in conn_meta.items():
+        post.append(_connection_record(cid, topic, msg_type, definition))
+    for chunk_pos, start, end, counts in infos:
+        post.append(
+            _record(
+                {
+                    "op": bytes([OP_CHUNK_INFO]),
+                    "ver": _U32.pack(1),
+                    "chunk_pos": struct.pack("<Q", chunk_pos),
+                    "start_time": _TIME.pack(*divmod(start, 1_000_000_000)),
+                    "end_time": _TIME.pack(*divmod(end, 1_000_000_000)),
+                    "count": _U32.pack(len(counts)),
+                },
+                b"".join(
+                    _U32.pack(cid) + _U32.pack(n) for cid, n in counts.items()
+                ),
+            )
+        )
+
+    bag_header = _padded_bag_header(index_pos, len(conn_meta), len(infos))
+    return pre + bag_header + b"".join(body) + b"".join(post)
 
 
 def _bag_header_fields(index_pos: int, conn_count: int, chunk_count: int):

@@ -26,9 +26,9 @@ from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spa
 def test_record_layer_roundtrip():
     """Header fields and record framing survive write → parse."""
     rec = rb._record({"op": b"\x02", "conn": rb._U32.pack(7)}, b"payload")
-    [(hdr, data)] = list(rb.iter_records(rec))
+    [(hdr, data, pos)] = list(rb.iter_records(rec))
     assert hdr["op"] == b"\x02" and rb._U32.unpack(hdr["conn"])[0] == 7
-    assert data == b"payload"
+    assert data == b"payload" and pos == 0
 
 
 def test_definition_parser_handles_constants_comments_and_sections():
@@ -92,6 +92,37 @@ def test_topic_pushdown_skips_image_bytes():
     assert set(got.topic) == {"/imu"}
     # connection pushdown marks unrequested conns as filtered (None)
     assert len(got) == len([r for r in fixtures._bag_rows(0, 1) if r[1] == "/imu"])
+
+
+def test_chunk_info_skips_whole_chunks(monkeypatch):
+    """Topic pushdown on a chunked bag skips non-matching chunks WITHOUT
+    decompressing them (chunk-info index pre-scan) — the rosbag C++
+    index behavior, and the property that makes an image-heavy bag cheap
+    to scan for telemetry."""
+    data = fixtures.rosbag_bytes(
+        0, duration_s=1, frames_per_camera=2, compression="bz2"
+    )
+    real_decompress = rb.bz2.decompress
+    calls = []
+
+    def counting(payload):
+        calls.append(1)
+        return real_decompress(payload)
+
+    monkeypatch.setattr(rb.bz2, "decompress", counting)
+
+    rb.rosbag_decoder("x/bag0000.bag", data, None)
+    n_all = len(calls)
+    assert n_all >= 12  # per-topic chunks: 8 telemetry + 4 cameras
+
+    calls.clear()
+    got = rb.rosbag_decoder("x/bag0000.bag", data, ["/imu", "/gps"])
+    assert set(got.topic) == {"/imu", "/gps"}
+    assert len(calls) == 2  # only the two matching chunks inflate
+
+    calls.clear()
+    got = rb.rosbag_decoder("x/bag0000.bag", data, ["/no_such_topic"])
+    assert len(got) == 0 and len(calls) == 0  # nothing inflates at all
 
 
 def test_frame_decoder_matches_frames_fixture(spark):
