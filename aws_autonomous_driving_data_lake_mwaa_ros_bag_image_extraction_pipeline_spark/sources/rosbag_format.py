@@ -94,10 +94,131 @@ def _decompress_chunk(hdr: dict[str, bytes], data: bytes) -> bytes:
     if comp == "lz4":
         try:
             import lz4.frame  # type: ignore[import-not-found]
-        except ImportError as exc:  # pragma: no cover - lib absent here
-            raise ValueError("bag uses lz4 chunks; lz4 not installed") from exc
-        return lz4.frame.decompress(data)
+
+            return lz4.frame.decompress(data)
+        except ImportError:
+            return lz4_frame_decompress(data)
     raise ValueError(f"unknown chunk compression {comp!r}")
+
+
+# ---------------------------------------------------------------------------
+# pure-Python LZ4 (rosbag's default chunk compression is roslz4). Public
+# formats: block spec + legacy frame (magic 0x184C2102, what roslz4 writes)
+# and the standard frame (magic 0x184D2204). Used only when no lz4 lib is
+# installed; the writer emits literal-only blocks (valid LZ4, ratio 1).
+# ---------------------------------------------------------------------------
+
+_LZ4_LEGACY_MAGIC = 0x184C2102
+_LZ4_FRAME_MAGIC = 0x184D2204
+
+
+def lz4_block_decompress(src: bytes) -> bytes:
+    """Decompress one raw LZ4 block (token / literals / offset+match)."""
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        out += src[i : i + lit]
+        i += lit
+        if i >= n:  # last sequence: literals only
+            break
+        offset = src[i] | (src[i + 1] << 8)
+        i += 2
+        if offset == 0:
+            raise ValueError("corrupt LZ4 block (zero match offset)")
+        mlen = (token & 0xF) + 4
+        if (token & 0xF) == 15:
+            while True:
+                b = src[i]
+                i += 1
+                mlen += b
+                if b != 255:
+                    break
+        start = len(out) - offset
+        if start < 0:
+            raise ValueError("corrupt LZ4 block (offset past start)")
+        for _ in range(mlen):  # byte-wise: matches may overlap themselves
+            out.append(out[start])
+            start += 1
+    return bytes(out)
+
+
+def lz4_frame_decompress(data: bytes) -> bytes:
+    """Decompress an LZ4 legacy frame (roslz4) or standard frame."""
+    (magic,) = _U32.unpack_from(data, 0)
+    out = bytearray()
+    if magic == _LZ4_LEGACY_MAGIC:
+        # magic, then bare blocks: <u32 compressed_len><block> until EOF or
+        # a next magic (legacy frames can concatenate)
+        pos = 4
+        while pos + 4 <= len(data):
+            (blen,) = _U32.unpack_from(data, pos)
+            if blen == _LZ4_LEGACY_MAGIC:
+                pos += 4
+                continue
+            pos += 4
+            out += lz4_block_decompress(data[pos : pos + blen])
+            pos += blen
+        return bytes(out)
+    if magic == _LZ4_FRAME_MAGIC:
+        flg = data[4]
+        pos = 6  # magic + FLG + BD
+        if flg & 0x08:  # content size present
+            pos += 8
+        if flg & 0x01:  # dict id
+            pos += 4
+        pos += 1  # header checksum
+        block_checksums = bool(flg & 0x10)
+        while True:
+            (bsize,) = _U32.unpack_from(data, pos)
+            pos += 4
+            if bsize == 0:  # EndMark
+                break
+            uncompressed = bool(bsize & 0x80000000)
+            bsize &= 0x7FFFFFFF
+            block = data[pos : pos + bsize]
+            pos += bsize
+            if block_checksums:
+                pos += 4
+            out += block if uncompressed else lz4_block_decompress(block)
+        return bytes(out)
+    raise ValueError(f"not an LZ4 frame (magic {magic:#x})")
+
+
+def lz4_frame_compress_stored(data: bytes, block_size: int = 1 << 22) -> bytes:
+    """Emit a VALID legacy LZ4 frame with literal-only blocks (no matches —
+    ratio 1). Lets the writer produce lz4-labeled bags any conformant
+    reader (roslz4 included) accepts, without shipping a match searcher."""
+    parts = [_U32.pack(_LZ4_LEGACY_MAGIC)]
+    for i in range(0, max(len(data), 1), block_size):
+        chunk = data[i : i + block_size]
+        # ONE final sequence per block: token literal-length (15 → extension
+        # bytes encode any length), literals, no match — only the last
+        # sequence of a block may omit the match, so never split.
+        body = bytearray()
+        llen = len(chunk)
+        if llen < 15:
+            body.append(llen << 4)
+        else:
+            body.append(0xF0)
+            rest = llen - 15
+            while rest >= 255:
+                body.append(255)
+                rest -= 255
+            body.append(rest)
+        body += chunk
+        parts.append(_U32.pack(len(body)))
+        parts.append(bytes(body))
+    return b"".join(parts)
 
 
 # ---------------------------------------------------------------------------
@@ -519,6 +640,8 @@ def write_bag(
         chunk_data = b"".join(chunk_parts)
         if compression == "bz2":
             payload = bz2.compress(chunk_data)
+        elif compression == "lz4":
+            payload = lz4_frame_compress_stored(chunk_data)
         elif compression == "none":
             payload = chunk_data
         else:

@@ -94,6 +94,37 @@ def test_topic_pushdown_skips_image_bytes():
     assert len(got) == len([r for r in fixtures._bag_rows(0, 1) if r[1] == "/imu"])
 
 
+def test_lz4_block_and_frame_roundtrip():
+    """Pure-Python LZ4: hand-crafted blocks with overlapping matches decode
+    per the public block spec; legacy + standard frames round-trip."""
+    # literals "abcd", then match offset=4 len=8 → "abcd" * 3
+    block = bytes([0x44]) + b"abcd" + bytes([0x04, 0x00])
+    assert rb.lz4_block_decompress(block) == b"abcdabcdabcd"
+    # RLE-style self-overlap: literal "x", match offset=1 len=9 → "x" * 10
+    block = bytes([0x15]) + b"x" + bytes([0x01, 0x00])
+    assert rb.lz4_block_decompress(block) == b"x" * 10
+
+    payload = bytes(range(256)) * 700  # > one 255+15 literal run
+    legacy = rb.lz4_frame_compress_stored(payload)
+    assert rb.lz4_frame_decompress(legacy) == payload
+
+    lz4 = pytest.importorskip("lz4.frame")
+    assert rb.lz4_frame_decompress(lz4.compress(payload)) == payload
+
+
+def test_lz4_chunked_bag_decodes_without_lz4_lib():
+    data = fixtures.rosbag_bytes(
+        0, duration_s=1, frames_per_camera=2, compression="lz4"
+    )
+    a = rb.rosbag_decoder("x/bag0000.bag", data, None)
+    b = rb.rosbag_decoder(
+        "x/bag0000.bag",
+        fixtures.rosbag_bytes(0, duration_s=1, frames_per_camera=2),
+        None,
+    )
+    assert a.equals(b)
+
+
 def test_chunk_info_skips_whole_chunks(monkeypatch):
     """Topic pushdown on a chunked bag skips non-matching chunks WITHOUT
     decompressing them (chunk-info index pre-scan) — the rosbag C++
