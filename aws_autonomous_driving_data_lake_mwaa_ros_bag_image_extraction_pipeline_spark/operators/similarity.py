@@ -213,10 +213,12 @@ def refine_centroids(
             scored.select(
                 F.col(id_col),
                 F.col("cid"),
-                (-V.cosine(F.col(vec_col), F.col("cv"))).alias("d"),
+                # rounded + struct-min: deterministic assignment under ties
+                # (same contract as ivf_assign)
+                F.round(-V.cosine(F.col(vec_col), F.col("cv")), 6).alias("d"),
             )
             .groupBy(id_col)
-            .agg(F.min_by("cid", "d").alias("cid"))
+            .agg(F.min(F.struct("d", "cid"))["cid"].alias("cid"))
         ).join(emb.select(F.col(id_col), F.col(vec_col)), id_col)
         cents = (
             assign.select("cid", F.posexplode(F.col(vec_col)).alias("pos", "val"))
@@ -334,7 +336,8 @@ def pandas_topk(
     qm = np.vstack(queries_pdf[vec_col].to_numpy()).astype("float64")
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
 
-    schema = "query_id long, neighbor_id long, cosine double"
+    id_type = dict(corpus.dtypes)[id_col]
+    schema = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
 
     def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
