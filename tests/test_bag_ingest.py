@@ -110,6 +110,57 @@ def test_bag_datasource_matches_mapinpandas_path(spark, bag_dir):
     assert {r.topic for r in gps.select("topic").distinct().collect()} == {"/gps"}
 
 
+def test_bag_datasource_streams_exactly_once(spark, tmp_path):
+    """spark.readStream.format('rosbag'): path-set offsets give exactly-once
+    decode across ticks — a later tick processes only newly-arrived bags."""
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.sources.bag_datasource import (
+        BagDataSource,
+    )
+
+    bags = str(tmp_path / "bags")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    fixtures.write_bag_dir(bags, n_bags=2, tar_gz=())
+    spark.dataSource.register(BagDataSource)
+
+    def tick():
+        q = (
+            spark.readStream.format("rosbag")
+            .option("path", bags)
+            .option("topics", "/imu,/gps")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    tick()
+    landed = spark.read.parquet(out)
+    want2 = fixtures.topic_messages(spark, n_bags=2).filter(
+        F.col("topic").isin("/imu", "/gps")
+    )
+    assert landed.count() == want2.count()
+    assert set(r.bag_id for r in landed.select("bag_id").distinct().collect()) == {
+        "bag0000",
+        "bag0001",
+    }
+
+    # no new files: tick is a no-op (checkpointed offsets)
+    tick()
+    assert spark.read.parquet(out).count() == want2.count()
+
+    # one new bag arrives: only its rows append
+    fixtures.write_bag_dir(bags, n_bags=3, tar_gz=())
+    tick()
+    want3 = fixtures.topic_messages(spark, n_bags=3).filter(
+        F.col("topic").isin("/imu", "/gps")
+    )
+    assert spark.read.parquet(out).count() == want3.count()
+
+
 def test_csv_ingest_inferred_schema(spark, tmp_path):
     """S8: per-topic CSV with header+inferSchema — typed columns, counts."""
     root = str(tmp_path / "csvs")
