@@ -1320,6 +1320,61 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_join_revenue",
+    """
+    SELECT n.n_name, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6)))
+                          AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join whose ORACLE is the plain join — the driver gate
+    itself proves salted == unsalted. orders (big, salted on a row hash) ×
+    customer⋈nation (small side, replicated per salt): the pattern for a
+    broadcast-ineligible dimension with one dominating key."""
+    from ..operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    joined = salted_join(
+        orders.select(F.col("o_custkey").alias("c_custkey"), "o_totalprice"),
+        dim.select("c_custkey", "n_name"),
+        on=["c_custkey"],
+        n_salts=8,
+    )
+    return joined.groupBy("n_name").agg(
+        dsum(F.col("o_totalprice"), "revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "salted_distinct_parts",
+    """
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_distinct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def salted_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage skew-safe EXACT distinct count; oracle is the plain
+    COUNT(DISTINCT). The value-hash salt makes per-shard counts disjoint,
+    so the merge is a SUM of n_salts tiny rows per group — no single
+    reducer ever sees a hot group's full value set."""
+    from ..operators.skew import salted_count_distinct
+
+    li = _t(spark, sf_dir, "lineitem")
+    return salted_count_distinct(
+        li, "l_returnflag", "l_partkey", n_salts=16
+    ).withColumnRenamed("n_distinct", "n_distinct")
+
+
+@register(
     "kmv_distinct_users",
     f"""
     WITH h AS (
