@@ -569,6 +569,36 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(date_trunc('day', ts) AS DATE) AS day
+    FROM events GROUP BY 1, 2, 4
+    """,
+)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental continuous aggregate vs full-recompute oracle: the
+    events table folds in as TWO separate update_rollup ticks (split on
+    user_id parity) and the merged table must equal one global GROUP BY —
+    the driver gate now proves the partial-merge + dynamic-partition-
+    overwrite logic, not just pytest."""
+    import shutil
+    import tempfile
+
+    from ..operators import rollup as ru
+
+    ev = _t(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="rollup_gate_")
+    shutil.rmtree(path)  # update_rollup expects to create it
+    ru.update_rollup(spark, ev.filter(F.col("user_id") % 2 == 0), path)
+    ru.update_rollup(spark, ev.filter(F.col("user_id") % 2 == 1), path)
+    return ru.read_rollup(spark, path).select(
+        "window_start", "event_type", "n_events", "day"
+    )
+
+
+@register(
     "window_lag_delta",
     """
     SELECT event_id, user_id,
