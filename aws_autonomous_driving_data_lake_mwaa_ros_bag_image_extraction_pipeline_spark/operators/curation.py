@@ -1,0 +1,304 @@
+"""Dataset-assembly (curation) operators over ``documents`` (north-star).
+
+The steps downstream of dedup/quality in a training-data pipeline: packing
+documents into fixed-token-budget training sequences, deterministic sampling
+(stratified rates and per-group top-k), PII/pattern redaction, passage-level
+contamination stats, and per-group heavy hitters.
+
+Everything except the optional exact first-fit packer is built-in expressions
+(whole-stage codegen, no Python in the hot path). All hash-derived decisions
+use md5 (see functions.hashing) so the DuckDB oracle reproduces them
+bit-exactly.
+
+Scale notes (100 TB): sampling and redaction are narrow per-row transforms;
+packing shuffles once on the shard key (shard count is a free parallelism
+knob); passage stats and heavy hitters are explode → partial-agg pipelines
+where the map-side combine collapses the exploded rows before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..functions import text as T
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget training bin.
+
+    Contiguous greedy packing with overflow: within a shard (``id % n_shards``)
+    documents are taken in id order and a document lands in bin
+    ``floor(exclusive_prefix_tokens / capacity)`` — i.e. the bin it *starts*
+    in. A bin can overflow its budget by at most one document's tail, which
+    the downstream trainer truncates (the standard pack-then-truncate
+    recipe). This formulation is a single window cumulative sum — no Python,
+    no iteration — so it is SQL-expressible and oracle-checkable; see
+    :func:`pack_sequences_exact` for the strict no-overflow first-fit variant.
+
+    One shuffle on the shard key; shard count is the parallelism knob (at
+    100 TB raise ``n_shards`` so each shard's window sort fits an executor).
+    """
+    toks = T.token_count(F.col(text_col))
+    w = Window.partitionBy("shard").orderBy(id_col)
+    cum = F.sum("n_tokens").over(w)
+    return (
+        docs.select(
+            F.col(id_col),
+            F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard"),
+            toks.alias("n_tokens"),
+        )
+        .withColumn(
+            "bin_id",
+            F.floor((cum - F.col("n_tokens")) / F.lit(capacity)).cast("int"),
+        )
+    )
+
+
+def pack_bins(
+    docs: DataFrame,
+    capacity: int,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-bin packing summary: document count, token fill, utilization."""
+    packed = pack_sequences(docs, capacity, n_shards, id_col, text_col)
+    return packed.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        H.quantize(F.sum("n_tokens") / F.lit(float(capacity)), 4).alias("fill"),
+    )
+
+
+def pack_sequences_exact(
+    docs: DataFrame,
+    capacity: int,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Strict first-fit packing: a new bin opens when adding the next document
+    would exceed ``capacity`` (a document longer than the whole budget gets a
+    bin alone). Needs the running ``if cum > cap: reset`` recurrence, which no
+    window expression computes — so it runs as ``applyInPandas`` per shard
+    (one shuffle, Python loop over one shard's already-small id-sorted
+    arrays). Cross-checked against a reference packer in pytest.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard"),
+        T.token_count(F.col(text_col)).alias("n_tokens"),
+    )
+
+    def _pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fill, cur = [], 0, 0
+        for n in pdf["n_tokens"]:
+            if fill > 0 and fill + n > capacity:
+                cur += 1
+                fill = 0
+            bins.append(cur)
+            fill += n
+        pdf["bin_id"] = bins
+        return pdf[["doc_id", "shard", "n_tokens", "bin_id"]]
+
+    return base.groupBy("shard").applyInPandas(
+        _pack, "doc_id long, shard long, n_tokens int, bin_id long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def hash_rate_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified Bernoulli sample: keep a row iff
+    ``md5_uniform(id) < rate[stratum]``.
+
+    This is the data-mixing primitive (sample each source/domain at its own
+    rate). Hash-based, so the sample is reproducible across runs, engines,
+    and cluster sizes — unlike ``DataFrame.sample`` whose output depends on
+    partitioning. Narrow per-row filter, pushed to the scan.
+    """
+    u = H.md5_long(F.col(id_col)) / F.lit(float(1 << 60))
+    rate = F.lit(float(default_rate))
+    for stratum in sorted(rates):
+        rate = F.when(
+            F.col(strata_col) == stratum, F.lit(float(rates[stratum]))
+        ).otherwise(rate)
+    return docs.filter(u < rate)
+
+
+def group_topk_sample(
+    docs: DataFrame,
+    k: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Uniform-without-replacement sample of ``k`` rows per group: keep the k
+    rows with the smallest ``md5(id)`` — the deterministic equivalent of a
+    per-group reservoir. The ``row_number <= k`` filter compiles to Spark's
+    WindowGroupLimit, so each map task keeps only k candidates per group
+    before the shuffle (no group's full row set ever sorts on one reducer).
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        H.md5_hex(F.col(id_col)), F.col(id_col)
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pattern / PII redaction
+# ---------------------------------------------------------------------------
+
+# Default PII patterns — kept to syntax with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): no lookaround, no backreferences.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d[\d. -]{7,}\d",
+}
+
+
+def redact_patterns(
+    docs: DataFrame,
+    patterns: dict[str, str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Count and redact sensitive patterns (PII scrub).
+
+    For each named pattern emits ``n_<name>`` (occurrence count) and replaces
+    matches with ``[<NAME>]`` in the returned ``scrubbed`` column. Counting
+    uses ``regexp_extract_all`` and replacement ``regexp_replace`` — both
+    whole-stage-codegen built-ins; per-row cost is O(len·patterns) with no
+    shuffle, so the scrub runs at scan speed at any scale.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    cols = [F.col(id_col)]
+    scrubbed = F.col(text_col)
+    for name in sorted(pats):
+        rx = pats[name]
+        cols.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(rx), F.lit(0)))
+            .alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, rx, f"[{name.upper()}]")
+    cols.append(scrubbed.alias("scrubbed"))
+    return docs.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Passage-level contamination stats
+# ---------------------------------------------------------------------------
+
+
+def passage_hashes(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Explode each document into md5 hashes of its non-overlapping n-token
+    passages (chunk i = tokens [i·n, i·n + n)); trailing partial chunks are
+    dropped. Documents shorter than ``n`` tokens yield no rows.
+    """
+    toks = T.tokens(F.lower(F.col(text_col)))
+
+    def _passages(tk):
+        n_chunks = F.floor(F.size(tk) / F.lit(n)).cast("int")
+        idx = F.when(
+            n_chunks >= 1, F.sequence(F.lit(0), n_chunks - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(idx, lambda i: F.array_join(F.slice(tk, i * n + 1, n), " "))
+
+    return docs.select(
+        F.col(id_col),
+        F.explode(T.bind(toks, _passages)).alias("passage"),
+    ).select(F.col(id_col), F.md5("passage").alias("passage_md5"))
+
+
+def passage_dup_stats(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document cross-document contamination: the fraction of a doc's
+    passages that also appear in at least one *other* document (boilerplate /
+    benchmark-contamination signal; passage = n consecutive tokens).
+
+    Plan shape: explode → distinct per (doc, passage) → per-passage doc
+    count (partial-agg both sides) → semi-join back. Every shuffle key is a
+    32-hex md5 — uniformly distributed, no skew at 100 TB.
+    """
+    p = passage_hashes(docs, n, id_col, text_col).distinct()
+    shared = (
+        p.groupBy("passage_md5")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+    flagged = p.join(shared, "passage_md5", "left_semi")
+    per_doc = p.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_passages"))
+    per_doc_dup = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_passages")
+    )
+    return (
+        per_doc.join(per_doc_dup, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_passages",
+            F.coalesce("n_dup_passages", F.lit(0)).alias("n_dup_passages"),
+            H.quantize(
+                F.coalesce("n_dup_passages", F.lit(0)) / F.col("n_passages"), 4
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    k: int = 5,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k most frequent tokens per group (exact, deterministic tie-break
+    by token). explode → count is a map-side-combined aggregation (the
+    exploded rows collapse to |vocab|·|groups| before the shuffle), and the
+    ``row_number <= k`` filter compiles to WindowGroupLimit — the per-group
+    sort never materializes beyond k rows per task.
+    """
+    tok = docs.select(
+        F.col(group_col),
+        F.explode(T.tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    counts = tok.groupBy(group_col, "token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(group_col).orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "token", "cnt", F.col("rank").cast("int").alias("rank"))
+    )

@@ -25,7 +25,7 @@ from ..functions import hashing as H
 from ..functions import text as T
 from ..functions import vectors as V
 from ..operators import asof as asof_op
-from ..operators import dedup, frames, sessionize, similarity, textstats
+from ..operators import curation, dedup, frames, sessionize, similarity, textstats
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1517,6 +1517,213 @@ def price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("quartile"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset-assembly / curation (north-star: operators/curation.py)
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of functions.text.token_count (whitespace tokens incl. the
+# ['']-for-empty convention both engines share).
+_D_NTOK = "len(regexp_split_to_array(trim(text), '\\s+'))"
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % 16 AS shard, {_D_NTOK} AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT shard, CAST(floor((cum - n_tokens) / 256) AS INTEGER) AS bin_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           floor(SUM(n_tokens) / 256.0 * 10000 + 0.5) / 10000.0 AS fill
+    FROM c GROUP BY shard, bin_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy-with-overflow sequence packing (curation.pack_bins): bin =
+    floor(exclusive-prefix-tokens / capacity) inside each id-hash shard.
+    One window cumsum per shard + one partial-agg rollup — both shuffles key
+    on the shard, whose count is the free parallelism knob at 100 TB."""
+    return curation.pack_bins(
+        _t(spark, sf_dir, "documents"), capacity=256, n_shards=16
+    )
+
+
+@register(
+    "sequence_packing_exact",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, doc_id % 16 AS shard, n_tokens,
+             row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn
+      FROM (SELECT doc_id, {_D_NTOK} AS n_tokens FROM documents)
+    ),
+    packed AS (
+      SELECT shard, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+             CASE WHEN p.fill + t.n_tokens > 256
+                  THEN p.bin_id + 1 ELSE p.bin_id END,
+             CASE WHEN p.fill + t.n_tokens > 256
+                  THEN t.n_tokens ELSE p.fill + t.n_tokens END
+      FROM packed p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1
+    )
+    SELECT doc_id, shard, CAST(n_tokens AS INTEGER) AS n_tokens, bin_id
+    FROM packed
+    """,
+)
+def sequence_packing_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict first-fit packing (curation.pack_sequences_exact): the
+    fill-reset recurrence runs as applyInPandas per shard. The oracle
+    replays the same recurrence as a DuckDB recursive CTE stepping one
+    row per shard per iteration — bit-identical bin assignments."""
+    return curation.pack_sequences_exact(
+        _t(spark, sf_dir, "documents"), capacity=256, n_shards=16
+    )
+
+
+# Shared md5-uniform spelling (DuckDB side of functions.hashing.md5_long).
+_D_MD5U = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    f" / {float(1 << 60)}"
+)
+
+
+@register(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_D_MD5U} < CASE source
+      WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.5
+      WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1 ELSE 0.05 END
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified Bernoulli sample (data mixing): keep iff
+    md5-uniform(id) < rate[source]. Reproducible across engines, runs and
+    cluster sizes — unlike DataFrame.sample. Narrow scan-side filter."""
+    return curation.hash_rate_sample(
+        _t(spark, sf_dir, "documents"),
+        {"src0": 0.8, "src1": 0.5, "src2": 0.25, "src3": 0.1},
+        default_rate=0.05,
+    ).select("doc_id", "source")
+
+
+@register(
+    "group_sample_topk",
+    """
+    SELECT doc_id, source, n_chars FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY source
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 3
+    """,
+)
+def group_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group uniform k-sample = k smallest md5(id) per group — the
+    deterministic reservoir. row_number<=k compiles to WindowGroupLimit so
+    map tasks pre-prune to k rows per group before the shuffle."""
+    return curation.group_topk_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars"), k=3
+    )
+
+
+@register(
+    "pattern_redaction",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(
+             text, '\b(?:customer|part|order)\b')) AS INTEGER) AS n_acct,
+           CAST(len(regexp_extract_all(
+             text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             AS INTEGER) AS n_email,
+           md5(regexp_replace(
+             regexp_replace(text, '\b(?:customer|part|order)\b',
+                            '[ACCT]', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '[EMAIL]', 'g')) AS scrub_md5
+    FROM documents
+    """,
+)
+def pattern_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style pattern scrub (curation.redact_patterns): per-pattern
+    occurrence counts + redacted text (hashed here to keep the result
+    narrow). The 'acct' demo pattern exercises alternation/word-boundary
+    parity on this corpus; the email pattern is the real PII regex (zero
+    matches here, full fixture coverage in tests). Patterns apply in
+    sorted-name order on both engines."""
+    red = curation.redact_patterns(
+        _t(spark, sf_dir, "documents"),
+        {
+            "acct": r"\b(?:customer|part|order)\b",
+            "email": curation.PII_PATTERNS["email"],
+        },
+    )
+    return red.select(
+        "doc_id", "n_acct", "n_email", F.md5("scrubbed").alias("scrub_md5")
+    )
+
+
+@register(
+    "passage_dup_stats",
+    f"""
+    WITH tk AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+    p AS (
+      SELECT DISTINCT doc_id, passage_md5 FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(0, CAST(floor(len(toks) / 3) AS INTEGER)),
+                 i -> md5(array_to_string(
+                        list_slice(toks, i * 3 + 1, i * 3 + 3), ' '))))
+                 AS passage_md5
+        FROM tk)
+    ),
+    shared AS (SELECT passage_md5 FROM p GROUP BY 1 HAVING COUNT(*) > 1),
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_passages FROM p GROUP BY 1),
+    dup AS (
+      SELECT doc_id, COUNT(*) AS n_dup FROM p
+      WHERE passage_md5 IN (SELECT passage_md5 FROM shared) GROUP BY 1
+    )
+    SELECT per_doc.doc_id, n_passages,
+           coalesce(n_dup, 0) AS n_dup_passages,
+           floor(coalesce(n_dup, 0) / n_passages * 10000 + 0.5) / 10000.0
+             AS dup_ratio
+    FROM per_doc LEFT JOIN dup USING (doc_id)
+    """,
+)
+def q_passage_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document passage contamination (curation.passage_dup_stats):
+    share of each doc's 3-token chunks that appear in another doc. All
+    shuffle keys are md5 hashes — uniform, skew-free at 100 TB."""
+    return curation.passage_dup_stats(_t(spark, sf_dir, "documents"), n=3)
+
+
+@register(
+    "token_heavy_hitters",
+    f"""
+    SELECT source, token, cnt, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT source, token, COUNT(*) AS cnt,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY COUNT(*) DESC, token) AS rank
+      FROM (SELECT source, unnest({_D_TOKS}) AS token FROM documents)
+      GROUP BY source, token)
+    WHERE rank <= 5
+    """,
+)
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group heavy hitters (curation.heavy_hitters): explode →
+    map-side-combined count → WindowGroupLimit top-k, deterministic
+    tie-break on the token."""
+    return curation.heavy_hitters(_t(spark, sf_dir, "documents"), k=5)
 
 
 # ---------------------------------------------------------------------------

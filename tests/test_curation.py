@@ -1,0 +1,149 @@
+"""Dataset-assembly (curation) operators: packing, sampling, redaction,
+passage contamination, heavy hitters."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+    curation,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pack_sequences_exact_capacity_invariant(spark):
+    """No bin exceeds capacity unless it holds a single oversized doc, and
+    in id order a doc never fits in the previous bin (true first-fit)."""
+    rows = [(i, " ".join(["w"] * (3 + (i * 7) % 40))) for i in range(60)]
+    rows.append((60, " ".join(["w"] * 200)))  # oversized: gets its own bin
+    got = curation.pack_sequences_exact(
+        _docs(spark, rows), capacity=64, n_shards=4
+    ).collect()
+    by_bin: dict[tuple, int] = {}
+    for r in got:
+        by_bin.setdefault((r.shard, r.bin_id), []).append(r)
+    for (shard, bin_id), members in by_bin.items():
+        total = sum(m.n_tokens for m in members)
+        assert total <= 64 or len(members) == 1
+    # first-fit: within each shard, consecutive docs in the same bin never
+    # leave room for the first doc of the next bin
+    for shard in {r.shard for r in got}:
+        ordered = sorted((r for r in got if r.shard == shard), key=lambda r: r.doc_id)
+        fill = 0
+        for r in ordered:
+            if fill > 0 and fill + r.n_tokens > 64:
+                fill = 0  # reference packer opens a new bin exactly here
+            fill += r.n_tokens
+        # replaying the recurrence reproduces the operator's assignment
+        ref_bins, fill, cur = [], 0, 0
+        for r in ordered:
+            if fill > 0 and fill + r.n_tokens > 64:
+                cur, fill = cur + 1, 0
+            ref_bins.append(cur)
+            fill += r.n_tokens
+        assert [r.bin_id for r in ordered] == ref_bins
+
+
+def test_pack_sequences_greedy_overflow_bound(spark):
+    """Greedy-with-overflow: every bin's fill is < capacity + its last doc's
+    length (each doc starts in the bin its exclusive prefix points at)."""
+    rows = [(i, " ".join(["w"] * (5 + (i * 11) % 50))) for i in range(80)]
+    bins = curation.pack_bins(_docs(spark, rows), capacity=100, n_shards=4).collect()
+    packed = curation.pack_sequences(_docs(spark, rows), capacity=100, n_shards=4)
+    max_doc = packed.agg(F.max("n_tokens")).collect()[0][0]
+    for b in bins:
+        assert b.total_tokens < 100 + max_doc
+    # bins within a shard are dense 0..max
+    by_shard: dict[int, list[int]] = {}
+    for b in bins:
+        by_shard.setdefault(b.shard, []).append(b.bin_id)
+    for ids in by_shard.values():
+        assert sorted(ids) == list(range(len(ids)))
+
+
+def test_hash_rate_sample_deterministic_and_monotone(spark):
+    rows = [(i, "x", f"s{i % 2}") for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    lo = curation.hash_rate_sample(docs, {"s0": 0.2, "s1": 0.2})
+    hi = curation.hash_rate_sample(docs, {"s0": 0.6, "s1": 0.6})
+    lo_ids = {r.doc_id for r in lo.collect()}
+    hi_ids = {r.doc_id for r in hi.collect()}
+    assert lo_ids <= hi_ids  # nested samples: raising the rate only adds rows
+    assert lo_ids == {r.doc_id for r in lo.collect()}  # re-run identical
+    assert 0.1 < len(lo_ids) / 2000 < 0.3 and 0.5 < len(hi_ids) / 2000 < 0.7
+
+
+def test_group_topk_sample_size_and_determinism(spark):
+    rows = [(i, "x", f"s{i % 3}") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = curation.group_topk_sample(docs, k=7).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r.source, set()).add(r.doc_id)
+    assert all(len(v) == 7 for v in per.values()) and len(per) == 3
+    again = curation.group_topk_sample(docs.repartition(13), k=7).collect()
+    assert {(r.source, r.doc_id) for r in again} == {
+        (r.source, r.doc_id) for r in got
+    }  # partitioning-independent
+
+
+def test_redact_patterns_pii_fixtures(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or call +1 555 867 5309"),
+            (2, "server 10.0.0.1 logs to https://logs.example.com/x?y=1 ok"),
+            (3, "nothing sensitive here"),
+        ],
+    )
+    got = {r.doc_id: r for r in curation.redact_patterns(docs).collect()}
+    assert got[1].n_email == 1 and got[1].n_phone == 1
+    assert got[2].n_ipv4 == 1 and got[2].n_url == 1
+    assert got[3].n_email == got[3].n_url == got[3].n_ipv4 == got[3].n_phone == 0
+    assert "[EMAIL]" in got[1].scrubbed and "jane" not in got[1].scrubbed
+    assert "[PHONE]" in got[1].scrubbed
+    assert "[IPV4]" in got[2].scrubbed and "[URL]" in got[2].scrubbed
+    assert got[3].scrubbed == "nothing sensitive here"
+
+
+def test_passage_dup_stats(spark):
+    shared = "alpha beta gamma delta epsilon zeta"  # two shared 3-passages
+    docs = _docs(
+        spark,
+        [
+            (1, shared + " one two three"),
+            (2, shared + " four five six"),
+            (3, "seven eight nine ten eleven twelve"),
+            (4, "xy"),  # 1 token → no passages → no output row
+        ],
+    )
+    got = {r.doc_id: r for r in curation.passage_dup_stats(docs, n=3).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].n_passages == 3 and got[1].n_dup_passages == 2
+    assert got[2].n_dup_passages == 2
+    assert got[3].n_dup_passages == 0 and got[3].dup_ratio == 0.0
+    assert abs(got[1].dup_ratio - round(2 / 3, 4)) < 1e-9
+
+
+def test_heavy_hitters_exact(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b b c", "s0"),
+            (2, "b b a c c c", "s0"),
+            (3, "z z y", "s1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = curation.heavy_hitters(docs, k=2).collect()
+    s0 = sorted(
+        [(r.token, r.cnt, r.rank) for r in got if r.source == "s0"], key=lambda t: t[2]
+    )
+    # a=4, b=4, c=4 in s0 → tie broken by token asc: a, b
+    assert s0 == [("a", 4, 1), ("b", 4, 2)]
+    s1 = sorted(
+        [(r.token, r.cnt, r.rank) for r in got if r.source == "s1"], key=lambda t: t[2]
+    )
+    assert s1 == [("z", 2, 1), ("y", 1, 2)]
