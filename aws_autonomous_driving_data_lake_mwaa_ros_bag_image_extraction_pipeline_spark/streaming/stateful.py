@@ -143,3 +143,75 @@ def running_counters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_group_quota(
+    events: DataFrame,
+    quota: int,
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    impl: str = "classic",
+) -> DataFrame:
+    """Admit at most ``quota`` events per key across ALL micro-batches —
+    the streaming contribution cap (bound any one domain/source's share of
+    an ingested training corpus).
+
+    Within a batch rows are admitted in ``id_col`` order so the admitted
+    set is deterministic under any input partitioning. State is one int64
+    per key, sharded by the grouping key across executors.
+
+    ``impl="tws"`` runs on the Spark 4 ``transformWithStateInPandas``
+    StatefulProcessor API (typed state variables, TTL, timers — the
+    successor to applyInPandasWithState; its state-server protocol needs
+    the ``protobuf`` package, absent in this sandbox, so the default is
+    the ``applyInPandasWithState`` form with identical semantics).
+    """
+    dt = dict(events.dtypes)
+    out_schema = f"{key_col} {dt[key_col]}, {id_col} {dt[id_col]}"
+
+    if impl == "tws":
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class _Quota(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._admitted = handle.getValueState("admitted", "n bigint")
+
+            def handleInputRows(self, key, rows, timer_values):
+                got = self._admitted.get()
+                n = int(got[0]) if got is not None else 0
+                batch = pd.concat(list(rows), ignore_index=True)
+                take = batch.sort_values(id_col).head(max(0, quota - n))
+                self._admitted.update((n + len(take),))
+                if len(take):
+                    yield take[[key_col, id_col]]
+
+            def close(self) -> None:
+                pass
+
+        return events.groupBy(key_col).transformWithStateInPandas(
+            _Quota(),
+            outputStructType=out_schema,
+            outputMode="append",
+            timeMode="none",
+        )
+
+    def _quota(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n = state.get[0] if state.exists else 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        take = batch.sort_values(id_col).head(max(0, quota - n))
+        state.update((n + len(take),))
+        if len(take):
+            yield take[[key_col, id_col]]
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        _quota,
+        outputStructType=out_schema,
+        stateStructType="n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -5,6 +5,8 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.streaming import (
     stateful,
 )
@@ -84,3 +86,54 @@ def test_running_counters_accumulate(spark, tmp_path):
     s2: list = []
     _tick(spark, src, ck, stateful.running_counters, s2, "update")
     assert {(r.user_id, r.n_events) for r in s2} == {(1, 3)}  # 2 + 1, restored
+
+
+def test_streaming_group_quota_across_triggers(spark, tmp_path):
+    """Per-key admission cap holds across micro-batches via checkpointed
+    state (classic impl; the tws impl needs protobuf — next test)."""
+    src = str(tmp_path / "ev")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    sink: list = []
+    op = lambda s: stateful.streaming_group_quota(s, quota=3)
+
+    _write(src, "b1.json", [(1, 10), (1, 11), (2, 20)])
+    _tick(spark, src, ck, op, sink, "append")
+    assert sorted((r.user_id, r.event_id) for r in sink) == [
+        (1, 10), (1, 11), (2, 20),
+    ]
+
+    # key 1 has 1 slot left -> smallest id of the new batch wins; key 2 has 2
+    sink.clear()
+    _write(src, "b2.json", [(1, 13), (1, 12), (2, 21), (3, 30)])
+    _tick(spark, src, ck, op, sink, "append")
+    assert sorted((r.user_id, r.event_id) for r in sink) == [
+        (1, 12), (2, 21), (3, 30),
+    ]
+
+    # key 1 exhausted (3 admitted); key 2 takes its third and last slot
+    sink.clear()
+    _write(src, "b3.json", [(1, 14), (2, 22)])
+    _tick(spark, src, ck, op, sink, "append")
+    assert sorted((r.user_id, r.event_id) for r in sink) == [(2, 22)]
+
+    # now every key is at quota -> nothing admitted
+    sink.clear()
+    _write(src, "b4.json", [(1, 15), (2, 23), (3, 31), (3, 32), (3, 33)])
+    _tick(spark, src, ck, op, sink, "append")
+    assert sorted((r.user_id, r.event_id) for r in sink) == [(3, 31), (3, 32)]
+
+
+def test_streaming_group_quota_tws(spark, tmp_path):
+    """Same cap on the Spark 4 transformWithStateInPandas StatefulProcessor
+    path — runnable only where protobuf (its state-server protocol) exists."""
+    pytest.importorskip("google.protobuf")
+    src = str(tmp_path / "ev")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    sink: list = []
+    op = lambda s: stateful.streaming_group_quota(s, quota=2, impl="tws")
+
+    _write(src, "b1.json", [(1, 10), (1, 11), (1, 12)])
+    _tick(spark, src, ck, op, sink, "append")
+    assert sorted((r.user_id, r.event_id) for r in sink) == [(1, 10), (1, 11)]
