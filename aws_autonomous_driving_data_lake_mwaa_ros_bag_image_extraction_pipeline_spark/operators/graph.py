@@ -1,0 +1,126 @@
+"""Connected components — cluster formation over near-duplicate pairs.
+
+The dedup operators (minhash / simhash / ngram-jaccard) emit PAIRS; dropping
+duplicates needs CLUSTERS (transitive closure) so exactly one canonical
+document survives per group. Closure is iterative — outside a single SQL
+statement's reach — so this implements the alternating large-star /
+small-star algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", ACM SoCC 2014): converges in O(log² n) rounds, each round is two
+groupBy+join pairs co-partitioned on the node key, and the edge set never
+grows beyond the input — the published shape for trillion-edge graphs.
+
+Driver involvement is one tiny convergence checksum per round (count +
+hash-sum, two numbers); per-round ``localCheckpoint`` truncates the lineage
+so the plan doesn't double each iteration (on a real cluster use
+``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` for
+fault-tolerant truncation instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    """Symmetrize, drop self-loops, dedup: both directions of every edge."""
+    rev = edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    return edges.union(rev).where(F.col("u") != F.col("v")).distinct()
+
+
+def _large_star(e_sym: DataFrame) -> DataFrame:
+    """Connect every neighbor v > u to m(u) = min(Γ(u) ∪ {u})."""
+    mins = e_sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("u", "mn").alias("m"))
+    return (
+        e_sym.where(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e_sym: DataFrame) -> DataFrame:
+    """Within each node's smaller neighborhood, connect all to the minimum."""
+    down = e_sym.where(F.col("v") < F.col("u"))  # each unordered edge once
+    mins = down.groupBy("u").agg(F.min("v").alias("m"))
+    rewired = (
+        down.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+    )
+    return rewired.union(mins.select(F.col("u"), F.col("m").alias("v"))).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; the component
+    id is the smallest node id in the component.
+
+    Alternating large-star/small-star until the edge set reaches its fixpoint
+    (a forest of stars: every edge points child → component root). The
+    convergence probe is an aggregate checksum — two longs per round cross
+    the driver, never data.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = e.select(F.col("u").alias("node")).union(
+        e.select(F.col("v").alias("node"))
+    ).distinct()
+
+    prev: tuple | None = None
+    for _ in range(max_rounds):
+        e = _small_star(_sym(_large_star(_sym(e))))
+        e = e.localCheckpoint(eager=True)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a sum of raw int64 hashes overflows under
+            # ANSI arithmetic
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        chk = (row.n, row.h)
+        if chk == prev:
+            break
+        prev = chk
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
+
+    # At the fixpoint every edge is (child, root); roots/isolated nodes map
+    # to themselves. groupBy-min instead of assuming uniqueness costs nothing
+    # and keeps the contract safe even at max_rounds boundaries.
+    labels = e.where(F.col("v") < F.col("u")).groupBy("u").agg(
+        F.min("v").alias("component")
+    )
+    return (
+        nodes.join(labels, nodes.node == labels.u, "left")
+        .select(
+            F.col("node"),
+            F.coalesce("component", "node").alias("component"),
+        )
+    )
+
+
+def keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop every near-duplicate except one canonical survivor per cluster
+    (the smallest id). Docs not in any pair pass through untouched — the
+    anti-join only shuffles the (tiny) non-canonical id set against the
+    corpus, broadcast when it fits."""
+    comp = connected_components(pairs, src=id_a, dst=id_b)
+    losers = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

@@ -786,6 +786,78 @@ def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _d_cc_prefix() -> str:
+    """Recursive transitive closure over the minhash near-dup pairs: the
+    oracle twin of graph.connected_components (which runs the iterative
+    alternating-star algorithm — same fixpoint, different engine shape)."""
+    return f"""
+    WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({_d_minhash_sql()}) mh),
+    e AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+    )
+    """
+
+
+def _minhash_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.8,
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
+
+
+@register(
+    "near_dup_clusters",
+    _d_cc_prefix()
+    + """
+    SELECT u AS doc_id, least(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+    """,
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS from minhash pairs via alternating large-star/
+    small-star connected components (Kiveris et al. 2014) — the iterative
+    step that turns pair detection into droppable duplicate groups. O(log² n)
+    rounds of co-partitioned groupBy+join; only a two-long checksum crosses
+    the driver per round. The oracle computes the same fixpoint as a DuckDB
+    recursive CTE closure."""
+    from ..operators import graph
+
+    comp = graph.connected_components(
+        _minhash_pairs_df(spark, sf_dir), src="id_a", dst="id_b"
+    )
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+@register(
+    "near_dup_survivors",
+    _d_cc_prefix()
+    + """
+    , losers AS (
+      SELECT u AS doc_id FROM reach GROUP BY u HAVING least(u, MIN(v)) <> u
+    )
+    SELECT source, COUNT(*) AS n_docs FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    GROUP BY source
+    """,
+)
+def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus: per-source doc counts after keeping one
+    canonical doc (smallest id) per near-dup cluster — detection → closure →
+    anti-join end to end. The anti-join's right side is only the non-canonical
+    ids (tiny; broadcast when it fits)."""
+    from ..operators import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = graph.keep_canonical(docs, _minhash_pairs_df(spark, sf_dir))
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def _d_simhash_cte(bits: int = 32) -> str:
     """Shared CTE text computing (doc_id, simhash BIGINT) in DuckDB —
     explode distinct tokens → one md5 → per-bit shift/mask sums, mirroring

@@ -1,0 +1,83 @@
+"""Connected components (alternating star) vs a union-find reference."""
+
+from __future__ import annotations
+
+from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+    graph,
+)
+
+
+def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node of the component
+    out: dict[int, int] = {}
+    for n in parent:
+        root = find(n)
+        out[n] = root
+    # root labels are already the component minimum because we always union
+    # the larger root under the smaller
+    return out
+
+
+def _check(spark, edges: list[tuple[int, int]]) -> None:
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.component
+        for r in graph.connected_components(df).collect()
+    }
+    assert got == _uf_components(edges)
+
+
+def test_cc_two_triangles_and_bridge(spark):
+    _check(spark, [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (3, 10)])
+
+
+def test_cc_long_chain(spark):
+    """A path graph needs multiple star rounds — exercises the iteration."""
+    _check(spark, [(i, i + 1) for i in range(40)])
+
+
+def test_cc_star_and_singletons(spark):
+    _check(spark, [(100, i) for i in range(5)] + [(7, 8), (20, 21)])
+
+
+def test_cc_pseudorandom(spark):
+    """Deterministic pseudo-random graph, including duplicate and reversed
+    edges, against union-find."""
+    edges = []
+    x = 7
+    for _ in range(120):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        a = x % 60
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        b = x % 60
+        if a != b:
+            edges.append((a, b))
+    edges += [(b, a) for a, b in edges[:10]]
+    _check(spark, edges)
+
+
+def test_keep_canonical(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 6)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r.doc_id for r in graph.keep_canonical(docs, pairs).collect()
+    )
+    # {1,3,5} -> keep 1; {2,6} -> keep 2; others untouched
+    assert kept == [0, 1, 2, 4, 7]
