@@ -302,3 +302,43 @@ def heavy_hitters(
         .filter(F.col("rank") <= k)
         .select(group_col, "token", "cnt", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def weighted_group_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sample without replacement, k rows per group
+    (Efraimidis–Spirakis A-ES): keep the k rows with the largest
+    ``u^(1/w)`` where ``u = md5-uniform(id)`` — each row's selection odds are
+    proportional to its weight, and the result is reproducible across runs,
+    partitionings, and engines.
+
+    For weights that are exact powers of two (1, 2, 4, 8) the key is
+    computed by repeated ``sqrt`` — IEEE-754-exact and therefore
+    bit-identical in any engine; other weights fall back to ``pow``, whose
+    last-ulp behavior may differ across libm implementations (fine for
+    sampling, but the cross-engine oracle check pins the sqrt path).
+    row_number<=k over the key compiles to WindowGroupLimit.
+    """
+    u = (H.md5_long(F.col(id_col)) + 1) / F.lit(float(1 << 60))  # (0, 1]
+    w = F.col(weight_col)
+    key = (
+        F.when(w == 1, u)
+        .when(w == 2, F.sqrt(u))
+        .when(w == 4, F.sqrt(F.sqrt(u)))
+        .when(w == 8, F.sqrt(F.sqrt(F.sqrt(u))))
+        .otherwise(F.pow(u, F.lit(1.0) / w))
+    )
+    win = Window.partitionBy(group_col).orderBy(
+        F.desc("es_key"), F.col(id_col)
+    )
+    return (
+        docs.withColumn("es_key", key)
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= k)
+        .drop("rn", "es_key")
+    )

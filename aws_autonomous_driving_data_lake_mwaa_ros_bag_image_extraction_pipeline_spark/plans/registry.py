@@ -1746,6 +1746,40 @@ def pattern_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_group_sample",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, CAST(1 << CAST(doc_id % 4 AS INTEGER) AS INTEGER) AS w,
+             (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) + 1) / {float(1 << 60)} AS u
+      FROM documents
+    )
+    SELECT doc_id, source, w FROM (
+      SELECT doc_id, source, w,
+             CASE WHEN w = 1 THEN u WHEN w = 2 THEN sqrt(u)
+                  WHEN w = 4 THEN sqrt(sqrt(u))
+                  WHEN w = 8 THEN sqrt(sqrt(sqrt(u)))
+                  ELSE pow(u, 1.0 / w) END AS es_key
+      FROM t)
+    QUALIFY row_number() OVER (PARTITION BY source
+                               ORDER BY es_key DESC, doc_id) <= 4
+    """,
+)
+def q_weighted_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted reservoir (4 docs per source, weight
+    2^(id mod 4)): selection key u^(1/w) with md5-uniform u. The demo
+    weights are powers of two so the key is repeated sqrt — IEEE-exact,
+    hence bit-identical across engines (pow's last ulp is libm-dependent
+    and would not oracle-check)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "w", F.expr("CAST(shiftleft(1, CAST(pmod(doc_id, 4) AS INT)) AS INT)")
+    )
+    return curation.weighted_group_sample(
+        docs.select("doc_id", "source", "w"), k=4, weight_col="w"
+    )
+
+
+@register(
     "passage_dup_stats",
     f"""
     WITH tk AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),

@@ -147,3 +147,24 @@ def test_heavy_hitters_exact(spark):
         [(r.token, r.cnt, r.rank) for r in got if r.source == "s1"], key=lambda t: t[2]
     )
     assert s1 == [("z", 2, 1), ("y", 1, 2)]
+
+
+def test_weighted_group_sample_bias_and_determinism(spark):
+    """Heavier weights win proportionally more slots; result is identical
+    under any input partitioning (Efraimidis-Spirakis with hash keys)."""
+    # weight keyed off i//25 so every source holds both weights (i%5 would
+    # correlate with the i%25 source and void the comparison)
+    rows = [
+        (i, "x", f"s{i % 25}", 8 if (i // 25) % 5 == 0 else 1) for i in range(1000)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string, w int")
+    got = curation.weighted_group_sample(docs, k=4, weight_col="w").collect()
+    assert len(got) == 25 * 4
+    heavy = sum(1 for r in got if r.w == 8)
+    # 20% of docs carry weight 8 = 8x the odds of the other 80%: expected
+    # heavy share ~2/3; demand well above the unweighted 20%
+    assert heavy / len(got) > 0.4
+    again = curation.weighted_group_sample(
+        docs.repartition(17), k=4, weight_col="w"
+    ).collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in got}
