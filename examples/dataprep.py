@@ -13,8 +13,12 @@ registered, oracle-checked operators:
 5. quality scoring + language-ID + token budgeting (all JVM built-ins)
 6. embedding near-dup pairs (LSH buckets → cosine verify)
 7. ANN top-k over the survivors (hyperplane LSH; brute-force on a probe set)
-8. the final keep-list: one canonical doc per duplicate cluster, quality-
-   and language-filtered, with its token budget
+8. the final keep-list: one canonical doc per duplicate CLUSTER (alternating-
+   star connected components over the pair graph), quality- and language-
+   filtered, with its token budget
+9. PII scrub of the keep-list (regexp count + redact, scan-speed)
+10. data mixing: deterministic weighted sample per source
+11. sequence packing: fixed-token-budget training bins per shard
 
 Every transform is lazy; the only actions are the final counts/shows.
 """
@@ -32,7 +36,9 @@ from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spa
     get_spark,
 )
 from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (  # noqa: E402
+    curation,
     dedup,
+    graph,
     similarity,
     textstats,
 )
@@ -72,24 +78,59 @@ def main() -> None:
     edup = dedup.embedding_dup_pairs(emb, dim=64, threshold=0.95)
     print(f"== embedding near-dup pairs (cos ≥ 0.95): {edup.count()}")
 
-    # 8) keep-list: drop the higher id of every near-dup pair, then filter
-    drop = (
-        near.select(F.col("id_b").alias("doc_id"))
-        .union(ngram.select(F.col("id_b").alias("doc_id")))
-        .union(sim.select(F.col("id_b").alias("doc_id")))
+    # 8) keep-list: transitive duplicate clusters over the union of all
+    # pair detectors, one canonical survivor (smallest id) per cluster
+    pairs = (
+        near.select("id_a", "id_b")
+        .union(ngram.select("id_a", "id_b"))
+        .union(sim.select("id_a", "id_b"))
         .distinct()
     )
+    comp = graph.connected_components(pairs, src="id_a", dst="id_b")
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
     keep = (
-        scored.join(drop, "doc_id", "left_anti")
+        scored.join(losers, "doc_id", "left_anti")
         .filter((F.col("quality") >= 0.3) & (F.col("pred_lang") != "und"))
     )
     total_docs = docs.count()
     kept = keep.count()
     budget = keep.agg(F.sum("n_tokens").alias("t")).first().t
-    print(f"== keep-list: {kept}/{total_docs} docs, {budget} training tokens")
+    n_clusters = comp.select("component").distinct().count()
+    print(f"== dup clusters: {n_clusters}; "
+          f"keep-list: {kept}/{total_docs} docs, {budget} training tokens")
     keep.orderBy(F.desc("quality")).select(
         "doc_id", "pred_lang", "quality", "n_tokens"
     ).show(5)
+
+    # 9) PII scrub of the keep-list (counts + redacted text, scan-speed)
+    survivors = docs.join(keep.select("doc_id"), "doc_id", "left_semi")
+    red = curation.redact_patterns(survivors)
+    hits = red.agg(
+        F.sum("n_email").alias("email"), F.sum("n_url").alias("url"),
+        F.sum("n_ipv4").alias("ipv4"), F.sum("n_phone").alias("phone"),
+    ).first()
+    print(f"== PII redacted: email={hits.email} url={hits.url} "
+          f"ipv4={hits.ipv4} phone={hits.phone}")
+
+    # 10) data mixing: weighted per-source sample of the scrubbed survivors
+    mixed = curation.weighted_group_sample(
+        survivors.withColumn(
+            "w", F.expr("CAST(shiftleft(1, CAST(pmod(doc_id, 4) AS INT)) AS INT)")
+        ),
+        k=10, weight_col="w",
+    )
+    print(f"== mixed sample: {mixed.count()} docs "
+          f"({mixed.select('source').distinct().count()} sources)")
+
+    # 11) sequence packing: fixed-budget training bins over the mix
+    bins = curation.pack_bins(mixed, capacity=256, n_shards=8)
+    stats = bins.agg(
+        F.count(F.lit(1)).alias("n_bins"), F.avg("fill").alias("avg_fill")
+    ).first()
+    print(f"== packed into {stats.n_bins} bins of 256 tokens, "
+          f"avg fill {stats.avg_fill:.2f}")
 
     # 7) similar-document retrieval over the survivors (LSH ANN)
     topk = similarity.lsh_topk(emb, dim=64, k=3, n_tables=4, n_bits=8)
