@@ -29,7 +29,11 @@ def _sym(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(e_sym: DataFrame) -> DataFrame:
-    """Connect every neighbor v > u to m(u) = min(Γ(u) ∪ {u})."""
+    """Connect every neighbor v > u to m(u) = min(Γ(u) ∪ {u}).
+
+    No trailing distinct: the caller immediately re-symmetrizes, and
+    ``_sym``'s distinct subsumes it (one shuffle saved per round).
+    """
     mins = e_sym.groupBy("u").agg(F.min("v").alias("mn"))
     mins = mins.select("u", F.least("u", "mn").alias("m"))
     return (
@@ -37,7 +41,6 @@ def _large_star(e_sym: DataFrame) -> DataFrame:
         .join(mins, "u")
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
@@ -58,6 +61,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 50,
+    rows_per_partition: int = 1_000_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; the component
     id is the smallest node id in the component.
@@ -65,20 +69,32 @@ def connected_components(
     Alternating large-star/small-star until the edge set reaches its fixpoint
     (a forest of stars: every edge points child → component root). The
     convergence probe is an aggregate checksum — two longs per round cross
-    the driver, never data.
+    the driver, never data — and doubles as a free cardinality estimate: each
+    round's edge set is coalesced to ``count / rows_per_partition``
+    partitions, so a near-dup graph that shrinks to thousands of edges stops
+    paying 100 TB-scale task-scheduling overhead (a round is ~10 stages;
+    at the parent's partitioning that was the dominant cost on small graphs),
+    while a graph that stays huge keeps its parallelism.
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
+        # materialize once: the input is typically an expensive detector plan
+        # (minhash/simhash), and it is consumed three times — round 0, the
+        # node inventory, and otherwise again per lineage replay
+        .localCheckpoint(eager=True)
     )
     nodes = e.select(F.col("u").alias("node")).union(
         e.select(F.col("v").alias("node"))
     ).distinct()
 
     prev: tuple | None = None
+    parts: int | None = None
     for _ in range(max_rounds):
         e = _small_star(_sym(_large_star(_sym(e))))
+        if parts is not None:
+            e = e.coalesce(parts)  # narrow — merges, never reshuffles
         e = e.localCheckpoint(eager=True)
         row = e.agg(
             F.count(F.lit(1)).alias("n"),
@@ -90,6 +106,7 @@ def connected_components(
         if chk == prev:
             break
         prev = chk
+        parts = max(1, min(row.n // rows_per_partition + 1, 4096))
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
 

@@ -816,6 +816,7 @@ def _minhash_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     SELECT u AS doc_id, least(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
     """,
+    headline=True,
 )
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS from minhash pairs via alternating large-star/
@@ -1619,6 +1620,7 @@ _D_NTOK = "len(regexp_split_to_array(trim(text), '\\s+'))"
            floor(SUM(n_tokens) / 256.0 * 10000 + 0.5) / 10000.0 AS fill
     FROM c GROUP BY shard, bin_id
     """,
+    headline=True,
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy-with-overflow sequence packing (curation.pack_bins): bin =
@@ -1805,6 +1807,7 @@ def q_weighted_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS dup_ratio
     FROM per_doc LEFT JOIN dup USING (doc_id)
     """,
+    headline=True,
 )
 def q_passage_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document passage contamination (curation.passage_dup_stats):
