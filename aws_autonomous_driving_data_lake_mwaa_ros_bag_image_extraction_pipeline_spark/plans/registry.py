@@ -1817,6 +1817,74 @@ def q_passage_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lang_source_rollup",
+    f"""
+    SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+           COUNT(*) AS n_docs, CAST(SUM({_D_NTOK}) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY ROLLUP(lang, source)
+    """,
+)
+def lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical corpus inventory via GROUPING SETS: per (lang, source),
+    per lang, and grand total in ONE pass — rollup computes all three
+    granularities from a single shuffle with partial aggregation, instead
+    of three scans. 'ALL' stands in for the rollup's NULL markers (the
+    synthetic corpus has no NULL lang/source, so coalesce is unambiguous;
+    with nullable keys use grouping() to disambiguate)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(T.token_count(F.col("text"))).alias("total_tokens"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs",
+            "total_tokens",
+        )
+    )
+
+
+@register(
+    "shuffle_assignment",
+    f"""
+    SELECT doc_id,
+           CAST(h % 64 AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY h % 64 ORDER BY h, doc_id)
+                AS BIGINT) AS pos
+    FROM (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM documents)
+    """,
+)
+def shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every doc gets a
+    (shard, position) from its md5 — reproducible on any cluster size,
+    unlike orderBy(rand()). Writing shard-partitioned output in pos order
+    yields a stable shuffled epoch; the per-shard window sorts only
+    1/64th of the corpus (shard count scales with data)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    h = H.md5_long(F.col("doc_id"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            h.alias("h"),
+            F.pmod(h, F.lit(64)).cast("int").alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .drop("h")
+    )
+
+
+@register(
     "token_heavy_hitters",
     f"""
     SELECT source, token, cnt, CAST(rank AS INTEGER) AS rank FROM (
