@@ -246,30 +246,29 @@ def passage_dup_stats(
     passages that also appear in at least one *other* document (boilerplate /
     benchmark-contamination signal; passage = n consecutive tokens).
 
-    Plan shape: explode → distinct per (doc, passage) → per-passage doc
-    count (partial-agg both sides) → semi-join back. Every shuffle key is a
-    32-hex md5 — uniformly distributed, no skew at 100 TB.
+    Plan shape: ONE pass over the exploded passages — distinct per
+    (doc, passage), per-passage doc count as a window (no join back: Spark
+    does not CSE identical subplans, so the groupBy+semi-join formulation
+    would re-explode the corpus three times), then the per-doc rollup.
+    Two shuffles total (passage key, then doc key); both keys are md5s —
+    uniformly distributed, no skew at 100 TB.
     """
     p = passage_hashes(docs, n, id_col, text_col).distinct()
-    shared = (
-        p.groupBy("passage_md5")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") > 1)
-    )
-    flagged = p.join(shared, "passage_md5", "left_semi")
-    per_doc = p.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_passages"))
-    per_doc_dup = flagged.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_dup_passages")
+    w = Window.partitionBy("passage_md5")
+    flagged = p.withColumn("n_docs", F.count(F.lit(1)).over(w))
+    n_dup = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias(
+        "n_dup_passages"
     )
     return (
-        per_doc.join(per_doc_dup, id_col, "left")
+        flagged.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_passages"), n_dup)
         .select(
             F.col(id_col),
             "n_passages",
-            F.coalesce("n_dup_passages", F.lit(0)).alias("n_dup_passages"),
-            H.quantize(
-                F.coalesce("n_dup_passages", F.lit(0)) / F.col("n_passages"), 4
-            ).alias("dup_ratio"),
+            "n_dup_passages",
+            H.quantize(F.col("n_dup_passages") / F.col("n_passages"), 4).alias(
+                "dup_ratio"
+            ),
         )
     )
 
