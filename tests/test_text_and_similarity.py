@@ -223,3 +223,29 @@ def test_lsh_topk_neighbors_are_exact_cosines(spark, emb):
         a = dict(VECS)[r.query_id]
         b = dict(VECS)[r.neighbor_id]
         assert r.cosine == pytest.approx(round(_cos(a, b), 6), abs=1e-6)
+
+
+def test_ivf_index_lifecycle(spark, tmp_path):
+    """Persisted IVF index returns exactly what the in-memory ivf_topk
+    returns for the same (refined) centroids, and the search plan prunes
+    the list-partitioned scan via dynamic partition pruning."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, idx, n_lists=8, refine_iters=1)
+
+    got = similarity.search_ivf_index(spark, idx, emb, k=3, n_probe=2)
+    cents = similarity.refine_centroids(emb, n_lists=8, iterations=1)
+    want = similarity.ivf_topk(emb, emb, k=3, n_lists=8, n_probe=2, centroids=cents)
+    assert sorted(
+        (r.query_id, r.neighbor_id, r.rank) for r in got.collect()
+    ) == sorted((r.query_id, r.neighbor_id, r.rank) for r in want.collect())
+
+    plan = got._jdf.queryExecution().executedPlan().toString().lower()
+    assert "dynamicpruning" in plan or "partitionfilters: [isnotnull(list_id)" in plan
+
+    # full probe over the persisted index == exhaustive ranking
+    full = similarity.search_ivf_index(spark, idx, emb, k=3, n_probe=8)
+    brute = similarity.brute_force_topk(emb, emb, k=3)
+    assert sorted(
+        (r.query_id, r.neighbor_id, r.rank) for r in full.collect()
+    ) == sorted((r.query_id, r.neighbor_id, r.rank) for r in brute.collect())
