@@ -1,0 +1,65 @@
+"""Storage layout operators: bucketing for shuffle-free joins.
+
+At 100 TB the dominant cost of a fact-fact join is the shuffle. Bucketing
+pre-shuffles ONCE at write time: both tables hash-partitioned into the same
+number of buckets on the join key mean every subsequent join (and groupBy on
+the key) is exchange-free — each task zips bucket i with bucket i. The write
+is one-time; every downstream query amortizes it.
+
+Spark's bucketing lives in the table catalog (``bucketBy`` requires
+``saveAsTable``), so these helpers take table names, not paths. Sort-merge
+joins additionally skip the sort when ``sortBy`` matches the join key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str | list[str],
+    n_buckets: int = 64,
+    sort: bool = True,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` hash-bucketed (and bucket-sorted) on ``key``.
+
+    Pick ``n_buckets`` so one bucket of the LARGER table fits an executor
+    core's working memory at target scale (e.g. 100 TB / 4096 buckets ≈
+    25 GB per bucket pre-compression — size up, buckets can't be split).
+    Both sides of a planned join must use the same n_buckets, or one side's
+    buckets must divide the other's (Spark then coalesces). ``path`` makes
+    the table external (data at ``path``, bucketing metadata still in the
+    catalog — Spark bucketing is catalog-bound, so a bare ``.parquet(path)``
+    write cannot carry it).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: str | list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two same-bucketed tables — a sort-merge join with NO Exchange on
+    either side (asserted in tests); with sorted buckets the per-task sort
+    collapses too. The MERGE hint pins the strategy: bucketing exists for
+    fact-fact joins where neither side broadcasts, but on small test data
+    the planner would otherwise pick broadcast and ignore the bucket layout
+    (at real scale it chooses SMJ on its own; the hint just makes the
+    exchange-free property deterministic)."""
+    on_cols = [on] if isinstance(on, str) else list(on)
+    return spark.table(left_table).join(
+        spark.table(right_table).hint("merge"), on_cols, how
+    )
