@@ -341,3 +341,97 @@ def weighted_group_sample(
         .filter(F.col("rn") <= k)
         .drop("rn", "es_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunking (RAG / context-window preparation)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into token windows of ``size`` tokens advancing by
+    ``stride`` (default = size → non-overlapping; stride < size → overlapping
+    RAG-style chunks). The final partial window is kept iff it starts before
+    the text ends; every document yields at least one chunk.
+
+    Pure codegen: one let-bound tokenize + a sequence/transform per row, then
+    one explode — no shuffle at all, so chunking runs at scan speed and
+    composes with any downstream write/embed stage.
+    """
+    st = size if stride is None else stride
+    toks = T.tokens(F.lower(F.col(text_col)))
+
+    def _chunks(tk):
+        n_chunks = F.greatest(
+            F.lit(1), F.ceil((F.size(tk) - F.lit(size)) / F.lit(st)) + 1
+        ).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.alias("chunk_id"),
+                F.array_join(F.slice(tk, i * st + 1, size), " ").alias("chunk"),
+                F.least(F.size(tk) - i * st, F.lit(size)).alias("n_tokens"),
+            ),
+        )
+
+    return docs.select(
+        F.col(id_col),
+        F.explode(T.bind(toks, _chunks)).alias("c"),
+    ).select(
+        F.col(id_col),
+        F.col("c.chunk_id").cast("int").alias("chunk_id"),
+        F.col("c.chunk").alias("chunk"),
+        F.col("c.n_tokens").cast("int").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF distinctive terms
+# ---------------------------------------------------------------------------
+
+
+def distinctive_terms(
+    docs: DataFrame,
+    k: int = 5,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF terms per group: which tokens characterize a source
+    against the rest of the corpus (domain profiling / mixture debugging).
+
+    tf = term count within the group; idf = ln(n_groups / groups-with-term),
+    both from one explode → two partial aggregations; the idf and group-count
+    sides join as broadcasts (|vocab| rows and 1 row — no driver action, the
+    whole thing stays one lazy plan). Scores are quantized to 6 digits so
+    ranking is reproducible across engines (ln differs from other libms only
+    in the last ulp); ties break on the token. WindowGroupLimit bounds the
+    final per-group sort at k.
+    """
+    tok = docs.select(
+        F.col(group_col),
+        F.explode(T.tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    tf = tok.groupBy(group_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    ng = docs.agg(F.countDistinct(group_col).alias("n_groups"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_), "token").join(F.broadcast(ng)).select(
+        group_col,
+        "token",
+        H.quantize(
+            F.col("tf")
+            * F.log(F.col("n_groups").cast("double") / F.col("df")),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "token", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )

@@ -1817,6 +1817,64 @@ def q_passage_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_chunks",
+    f"""
+    WITH tk AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents)
+    SELECT doc_id, CAST(c.chunk_id AS INTEGER) AS chunk_id,
+           c.chunk AS chunk, CAST(c.n_tokens AS INTEGER) AS n_tokens
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, CAST(greatest(
+                 1, ceil((len(toks) - 16) / 8.0) + 1) AS INTEGER)),
+               i -> struct_pack(
+                 chunk_id := i,
+                 chunk := array_to_string(
+                   list_slice(toks, i * 8 + 1, i * 8 + 16), ' '),
+                 n_tokens := least(len(toks) - i * 8, 16)))) AS c
+      FROM tk)
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (curation.chunk_documents, 16-token windows,
+    stride 8 → 50% overlap): the RAG / context-window preparation step. One
+    let-bound tokenize + sequence/transform + explode — zero shuffles,
+    chunking runs at scan speed."""
+    return curation.chunk_documents(
+        _t(spark, sf_dir, "documents"), size=16, stride=8
+    )
+
+
+@register(
+    "distinctive_terms",
+    f"""
+    WITH tok AS (SELECT source, unnest({_D_TOKS}) AS token FROM documents),
+    tf AS (SELECT source, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    d AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    ng AS (SELECT COUNT(DISTINCT source) AS n_groups FROM documents),
+    s AS (
+      SELECT source, token,
+             floor(tf * ln(CAST(n_groups AS DOUBLE) / df) * 1000000 + 0.5)
+               / 1000000.0 AS tfidf
+      FROM tf JOIN d USING (token) CROSS JOIN ng
+    )
+    SELECT source, token, tfidf, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT source, token, tfidf,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY tfidf DESC, token) AS rank
+      FROM s)
+    WHERE rank <= 5
+    """,
+)
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TF-IDF top terms (curation.distinctive_terms): one explode
+    → tf and df partial aggs, idf + group count joined as broadcasts, fully
+    lazy. Scores quantized to 6 digits so the ln-based ranking is
+    engine-reproducible; ties break on the token."""
+    return curation.distinctive_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
+@register(
     "lang_source_rollup",
     f"""
     SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,

@@ -168,3 +168,44 @@ def test_weighted_group_sample_bias_and_determinism(spark):
         docs.repartition(17), k=4, weight_col="w"
     ).collect()
     assert {r.doc_id for r in again} == {r.doc_id for r in got}
+
+
+def test_chunk_documents_windows(spark):
+    docs = _docs(spark, [(1, " ".join(f"t{i}" for i in range(20))), (2, "a b")])
+    got = sorted(
+        curation.chunk_documents(docs, size=8, stride=4).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    one = [r for r in got if r.doc_id == 1]
+    # 20 tokens, size 8, stride 4 -> ceil((20-8)/4)+1 = 4 chunks
+    assert [r.chunk_id for r in one] == [0, 1, 2, 3]
+    assert one[0].chunk.split() == [f"t{i}" for i in range(8)]
+    assert one[1].chunk.split() == [f"t{i}" for i in range(4, 12)]
+    assert one[3].chunk.split() == [f"t{i}" for i in range(12, 20)]
+    assert [r.n_tokens for r in one] == [8, 8, 8, 8]
+    # short doc -> exactly one partial chunk
+    two = [r for r in got if r.doc_id == 2]
+    assert len(two) == 1 and two[0].chunk == "a b" and two[0].n_tokens == 2
+    # overlap reconstruction: every token index covered by stride windows
+    covered = set()
+    for r in one:
+        covered |= set(r.chunk.split())
+    assert covered == {f"t{i}" for i in range(20)}
+
+
+def test_distinctive_terms_tfidf(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "common apple apple", "s0"),
+            (2, "common banana", "s1"),
+            (3, "common cherry", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = curation.distinctive_terms(docs, k=1)
+    rows = {r.source: r for r in got.collect()}
+    # 'common' appears in all groups -> idf = ln(1) = 0; unique fruits win
+    assert rows["s0"].token == "apple" and rows["s1"].token == "banana"
+    assert rows["s2"].token == "cherry"
+    import math
+    assert abs(rows["s0"].tfidf - round(2 * math.log(3), 6)) < 1e-6

@@ -27,12 +27,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # - similar_nation_names: dim-sized self-join (25 rows)
 # - ivf_topk: cross join against the centroid set, bounded by n_lists rows
 # - price_quartiles: cross join against a broadcast 1-row percentile bounds agg
+# - distinctive_terms: cross join against a broadcast 1-row group-count agg
 ALLOWED_BNLJ = {
     "brute_force_topk",
     "similar_nation_names",
     "embedding_dup_pairs",
     "ivf_topk",
     "price_quartiles",
+    "distinctive_terms",
 }
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
