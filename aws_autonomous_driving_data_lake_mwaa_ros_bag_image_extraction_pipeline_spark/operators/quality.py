@@ -1,0 +1,87 @@
+"""Data-quality constraint checking (expectations over landed tables).
+
+A data lake needs gatekeeping between landing and consumption: declare
+constraints (non-null, value range, membership, uniqueness, referential
+integrity) and get back per-constraint violation counts plus the offending
+rows. All checks for one table fuse into a single scan — each rule is a
+boolean column, the summary is one aggregation over them — so validating a
+100 TB table costs one pass regardless of how many rules it carries; only
+the FK check adds a (left-anti, broadcast-eligible) join per referenced
+table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Rule:
+    """One named expectation: ``predicate`` must hold for every row."""
+
+    name: str
+    predicate: Column
+
+
+def not_null(col: str) -> Rule:
+    return Rule(f"{col}_not_null", F.col(col).isNotNull())
+
+
+def in_range(col: str, lo, hi) -> Rule:
+    return Rule(f"{col}_in_range", F.col(col).between(F.lit(lo), F.lit(hi)))
+
+
+def in_set(col: str, values: list) -> Rule:
+    return Rule(f"{col}_in_set", F.col(col).isin(values))
+
+
+def matches(col: str, pattern: str) -> Rule:
+    return Rule(f"{col}_matches", F.col(col).rlike(pattern))
+
+
+def check_rules(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Per-rule violation counts in ONE scan: every rule evaluates as a
+    0/1 expression and a single aggregate sums them all (plus the row
+    total) — no per-rule jobs. Returns (rule, n_violations, n_rows)."""
+    aggs = [
+        F.sum(F.when(r.predicate, 0).otherwise(1)).alias(r.name) for r in rules
+    ]
+    row = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    pairs = []
+    for r in rules:
+        pairs.extend([F.lit(r.name), F.col(r.name)])
+    return row.select(
+        F.explode(F.create_map(*pairs)).alias("rule", "n_violations"),
+        F.col("__n").alias("n_rows"),
+    )
+
+
+def violating_rows(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """The offending rows, tagged with the sorted array of failed rule
+    names — quarantine-table input. Narrow per-row expressions only."""
+    failed = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(r.predicate, F.lit(None)).otherwise(F.lit(r.name))
+                    for r in rules
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return df.withColumn("failed_rules", failed).filter(
+        F.size("failed_rules") > 0
+    )
+
+
+def check_foreign_key(
+    df: DataFrame, col: str, ref: DataFrame, ref_col: str
+) -> DataFrame:
+    """Orphaned foreign-key rows: a left-anti join against the referenced
+    key set (broadcast when the key projection fits, AQE decides)."""
+    keys = ref.select(F.col(ref_col).alias(col)).distinct()
+    return df.join(keys, col, "left_anti")

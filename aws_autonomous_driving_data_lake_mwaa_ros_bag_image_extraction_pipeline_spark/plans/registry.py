@@ -1961,6 +1961,96 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.heavy_hitters(_t(spark, sf_dir, "documents"), k=5)
 
 
+@register(
+    "unpivot_measures",
+    """
+    WITH long AS (
+      SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value
+      FROM lineitem
+      UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+    )
+    SELECT l_returnflag, measure,
+           {avg} AS avg_value, COUNT(*) AS n
+    FROM long GROUP BY l_returnflag, measure
+    """.format(avg=SQL_DAVG.format(x="value")),
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping via DataFrame.unpivot (melt) + per-measure stats.
+    Unpivot is a narrow generate (no shuffle); the one aggregation groups on
+    (flag, measure) with map-side partial combine. The oracle spells the
+    same reshape as a UNION ALL for dialect safety."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_discount", "l_tax"
+    )
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        davg(F.col("value"), "avg_value"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "dq_violation_counts",
+    """
+    WITH s AS (
+      SELECT COUNT(*) AS n_rows,
+        SUM(CASE WHEN l_quantity BETWEEN 1 AND 25 THEN 0 ELSE 1 END) AS q,
+        SUM(CASE WHEN l_returnflag IN ('A', 'N') THEN 0 ELSE 1 END) AS rf,
+        SUM(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS sd
+      FROM lineitem)
+    SELECT 'l_quantity_in_range' AS rule,
+           CAST(q AS BIGINT) AS n_violations, n_rows FROM s
+    UNION ALL SELECT 'l_returnflag_in_set', CAST(rf AS BIGINT), n_rows FROM s
+    UNION ALL SELECT 'l_shipdate_not_null', CAST(sd AS BIGINT), n_rows FROM s
+    """,
+)
+def dq_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (operators/quality.py): three declared expectations
+    validated in ONE scan — each rule is a 0/1 expression inside a single
+    aggregate, so rule count never multiplies table passes. The range and
+    set rules are deliberately violated by the data (the gate has something
+    to report); the not-null rule passes."""
+    from ..operators import quality as Q
+
+    li = _t(spark, sf_dir, "lineitem")
+    return Q.check_rules(
+        li,
+        [
+            Q.in_range("l_quantity", 1, 25),
+            Q.in_set("l_returnflag", ["A", "N"]),
+            Q.not_null("l_shipdate"),
+        ],
+    )
+
+
+@register(
+    "dq_orphan_lineitems",
+    """
+    SELECT COUNT(*) AS n_orphans FROM lineitem
+    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    """,
+)
+def dq_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity expectation: lineitem rows whose order key has
+    no parent order (left-anti join against the distinct key projection,
+    broadcast-eligible). Zero on consistent data — the point is the check
+    itself runs as one join, not a row-by-row probe."""
+    from ..operators import quality as Q
+
+    orphans = Q.check_foreign_key(
+        _t(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        _t(spark, sf_dir, "orders"),
+        "o_orderkey",
+    )
+    return orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

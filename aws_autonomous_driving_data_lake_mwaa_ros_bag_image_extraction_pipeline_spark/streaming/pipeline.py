@@ -282,3 +282,18 @@ def process_pending(
         "key", "path"
     )
     return _process_batch(spark, new, manifest_dir, process_fn, per_bag)
+
+
+def dedup_within_watermark(
+    stream, id_col: str = "event_id", ts_col: str = "ts", delay: str = "10 minutes"
+):
+    """Streaming exact-once-per-id within a bounded horizon: Spark's
+    ``dropDuplicatesWithinWatermark`` keeps per-id state only until the
+    watermark passes id's first-seen event time + delay, so state is bounded
+    by the duplicate-arrival window instead of growing with the full id
+    history (the built-in complement to stateful.streaming_dedup, which
+    remembers forever). Use when duplicates are caused by at-least-once
+    upstream delivery — retries land within minutes, not days."""
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        [id_col]
+    )

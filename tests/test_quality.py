@@ -1,0 +1,58 @@
+"""Data-quality expectations: one-scan rule checks, quarantine rows, FK."""
+
+from __future__ import annotations
+
+from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+    quality as Q,
+)
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10.0, "A", "ok"),
+            (2, -5.0, "A", "ok"),      # range violation
+            (3, 10.0, "X", "ok"),      # set violation
+            (4, 99.0, "B", None),      # range + null violations
+        ],
+        "id long, qty double, flag string, note string",
+    )
+
+
+RULES = None
+
+
+def _rules():
+    return [
+        Q.in_range("qty", 0, 50),
+        Q.in_set("flag", ["A", "B"]),
+        Q.not_null("note"),
+    ]
+
+
+def test_check_rules_single_scan_counts(spark):
+    got = {r.rule: (r.n_violations, r.n_rows) for r in Q.check_rules(_df(spark), _rules()).collect()}
+    assert got == {
+        "qty_in_range": (2, 4),
+        "flag_in_set": (1, 4),
+        "note_not_null": (1, 4),
+    }
+    # one scan: the plan contains exactly one aggregate over the source
+    plan = Q.check_rules(_df(spark), _rules())._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") == 1
+
+
+def test_violating_rows_tags(spark):
+    got = {r.id: r.failed_rules for r in Q.violating_rows(_df(spark), _rules()).collect()}
+    assert got == {
+        2: ["qty_in_range"],
+        3: ["flag_in_set"],
+        4: ["note_not_null", "qty_in_range"],
+    }
+
+
+def test_check_foreign_key(spark):
+    child = spark.createDataFrame([(1, 100), (2, 200), (3, 999)], "id long, fk long")
+    parent = spark.createDataFrame([(100,), (200,)], "pk long")
+    got = Q.check_foreign_key(child, "fk", parent, "pk").collect()
+    assert [r.id for r in got] == [3]

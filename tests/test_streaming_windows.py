@@ -86,3 +86,46 @@ def test_session_window_batch_matches_gap_and_island(spark):
         (1, T0 + dt.timedelta(minutes=70)): 1,
         (2, T0): 1,
     }
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: retry duplicates arriving within the
+    delay are dropped across micro-batches; state stays bounded."""
+    src = str(tmp_path / "ev")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    sink: list = []
+
+    def _write(name: str, rows: list[tuple[int, int]]) -> None:
+        with open(os.path.join(src, name), "w") as f:
+            for eid, minutes in rows:
+                ts = (T0 + dt.timedelta(minutes=minutes)).strftime(
+                    "%Y-%m-%dT%H:%M:%S"
+                )
+                f.write(json.dumps({"event_id": eid, "ts": ts}) + "\n")
+
+    def _tick() -> None:
+        stream = spark.readStream.schema("event_id long, ts timestamp").json(src)
+        out = sp.dedup_within_watermark(stream, delay="10 minutes")
+
+        def _collect(df, _eid):
+            sink.extend(df.collect())
+
+        q = (
+            out.writeStream.foreachBatch(_collect)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write("b1.json", [(1, 0), (2, 1), (1, 2)])  # in-batch dup of id 1
+    _tick()
+    assert sorted(r.event_id for r in sink) == [1, 2]
+
+    # id 1 retries 3 minutes later (inside the horizon) -> dropped; id 3 new
+    sink.clear()
+    _write("b2.json", [(1, 3), (3, 4)])
+    _tick()
+    assert sorted(r.event_id for r in sink) == [3]
