@@ -435,3 +435,46 @@ def distinctive_terms(
         .filter(F.col("rank") <= k)
         .select(group_col, "token", "tfidf", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus decontamination
+# ---------------------------------------------------------------------------
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    reference: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_id_col: str = "doc_id",
+    ref_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: for every training document, how many of
+    its n-token passages appear anywhere in the ``reference`` corpus (the
+    eval/benchmark set). Returns (id, n_passages, n_contaminated,
+    contamination) — filter on it to drop or audit leaky documents.
+
+    Both sides reduce to md5 passage keys; the reference side collapses to
+    its DISTINCT passage set (benchmark corpora are small next to training
+    corpora, so the semi-join's build side broadcasts). One explode per
+    side, one semi-join, one per-doc rollup — no full-text comparisons.
+    """
+    p = passage_hashes(docs, n, id_col, text_col).distinct()
+    ref = (
+        passage_hashes(reference, n, ref_id_col, ref_text_col)
+        .select("passage_md5")
+        .distinct()
+    )
+    hits = p.join(ref, "passage_md5", "left_semi")
+    per_doc = p.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_passages"))
+    per_hit = hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_contaminated"))
+    return per_doc.join(per_hit, id_col, "left").select(
+        F.col(id_col),
+        "n_passages",
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        H.quantize(
+            F.coalesce("n_contaminated", F.lit(0)) / F.col("n_passages"), 4
+        ).alias("contamination"),
+    )

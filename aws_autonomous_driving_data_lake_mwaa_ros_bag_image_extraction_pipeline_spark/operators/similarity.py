@@ -457,3 +457,24 @@ def search_ivf_index(
     return scored.withColumn("rank", F.row_number().over(wr)).filter(
         F.col("rank") <= k
     )
+
+
+def append_to_ivf_index(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a persisted IVF index: assign the new
+    batch against the SAVED centroids (never re-clustered — list membership
+    of existing vectors must not move) and append into the list partitions.
+    Centroid drift under sustained appends degrades recall gradually;
+    rebuild with ``build_ivf_index`` when list-size skew grows, searches
+    keep working throughout."""
+    spark = emb.sparkSession
+    saved = spark.read.parquet(f"{path}/centroids")
+    n_lists = saved.count()
+    assigned = ivf_assign(emb, n_lists, id_col, vec_col, centroids=saved)
+    assigned.write.partitionBy("list_id").mode("append").parquet(
+        f"{path}/lists"
+    )

@@ -1943,6 +1943,47 @@ def shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "benchmark_contamination",
+    f"""
+    WITH tk AS (SELECT doc_id, source, {_D_TOKS} AS toks FROM documents),
+    p0 AS (
+      SELECT doc_id, source,
+             unnest(list_transform(
+               range(0, CAST(floor(len(toks) / 3) AS INTEGER)),
+               i -> md5(array_to_string(
+                      list_slice(toks, i * 3 + 1, i * 3 + 3), ' '))))
+               AS passage_md5
+      FROM tk),
+    corpus AS (SELECT DISTINCT doc_id, passage_md5 FROM p0
+               WHERE source <> 'src0'),
+    ref AS (SELECT DISTINCT passage_md5 FROM p0 WHERE source = 'src0'),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_cont FROM corpus
+      WHERE passage_md5 IN (SELECT passage_md5 FROM ref) GROUP BY 1),
+    per AS (SELECT doc_id, COUNT(*) AS n_passages FROM corpus GROUP BY 1)
+    SELECT per.doc_id, n_passages,
+           coalesce(n_cont, 0) AS n_contaminated,
+           floor(coalesce(n_cont, 0) / n_passages * 10000 + 0.5) / 10000.0
+             AS contamination
+    FROM per LEFT JOIN hits USING (doc_id)
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus decontamination (curation.contamination_overlap): the
+    share of each training doc's 3-token passages that appear anywhere in a
+    held-out benchmark set (src0 stands in as the benchmark here). The
+    reference collapses to its distinct passage-hash set before the
+    semi-join — benchmark corpora are tiny next to training corpora, so the
+    probe side broadcasts and the training corpus is touched once."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.contamination_overlap(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=3,
+    )
+
+
+@register(
     "token_heavy_hitters",
     f"""
     SELECT source, token, cnt, CAST(rank AS INTEGER) AS rank FROM (

@@ -249,3 +249,23 @@ def test_ivf_index_lifecycle(spark, tmp_path):
     assert sorted(
         (r.query_id, r.neighbor_id, r.rank) for r in full.collect()
     ) == sorted((r.query_id, r.neighbor_id, r.rank) for r in brute.collect())
+
+
+def test_ivf_index_append(spark, tmp_path):
+    """Appended vectors are searchable; existing list membership unchanged."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(first, idx, n_lists=4, refine_iters=0)
+    similarity.append_to_ivf_index(rest, idx)
+
+    stored = spark.read.parquet(f"{idx}/lists")
+    assert stored.count() == emb.count()
+    # full-probe search over the combined index == brute force on everything
+    q = emb.filter(F.col("vec_id") < 5)  # limit() is plan-dependent
+    got = similarity.search_ivf_index(spark, idx, q, k=3, n_probe=4)
+    want = similarity.brute_force_topk(emb, q, k=3)
+    assert sorted((r.query_id, r.neighbor_id, r.rank) for r in got.collect()) == sorted(
+        (r.query_id, r.neighbor_id, r.rank) for r in want.collect()
+    )
