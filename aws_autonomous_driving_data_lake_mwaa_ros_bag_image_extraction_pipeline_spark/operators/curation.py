@@ -368,8 +368,14 @@ def chunk_documents(
     toks = T.tokens(F.lower(F.col(text_col)))
 
     def _chunks(tk):
+        # ceil((len-size)/stride)+1 windows, but never start past the end:
+        # with stride > size (sampling mode) the cap is ceil(len/stride)
         n_chunks = F.greatest(
-            F.lit(1), F.ceil((F.size(tk) - F.lit(size)) / F.lit(st)) + 1
+            F.lit(1),
+            F.least(
+                F.ceil((F.size(tk) - F.lit(size)) / F.lit(st)) + 1,
+                F.ceil(F.size(tk) / F.lit(st)),
+            ),
         ).cast("int")
         return F.transform(
             F.sequence(F.lit(0), n_chunks - 1),

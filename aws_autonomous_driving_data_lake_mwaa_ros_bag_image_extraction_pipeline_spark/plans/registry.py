@@ -1825,8 +1825,9 @@ def q_passage_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT doc_id,
              unnest(list_transform(
-               range(0, CAST(greatest(
-                 1, ceil((len(toks) - 16) / 8.0) + 1) AS INTEGER)),
+               range(0, CAST(greatest(1, least(
+                 ceil((len(toks) - 16) / 8.0) + 1,
+                 ceil(len(toks) / 8.0))) AS INTEGER)),
                i -> struct_pack(
                  chunk_id := i,
                  chunk := array_to_string(

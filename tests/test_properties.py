@@ -137,3 +137,77 @@ def test_fingerprint_iff_normalized_equal(spark, docs):
     for i in range(len(docs)):
         for j in range(i + 1, len(docs)):
             assert (fps[i] == fps[j]) == (norm(docs[i]) == norm(docs[j]))
+
+
+@SLOW
+@given(
+    st.lists(st.integers(min_value=1, max_value=120), min_size=1, max_size=40),
+    st.integers(min_value=8, max_value=64),
+)
+def test_pack_exact_firstfit_property(spark, lens, capacity):
+    """First-fit packing invariants for arbitrary token lengths/capacities:
+    per-shard bins are dense from 0, no bin over capacity unless singleton,
+    and the assignment equals a sequential replay of the recurrence."""
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        curation,
+    )
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = curation.pack_sequences_exact(df, capacity=capacity, n_shards=3).collect()
+    by_shard: dict[int, list] = {}
+    for r in got:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, members in by_shard.items():
+        members.sort(key=lambda r: r.doc_id)
+        ref, fill, cur = [], 0, 0
+        for r in members:
+            if fill > 0 and fill + r.n_tokens > capacity:
+                cur, fill = cur + 1, 0
+            ref.append(cur)
+            fill += r.n_tokens
+        assert [r.bin_id for r in members] == ref
+        fills: dict[int, list] = {}
+        for r, b in zip(members, ref):
+            fills.setdefault(b, []).append(r.n_tokens)
+        assert sorted(fills) == list(range(len(fills)))
+        for ns in fills.values():
+            assert sum(ns) <= capacity or len(ns) == 1
+
+
+@SLOW
+@given(
+    st.lists(DOC, min_size=1, max_size=20),
+    st.integers(min_value=2, max_value=10),
+    st.integers(min_value=1, max_value=10),
+)
+def test_chunk_documents_property(spark, docs, size, stride):
+    """Chunk invariants for arbitrary size/stride: concatenating stride
+    offsets reconstructs the token sequence, chunk_ids are dense, lengths
+    are min(size, remaining)."""
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        curation,
+    )
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = curation.chunk_documents(df, size=size, stride=stride).collect()
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, d in enumerate(docs):
+        toks = d.split()
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            start = c.chunk_id * stride
+            want = toks[start : start + size]
+            # empty doc tokenizes to [''] (split convention shared with the
+            # oracle); its single chunk is the empty string
+            if not toks:
+                assert c.chunk == ""
+                continue
+            assert want, "no chunk may start past the last token"
+            assert c.chunk.split() == want
+            assert c.n_tokens == len(want)
