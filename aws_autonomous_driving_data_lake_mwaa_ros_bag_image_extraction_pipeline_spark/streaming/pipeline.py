@@ -297,3 +297,33 @@ def dedup_within_watermark(
     return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         [id_col]
     )
+
+
+def streaming_rollup(
+    stream,
+    rollup_path: str,
+    checkpoint: str,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    window: str = "1 hour",
+):
+    """Continuous aggregate as a stream: every micro-batch folds into the
+    incremental rollup table via ``rollup.update_rollup`` (partition-pruned
+    read of only the touched windows, dynamic overwrite of only the touched
+    partitions) — a materialized view that stays fresh without recomputing
+    history, with exactly-once per-batch folding from the checkpoint.
+    foreachBatch is the right hook because the sink is a keyed MERGE-shaped
+    write, not an append."""
+    from ..operators.rollup import update_rollup
+
+    def _fold(batch, _epoch_id: int) -> None:
+        update_rollup(
+            batch.sparkSession, batch, rollup_path,
+            ts_col=ts_col, group_col=group_col, window=window,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -55,3 +55,51 @@ def test_untouched_partitions_not_rewritten(spark, tmp_path):
         os.path.getmtime(os.path.join(day1, f)) for f in os.listdir(day1)
     )
     assert mtime_after == mtime_before  # dynamic overwrite left day 1 alone
+
+def test_streaming_rollup_matches_batch(spark, tmp_path):
+    """Two streamed ticks fold into the same rollup a one-shot batch
+    aggregation produces; history is never recomputed."""
+    import datetime as dt
+    import json
+    import os
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.streaming import (
+        pipeline as sp,
+    )
+
+    src = str(tmp_path / "ev")
+    rp = str(tmp_path / "rollup")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    t0 = dt.datetime(2021, 6, 1, 10, 0, 0)
+
+    def _write(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for etype, minutes in rows:
+                ts = (t0 + dt.timedelta(minutes=minutes)).strftime(
+                    "%Y-%m-%dT%H:%M:%S"
+                )
+                f.write(json.dumps({"event_type": etype, "ts": ts}) + "\n")
+
+    def _tick():
+        stream = spark.readStream.schema("event_type string, ts timestamp").json(src)
+        q = sp.streaming_rollup(stream, rp, ck).start()
+        q.awaitTermination(120)
+
+    all_rows = []
+    _write("b1.json", [("a", 0), ("a", 30), ("b", 70)])
+    all_rows += [("a", 0), ("a", 30), ("b", 70)]
+    _tick()
+    _write("b2.json", [("a", 90), ("b", 75), ("b", 1500)])  # +1 day spill
+    all_rows += [("a", 90), ("b", 75), ("b", 1500)]
+    _tick()
+
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.read.parquet(rp).collect()
+    }
+    want = {}
+    for etype, minutes in all_rows:
+        w = t0 + dt.timedelta(hours=(minutes // 60))
+        want[(w, etype)] = want.get((w, etype), 0) + 1
+    assert got == want

@@ -129,3 +129,34 @@ def test_dedup_within_watermark(spark, tmp_path):
     _write("b2.json", [(1, 3), (3, 4)])
     _tick()
     assert sorted(r.event_id for r in sink) == [3]
+
+
+def test_stream_static_join(spark, tmp_path):
+    """Stream-static join: each micro-batch enriches against a static dim
+    table (re-planned per batch, broadcast under AQE) — the streaming form
+    of the discovery/enrichment joins."""
+    src = str(tmp_path / "ev")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    sink: list = []
+    dim = spark.createDataFrame(
+        [("click", "web"), ("buy", "commerce")], "event_type string, domain string"
+    )
+
+    _write_events(src, "b1.json", [("click", 0), ("buy", 1), ("view", 2)])
+    stream = spark.readStream.schema("event_type string, ts timestamp").json(src)
+    out = stream.join(dim, "event_type", "left")
+
+    def _collect(df, _eid):
+        sink.extend(df.collect())
+
+    q = (
+        out.writeStream.foreachBatch(_collect)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.event_type, r.domain) for r in sink}
+    assert got == {("click", "web"), ("buy", "commerce"), ("view", None)}
