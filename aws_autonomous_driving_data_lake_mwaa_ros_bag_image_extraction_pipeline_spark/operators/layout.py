@@ -63,3 +63,68 @@ def bucketed_join(
     return spark.table(left_table).join(
         spark.table(right_table).hint("merge"), on_cols, how
     )
+
+
+def zorder_value(cols: list, bits: int = 16):
+    """Interleave the low ``bits`` bits of pre-normalized integer columns
+    into one Morton (Z-curve) key. Pure bit arithmetic — shifts and masks
+    compile into whole-stage codegen; ``bits``·``len(cols)`` must fit 63.
+    Inputs must already be scaled to [0, 2^bits) (see ``write_zordered``).
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(c.cast("bigint"), b).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, b * n + i)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = 12,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` clustered along a Z-curve over ``cols`` — the multi-
+    dimensional analogue of a sort: every output file covers a small
+    RECTANGLE in (col1, col2, …) space, so parquet row-group min/max stats
+    prune scans filtered on ANY of the dimensions, not just a leading sort
+    column. This is the layout trick behind Delta/Iceberg OPTIMIZE ZORDER,
+    expressed on plain parquet.
+
+    Each column is min-max scaled to ``bits`` bits (one tiny broadcast agg),
+    the Morton keys range-partition into ``n_files`` (sampling-based, no
+    global sort), and files sort internally so row groups are tight.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    bounds = df.agg(*aggs)
+    scaled = df.join(F.broadcast(bounds))
+    norm = []
+    for c in cols:
+        mn, mx = F.col(f"__mn_{c}"), F.col(f"__mx_{c}")
+        span = F.when(mx > mn, mx - mn).otherwise(F.lit(1))
+        norm.append(
+            F.least(
+                F.lit((1 << bits) - 1),
+                F.floor((F.col(c) - mn) / span * F.lit((1 << bits) - 1)),
+            )
+        )
+    scaled = scaled.withColumn("__z", zorder_value(norm, bits)).drop(
+        *[f"__mn_{c}" for c in cols], *[f"__mx_{c}" for c in cols]
+    )
+    (
+        scaled.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
