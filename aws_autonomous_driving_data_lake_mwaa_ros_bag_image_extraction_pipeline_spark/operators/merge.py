@@ -1,0 +1,90 @@
+"""Keyed MERGE (upsert / delete) on plain parquet.
+
+The general form of the pattern the manifest ledger and the incremental
+rollup already use: fold a source batch into a partitioned target by key,
+rewriting ONLY the partitions the batch touches.
+
+    merge_into(spark, source, path, keys=["id"], partition_col="day")
+
+Semantics per key: source row replaces the matching target row (last-writer-
+wins upsert); unmatched source rows insert; target rows in untouched
+partitions are never read or written. With ``delete_col`` set, source rows
+with that flag true remove the key instead.
+
+Scale shape: one distinct over the source's partition values (tiny), a
+partition-pruned read of only those target partitions, an anti-join sized
+by the batch, and a dynamic partition overwrite of the touched partitions.
+Cost per merge scales with the batch's partition span, not table history —
+on Delta/Iceberg this whole module is ``MERGE INTO``; this is the
+plain-parquet equivalent with the same staged-write safety as the rollup
+(the overwrite job never reads the files it deletes).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_into(
+    spark: SparkSession,
+    source: DataFrame,
+    target_path: str,
+    keys: list[str],
+    partition_col: str,
+    delete_col: str | None = None,
+) -> None:
+    """Upsert ``source`` into the parquet table at ``target_path``.
+
+    Requirements: ``partition_col`` is one of the target's Hive partition
+    columns and is present in ``source``; a key's partition value must be
+    stable (a key that moves partitions would leave its old row behind —
+    the same contract Hive-style MERGE implementations carry).
+    """
+    if delete_col is not None:
+        deletes = source.filter(F.col(delete_col)).select(*keys, partition_col)
+        source = source.filter(~F.col(delete_col)).drop(delete_col)
+
+    if not os.path.exists(target_path):
+        if delete_col is not None:
+            pass  # deletes against an empty table are no-ops
+        source.write.mode("overwrite").partitionBy(partition_col).parquet(
+            target_path
+        )
+        return
+
+    touched = [
+        r[0]
+        for r in (
+            source.select(partition_col)
+            .union(
+                deletes.select(partition_col)
+                if delete_col is not None
+                else source.select(partition_col).limit(0)
+            )
+            .distinct()
+            .collect()
+        )
+    ]
+    old = spark.read.parquet(target_path).filter(
+        F.col(partition_col).isin(touched)
+    )
+    # keep old rows whose key is absent from the batch (and not deleted)
+    survivors = old.join(source.select(*keys), keys, "left_anti")
+    if delete_col is not None:
+        survivors = survivors.join(deletes.select(*keys), keys, "left_anti")
+    merged = survivors.unionByName(source)
+
+    staging = target_path.rstrip("/") + "__staging"
+    merged.write.mode("overwrite").parquet(staging)
+    (
+        spark.read.parquet(staging)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(target_path)
+    )
+    shutil.rmtree(staging, ignore_errors=True)
