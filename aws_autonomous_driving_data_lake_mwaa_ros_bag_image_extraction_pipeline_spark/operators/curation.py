@@ -192,11 +192,16 @@ def redact_patterns(
 ) -> DataFrame:
     """Count and redact sensitive patterns (PII scrub).
 
-    For each named pattern emits ``n_<name>`` (occurrence count) and replaces
-    matches with ``[<NAME>]`` in the returned ``scrubbed`` column. Counting
-    uses ``regexp_extract_all`` and replacement ``regexp_replace`` — both
-    whole-stage-codegen built-ins; per-row cost is O(len·patterns) with no
-    shuffle, so the scrub runs at scan speed at any scale.
+    For each named pattern emits ``n_<name>`` and replaces matches with
+    ``[<NAME>]`` in the returned ``scrubbed`` column. Patterns apply in
+    sorted-name order to the PROGRESSIVELY scrubbed string, and each count
+    is taken from the same string its replacement runs on — so ``n_<name>``
+    always equals the number of ``[<NAME>]`` tags actually emitted, even
+    when patterns overlap (counting everything against the original would
+    claim tags an earlier pattern already consumed). Counting uses
+    ``regexp_extract_all`` and replacement ``regexp_replace`` — both
+    whole-stage-codegen built-ins, no shuffle; the chained form re-evaluates
+    earlier replaces per count, fine for a handful of patterns.
     """
     pats = PII_PATTERNS if patterns is None else patterns
     cols = [F.col(id_col)]
@@ -204,7 +209,7 @@ def redact_patterns(
     for name in sorted(pats):
         rx = pats[name]
         cols.append(
-            F.size(F.regexp_extract_all(F.col(text_col), F.lit(rx), F.lit(0)))
+            F.size(F.regexp_extract_all(scrubbed, F.lit(rx), F.lit(0)))
             .alias(f"n_{name}")
         )
         scrubbed = F.regexp_replace(scrubbed, rx, f"[{name.upper()}]")

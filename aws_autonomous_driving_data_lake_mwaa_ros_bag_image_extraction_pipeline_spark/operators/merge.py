@@ -48,6 +48,18 @@ def merge_into(
         deletes = source.filter(F.col(delete_col)).select(*keys, partition_col)
         source = source.filter(~F.col(delete_col)).drop(delete_col)
 
+    # a source with the same key twice is ambiguous (which row wins?) —
+    # reject it like Hive/Delta MERGE do rather than silently keeping both
+    dup = (
+        source.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError("merge_into: source contains duplicate keys")
+
     if not os.path.exists(target_path):
         if delete_col is not None:
             pass  # deletes against an empty table are no-ops
@@ -80,11 +92,21 @@ def merge_into(
 
     staging = target_path.rstrip("/") + "__staging"
     merged.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
     (
-        spark.read.parquet(staging)
-        .write.mode("overwrite")
+        staged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(target_path)
     )
+    # dynamic overwrite only replaces partitions PRESENT in the written
+    # data: a touched partition whose every row was deleted emits nothing
+    # and would silently keep its old files — remove those explicitly
+    remaining = {r[0] for r in staged.select(partition_col).distinct().collect()}
+    for val in touched:
+        if val not in remaining:
+            shutil.rmtree(
+                os.path.join(target_path, f"{partition_col}={val}"),
+                ignore_errors=True,
+            )
     shutil.rmtree(staging, ignore_errors=True)

@@ -82,6 +82,8 @@ def check_foreign_key(
     df: DataFrame, col: str, ref: DataFrame, ref_col: str
 ) -> DataFrame:
     """Orphaned foreign-key rows: a left-anti join against the referenced
-    key set (broadcast when the key projection fits, AQE decides)."""
+    key set (broadcast when the key projection fits, AQE decides). NULL
+    keys are not orphans — SQL FK semantics, and what the NOT IN oracle
+    computes; add a ``not_null`` rule separately if NULLs are violations."""
     keys = ref.select(F.col(ref_col).alias(col)).distinct()
-    return df.join(keys, col, "left_anti")
+    return df.filter(F.col(col).isNotNull()).join(keys, col, "left_anti")

@@ -1714,18 +1714,23 @@ def group_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pattern_redaction",
     r"""
-    SELECT doc_id,
+    -- counts come from the progressively scrubbed string (n_<name> ==
+    -- tags emitted), mirroring curation.redact_patterns
+    WITH s1 AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(
+               text, '\b(?:customer|part|order)\b')) AS INTEGER) AS n_acct,
+             regexp_replace(text, '\b(?:customer|part|order)\b',
+                            '[ACCT]', 'g') AS t1
+      FROM documents)
+    SELECT doc_id, n_acct,
            CAST(len(regexp_extract_all(
-             text, '\b(?:customer|part|order)\b')) AS INTEGER) AS n_acct,
-           CAST(len(regexp_extract_all(
-             text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
              AS INTEGER) AS n_email,
            md5(regexp_replace(
-             regexp_replace(text, '\b(?:customer|part|order)\b',
-                            '[ACCT]', 'g'),
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
              '[EMAIL]', 'g')) AS scrub_md5
-    FROM documents
+    FROM s1
     """,
 )
 def pattern_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:

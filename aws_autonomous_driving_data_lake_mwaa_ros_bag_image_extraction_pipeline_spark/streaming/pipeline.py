@@ -311,16 +311,32 @@ def streaming_rollup(
     incremental rollup table via ``rollup.update_rollup`` (partition-pruned
     read of only the touched windows, dynamic overwrite of only the touched
     partitions) — a materialized view that stays fresh without recomputing
-    history, with exactly-once per-batch folding from the checkpoint.
-    foreachBatch is the right hook because the sink is a keyed MERGE-shaped
-    write, not an append."""
+    history. foreachBatch is the right hook because the sink is a keyed
+    MERGE-shaped write, not an append.
+
+    Delivery: foreachBatch is at-least-once and the fold is additive, so a
+    replayed epoch would double-count — an epoch marker written after each
+    fold makes Spark's batch retries (same epoch id re-delivered) no-ops.
+    A crash in the instant between fold and marker can still double-fold;
+    closing that window needs a transactional table format (Delta/Iceberg
+    MERGE keyed on the epoch), same as any non-transactional sink."""
+    import os
+
     from ..operators.rollup import update_rollup
 
-    def _fold(batch, _epoch_id: int) -> None:
+    marker_dir = rollup_path.rstrip("/") + "__epochs"
+
+    def _fold(batch, epoch_id: int) -> None:
+        marker = os.path.join(marker_dir, str(epoch_id))
+        if os.path.exists(marker):
+            return  # retried epoch: already folded
         update_rollup(
             batch.sparkSession, batch, rollup_path,
             ts_col=ts_col, group_col=group_col, window=window,
         )
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w"):
+            pass
 
     return (
         stream.writeStream.foreachBatch(_fold)
