@@ -29,14 +29,19 @@ from ..operators import curation, dedup, frames, sessionize, similarity, textsta
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver table; normalize the events timestamp.
+    """Read one driver table; normalize timestamp physical types.
 
-    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS). Spark 4
-    reads it only as a ns-epoch LONG (``spark.sql.legacy.parquet.nanosAsLong``,
-    set both here — the conf is runtime-settable — and in session.get_spark);
-    we truncate ns→µs exactly like DuckDB's native TIMESTAMP_NS→TIMESTAMP
-    read, so both engines see identical µs timestamps. Integer `div` keeps
-    full precision (ns epochs overflow double's 53-bit mantissa).
+    The driver's parquet has stored timestamps two ways across rounds:
+
+    - TIMESTAMP(NANOS): Spark 4 reads it only as a ns-epoch LONG
+      (``spark.sql.legacy.parquet.nanosAsLong``, set both here — the conf is
+      runtime-settable — and in session.get_spark); we truncate ns→µs exactly
+      like DuckDB's native TIMESTAMP_NS→TIMESTAMP read. Integer `div` keeps
+      full precision (ns epochs overflow double's 53-bit mantissa).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers TIMESTAMP_NTZ,
+      which ``unix_millis``/``unix_timestamp`` reject. Cast NTZ → session-tz
+      TIMESTAMP; under the UTC session zone pinned below the instant values
+      equal DuckDB's naive read, so oracles still hash-match.
     """
     # Both confs are runtime-settable; pin them here so the queries behave
     # identically under the driver's own (vanilla) SparkSession, not just
@@ -48,6 +53,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
