@@ -1,0 +1,96 @@
+"""Time-series resample + forward-fill (gap fill) — sensor-grid primitive.
+
+The reference derives a fixed-rate frame clock from an irregular source
+(processing.py:192,218-221: frame_index × 67 ms) and its sensors drop
+messages (check_pngs.py's gap audit exists because replay is lossy). The
+general operator behind both is *resample*: project each key's irregular
+event stream onto a fixed-step grid, carrying the last observation forward.
+
+Plan shape (the 100 TB-honest formulation):
+
+1. per-key bounds: one partial-aggregated ``groupBy(key)`` — tiny output;
+2. grid: ``sequence(floor(min), max, step)`` + ``explode`` — generated
+   executor-side from the bounds rows, never shuffled at event scale;
+3. fill: union(grid, events) + ``last(ignorenulls)`` over a
+   (key)-partitioned window — ONE sort-shuffle on the key, the same shape
+   as asof.asof_join (a per-grid-point range probe would be O(grid×events)).
+
+Ties: events sharing (key, ts) are ordered by a caller-named tiebreak
+column so the filled value is deterministic; grid rows sort after events
+at the same instant ("at or before" semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Per key: a ``step_seconds``-spaced timestamp grid from
+    ``floor(min(ts))`` (grid-aligned) to ``max(ts)``, each point carrying
+    the value of the latest event at or before it (NULL before the first
+    event — the floor-aligned leading point may precede all observations,
+    as in pandas ``asfreq().ffill()``).
+
+    Returns (key_col, grid_ts, value_col).
+    """
+    step = int(step_seconds)
+    bounds = df.groupBy(key_col).agg(
+        F.timestamp_seconds(
+            F.floor(F.unix_seconds(F.min(ts_col)) / step) * step
+        ).alias("__g0"),
+        F.max(ts_col).alias("__g1"),
+    )
+    grid = bounds.select(
+        F.col(key_col),
+        F.explode(
+            F.sequence("__g0", "__g1", F.expr(f"INTERVAL {step} SECONDS"))
+        ).alias("__t"),
+    )
+    vtype = df.schema[value_col].dataType
+    tie = (
+        F.col(tie_col).cast("long")
+        if tie_col is not None
+        else F.lit(None).cast("long")
+    )
+    g_tag = grid.select(
+        key_col,
+        "__t",
+        F.lit(1).alias("__is_grid"),
+        F.lit(None).cast(vtype).alias("__v"),
+        F.lit(None).cast("long").alias("__tie"),
+    )
+    e_tag = df.select(
+        F.col(key_col),
+        F.col(ts_col).alias("__t"),
+        F.lit(0).alias("__is_grid"),
+        F.col(value_col).alias("__v"),
+        tie.alias("__tie"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(
+            F.col("__t"),
+            F.col("__is_grid"),
+            F.col("__tie").asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        g_tag.unionByName(e_tag)
+        .withColumn("__f", F.last("__v", ignorenulls=True).over(w))
+        .filter(F.col("__is_grid") == 1)
+        .select(
+            F.col(key_col),
+            F.col("__t").alias("grid_ts"),
+            F.col("__f").alias(value_col),
+        )
+    )

@@ -179,3 +179,71 @@ def rolling_fingerprints(
         F.count_distinct(F.col("h")).alias("n_fp"),
         digest.alias("fp_digest"),
     )
+
+
+def repetition_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition signals per document: total word-``n``-gram
+    occurrences, the fraction of occurrences that are repeats
+    (``1 - distinct/total``), and the share held by the single most
+    frequent n-gram. High values flag boilerplate / degenerate text.
+
+    Zero-shuffle: every signal is a narrow per-row expression over the
+    n-gram array (the explode + groupBy(doc, gram) formulation computes
+    the same thing with a full shuffle of gram rows — pointless when the
+    grouping key is the row itself). The top-gram count is the longest
+    equal-run in the sorted array, computed with one ``aggregate`` fold.
+    Documents with no n-grams (< n tokens) are dropped, matching the
+    relational oracle's inner-join semantics.
+    """
+
+    def _scores(g: Column) -> Column:
+        total = F.size(g)
+        run = F.aggregate(
+            F.array_sort(g),
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+        )
+        # try_divide: the empty-gram rows are filtered out below, but under
+        # ANSI mode the division still evaluates for them first.
+        return F.struct(
+            total.alias("n_grams"),
+            quantize(
+                F.try_divide(
+                    total - F.size(F.array_distinct(g)), total.cast("double")
+                ),
+                6,
+            ).alias("dup_gram_frac"),
+            quantize(
+                F.try_divide(run["best"], total.cast("double")), 6
+            ).alias("top_gram_share"),
+        )
+
+    s = T.bind(T.word_ngrams(F.col(text_col), n), _scores)
+    return (
+        docs.select(F.col(id_col), s.alias("__s"))
+        .filter(F.col("__s.n_grams") > 0)
+        .select(
+            id_col,
+            F.col("__s.n_grams").alias("n_grams"),
+            F.col("__s.dup_gram_frac").alias("dup_gram_frac"),
+            F.col("__s.top_gram_share").alias("top_gram_share"),
+        )
+    )

@@ -2106,6 +2106,88 @@ def dq_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
 
 
+@register(
+    "repetition_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS l
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS g
+      FROM toks
+    ),
+    counts AS (
+      SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS INTEGER) AS n_grams,
+           floor((1.0 - count(*) / CAST(sum(c) AS DOUBLE)) * 1000000 + 0.5) / 1000000.0
+             AS dup_gram_frac,
+           floor((max(c) / CAST(sum(c) AS DOUBLE)) * 1000000 + 0.5) / 1000000.0
+             AS top_gram_share
+    FROM counts GROUP BY doc_id
+    """,
+)
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (dup-2gram fraction, top-2gram
+    share) — the boilerplate/degenerate-text filter of an LLM curation
+    pipeline. Zero-shuffle narrow expressions; see
+    textstats.repetition_scores."""
+    return textstats.repetition_scores(_t(spark, sf_dir, "documents"), n=2)
+
+
+@register(
+    "resample_ffill_6h",
+    """
+    WITH bounds AS (
+      SELECT user_id,
+             make_timestamp(CAST(floor(epoch(min(ts)) / 21600) * 21600 AS BIGINT) * 1000000) AS g0,
+             max(ts) AS g1
+      FROM events GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(g0, g1, INTERVAL 21600 SECOND)) AS t
+      FROM bounds
+    ),
+    u AS (
+      SELECT user_id, t, 1 AS is_grid,
+             CAST(NULL AS DOUBLE) AS v, CAST(NULL AS BIGINT) AS tie
+      FROM grid
+      UNION ALL
+      SELECT user_id, ts, 0, value, event_id FROM events
+    ),
+    f AS (
+      SELECT user_id, t, is_grid,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY t, is_grid, tie NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS value
+      FROM u
+    )
+    SELECT user_id, t AS grid_ts, value FROM f WHERE is_grid = 1
+    """,
+)
+def resample_ffill_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill: each user's event stream projected onto a 6-hour grid with
+    the last observation carried forward (the general form of the
+    reference's fixed-rate frame clock, processing.py:192,218-221, and the
+    lossy-sensor gap repair its gap audit implies). One sort-shuffle on the
+    key — see operators/resample.py."""
+    from ..operators import resample as RS
+
+    return RS.resample_ffill(
+        _t(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        step_seconds=21600,
+        tie_col="event_id",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,72 @@
+"""Resample + forward-fill and repetition signals on hand-built fixtures."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+    textstats,
+)
+from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.resample import (
+    resample_ffill,
+)
+
+T0 = dt.datetime(2021, 1, 1, 12, 0, 0)  # already 60s-aligned
+
+
+def _ts(sec):
+    return T0 + dt.timedelta(seconds=sec)
+
+
+def test_resample_ffill_carries_last_observation(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(5), 10.0, 100), (1, _ts(65), 20.0, 101), (1, _ts(200), 30.0, 102)],
+        "k long, ts timestamp, v double, eid long",
+    )
+    out = {
+        (r.k, r.grid_ts): r.v
+        for r in resample_ffill(df, "k", "ts", "v", 60, tie_col="eid").collect()
+    }
+    # Grid: 12:00:00 (floor of 12:00:05) .. 12:03:20 capped at max → 12:03:00.
+    assert out[(1, _ts(0))] is None  # grid-aligned leading point precedes data
+    assert out[(1, _ts(60))] == 10.0  # 12:01 carries the 12:00:05 reading
+    assert out[(1, _ts(120))] == 20.0  # 12:02 carries 12:01:05
+    assert out[(1, _ts(180))] == 20.0  # gap: still carried forward
+    assert len(out) == 4
+
+
+def test_resample_ffill_per_key_bounds_and_ties(spark):
+    df = spark.createDataFrame(
+        [
+            (1, _ts(0), 1.0, 7),
+            (1, _ts(0), 2.0, 8),  # same instant: higher eid wins
+            (2, _ts(600), 9.0, 9),  # key 2 starts 10 min later
+        ],
+        "k long, ts timestamp, v double, eid long",
+    )
+    rows = resample_ffill(df, "k", "ts", "v", 60, tie_col="eid").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.k, []).append((r.grid_ts, r.v))
+    assert by_key[1] == [(_ts(0), 2.0)]  # at-or-before includes same instant
+    assert by_key[2] == [(_ts(600), 9.0)]  # grid starts at key 2's own min
+
+
+def test_repetition_scores_flags_repeats(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),  # 5 bigrams: "a b"×3, "b a"×2 → all dup
+            (2, "w x y z"),  # 3 distinct bigrams
+            (3, "solo"),  # <2 tokens → dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textstats.repetition_scores(docs).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_grams == 5
+    assert out[1].dup_gram_frac == 0.6  # (5-2)/5
+    assert out[1].top_gram_share == 0.6  # "a b" holds 3/5
+    assert out[2].dup_gram_frac == 0.0
+    assert out[2].top_gram_share == round(1 / 3, 6) or abs(
+        out[2].top_gram_share - 1 / 3
+    ) < 1e-6
