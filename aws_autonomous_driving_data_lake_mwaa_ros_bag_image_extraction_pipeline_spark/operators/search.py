@@ -1,0 +1,91 @@
+"""Full-text relevance scoring (BM25) — corpus search without an index.
+
+A training-data pipeline needs "find the documents about X" both for
+curation (topical subsets) and for evaluation (retrieval baselines). For a
+small literal query, BM25 needs no inverted index and no shuffle of term
+rows:
+
+1. narrow pass: per-doc length and one term-frequency per query term,
+   computed as array expressions over the token array (the token split is
+   let-bound, so the text is tokenized once per row no matter how many
+   query terms);
+2. one scalar aggregate: corpus size N, total token count, per-term
+   document frequencies — a single row;
+3. broadcast that row back and evaluate the BM25 polynomial per doc;
+   top-k compiles to TakeOrderedAndProject (per-partition local top-k,
+   k·partitions rows to the driver-side merge — no global sort).
+
+The classic inverted-index formulation (explode → tf per (doc, term) →
+join query) only wins when the query vocabulary is itself a table; for
+literal queries the narrow pass reads less and shuffles nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import text as T
+from ..functions.hashing import quantize
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+    digits: int = 4,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 against ``query_terms``
+    (Robertson/Sparck-Jones idf with Lucene's +1 floor:
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``).
+
+    Scores are quantized to ``digits`` decimals BEFORE ranking so the
+    (score, id) order — and therefore the top-k set — is reproducible
+    across engines that may differ in the last ulp of ``ln``.
+    Returns (id_col, bm25) with bm25 descending, ties broken by id.
+    """
+    def _tf(term: str):
+        # closure, not a lambda default: a 2-arg lambda signature would make
+        # PySpark pass the array *index* as the second arg (HOF arity is
+        # inspected from the signature, defaults included).
+        return F.size(F.filter(F.col("__toks"), lambda x: x == F.lit(term)))
+
+    tf_cols = [_tf(t).alias(f"__tf{i}") for i, t in enumerate(query_terms)]
+    per_doc = docs.select(
+        F.col(id_col),
+        T.tokens(F.lower(F.col(text_col))).alias("__toks"),
+    ).select(
+        F.col(id_col),
+        F.size(F.col("__toks")).alias("__dl"),
+        *tf_cols,
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__dl").alias("__sumdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    # sum/count (not avg) so both engines derive avgdl from the same exact
+    # integer operands.
+    avgdl = F.col("__sumdl").cast("double") / F.col("__n")
+    norm = F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("__dl") / avgdl)
+    score = None
+    for i in range(len(query_terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__n") - F.col(f"__df{i}") + F.lit(0.5))
+            / (F.col(f"__df{i}") + F.lit(0.5))
+        )
+        part = idf * F.col(f"__tf{i}") / (F.col(f"__tf{i}") + norm)
+        score = part if score is None else score + part
+    return (
+        per_doc.join(F.broadcast(stats))
+        .select(F.col(id_col), quantize(score, digits).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+    )

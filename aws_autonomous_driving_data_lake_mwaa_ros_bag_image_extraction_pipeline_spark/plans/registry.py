@@ -2107,6 +2107,55 @@ def dq_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bm25_topk",
+    """
+    WITH td AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS l
+      FROM documents
+    ),
+    per AS (
+      SELECT doc_id, len(l) AS dl,
+             len(list_filter(l, x -> x = 'spark'))    AS tf0,
+             len(list_filter(l, x -> x = 'window'))   AS tf1,
+             len(list_filter(l, x -> x = 'customer')) AS tf2,
+             len(list_filter(l, x -> x = 'vector'))   AS tf3
+      FROM td
+    ),
+    st AS (
+      SELECT count(*) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+             sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+      FROM per
+    )
+    SELECT doc_id,
+           floor((
+             ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + ln(1.0 + (n - df3 + 0.5) / (df3 + 0.5)) * tf3 / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           ) * 10000 + 0.5) / 10000.0 AS bm25
+    FROM per, st
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 25
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval for a literal query — zero-shuffle narrow tf pass +
+    one scalar stats row broadcast back; top-k via TakeOrderedAndProject.
+    See operators/search.py."""
+    from ..operators import search as SE
+
+    return SE.bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        ["spark", "window", "customer", "vector"],
+        k=25,
+    )
+
+
+@register(
     "repetition_scores",
     """
     WITH toks AS (

@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # - ivf_topk: cross join against the centroid set, bounded by n_lists rows
 # - price_quartiles: cross join against a broadcast 1-row percentile bounds agg
 # - distinctive_terms: cross join against a broadcast 1-row group-count agg
+# - bm25_topk: cross join against a broadcast 1-row corpus-stats agg
 ALLOWED_BNLJ = {
     "brute_force_topk",
     "similar_nation_names",
@@ -35,6 +36,7 @@ ALLOWED_BNLJ = {
     "ivf_topk",
     "price_quartiles",
     "distinctive_terms",
+    "bm25_topk",
 }
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
