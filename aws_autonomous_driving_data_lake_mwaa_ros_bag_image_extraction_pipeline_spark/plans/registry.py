@@ -716,7 +716,10 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm; exactness (vs brute-force all-pairs) is pinned separately
     in tests/test_dedup.py."""
     return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.8, n=8
+        _t(spark, sf_dir, "documents"),
+        threshold=0.8,
+        n=8,
+        repartition_to=spark.sparkContext.defaultParallelism,
     )
 
 

@@ -229,6 +229,42 @@ def windowed_event_counts(
     )
 
 
+def attribution_join_streams(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    key: str = "user_id",
+    purchase_ts: str = "purchase_ts",
+    click_ts: str = "click_ts",
+    horizon: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same key's
+    clicks in the preceding ``horizon`` (ad-attribution shape; the streaming
+    twin of asof/range_join on batch data).
+
+    Both sides carry watermarks and the join condition bounds event time on
+    BOTH sides, so Spark derives a state-retention horizon per side and
+    evicts matched/expired rows — state stays O(horizon × rate), never
+    O(stream). Inner join → append mode; results for a purchase emit once
+    its click-side watermark passes the interval's end.
+    """
+    p = purchases.withWatermark(purchase_ts, watermark).alias("p")
+    c = clicks.withWatermark(click_ts, watermark).alias("c")
+    return p.join(
+        c,
+        F.expr(
+            f"p.{key} = c.{key} AND "
+            f"c.{click_ts} >= p.{purchase_ts} - INTERVAL {horizon} AND "
+            f"c.{click_ts} <= p.{purchase_ts}"
+        ),
+        "inner",
+    ).select(
+        F.col(f"p.{key}").alias(key),
+        F.col(f"p.{purchase_ts}").alias(purchase_ts),
+        F.col(f"c.{click_ts}").alias(click_ts),
+    )
+
+
 def session_window_stats(
     events: DataFrame,
     key_col: str = "user_id",
