@@ -160,3 +160,38 @@ def test_stream_static_join(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.event_type, r.domain) for r in sink}
     assert got == {("click", "web"), ("buy", "commerce"), ("view", None)}
+
+
+def _write_ts_rows(d: str, name: str, rows: list[tuple[int, int]], ts_field: str) -> None:
+    with open(os.path.join(d, name), "w") as f:
+        for uid, minutes in rows:
+            ts = (T0 + dt.timedelta(minutes=minutes)).strftime("%Y-%m-%dT%H:%M:%S")
+            f.write(json.dumps({"user_id": uid, ts_field: ts}) + "\n")
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    """Purchases join clicks from the same user within the 10-minute
+    horizon; older clicks and other users' clicks never match."""
+    p_src, c_src = str(tmp_path / "p"), str(tmp_path / "c")
+    os.makedirs(p_src), os.makedirs(c_src)
+    # user 1: clicks at 0 and 25 min, purchase at 30 → only the 25-min
+    # click attributes. user 2's click is within 10 min of user 1's
+    # purchase but must not match (key mismatch).
+    _write_ts_rows(c_src, "c1.json", [(1, 0), (1, 25), (2, 28)], "click_ts")
+    _write_ts_rows(p_src, "p1.json", [(1, 30)], "purchase_ts")
+
+    purchases = spark.readStream.schema("user_id long, purchase_ts timestamp").json(p_src)
+    clicks = spark.readStream.schema("user_id long, click_ts timestamp").json(c_src)
+    joined = sp.attribution_join_streams(purchases, clicks)
+
+    sink: list = []
+    q = (
+        joined.writeStream.foreachBatch(lambda df, _e: sink.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.user_id, r.purchase_ts, r.click_ts) for r in sink}
+    assert got == {(1, T0 + dt.timedelta(minutes=30), T0 + dt.timedelta(minutes=25))}
