@@ -26,6 +26,91 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def align_series(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    series_col: str,
+    value_col: str,
+    step_seconds: int,
+    series: list[str],
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Multi-series alignment: project N interleaved series (sensor topics)
+    onto ONE per-key grid, each output column carrying its series' last
+    observation at or before the grid point.
+
+    This is the reference's implicit sensor-fusion need made explicit: per
+    bag, `/gps` and `/imu` and `/pose_*` messages arrive on their own
+    clocks (SURVEY §1.2); analysis wants one wide row per (bag, tick). The
+    plan is resample_ffill's union+window with one ``last(when(series=s))``
+    per series over the SAME window — still exactly one sort-shuffle on the
+    key, regardless of how many series are aligned (N separate resamples +
+    an N-way join would shuffle N+1 times).
+
+    Returns (key_col, grid_ts, <one column per series>). The grid spans
+    floor(min(ts)) .. max(ts) over ALL the key's series combined.
+    """
+    step = int(step_seconds)
+    bounds = df.groupBy(key_col).agg(
+        F.timestamp_seconds(
+            F.floor(F.unix_seconds(F.min(ts_col)) / step) * step
+        ).alias("__g0"),
+        F.max(ts_col).alias("__g1"),
+    )
+    grid = bounds.select(
+        F.col(key_col),
+        F.explode(
+            F.sequence("__g0", "__g1", F.expr(f"INTERVAL {step} SECONDS"))
+        ).alias("__t"),
+    )
+    vtype = df.schema[value_col].dataType
+    tie = (
+        F.col(tie_col).cast("long")
+        if tie_col is not None
+        else F.lit(None).cast("long")
+    )
+    g_tag = grid.select(
+        key_col,
+        "__t",
+        F.lit(1).alias("__is_grid"),
+        F.lit(None).cast("string").alias("__s"),
+        F.lit(None).cast(vtype).alias("__v"),
+        F.lit(None).cast("long").alias("__tie"),
+    )
+    e_tag = df.select(
+        F.col(key_col),
+        F.col(ts_col).alias("__t"),
+        F.lit(0).alias("__is_grid"),
+        F.col(series_col).alias("__s"),
+        F.col(value_col).alias("__v"),
+        tie.alias("__tie"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(
+            F.col("__t"),
+            F.col("__is_grid"),
+            F.col("__tie").asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = [
+        F.last(
+            F.when(F.col("__s") == s, F.col("__v")), ignorenulls=True
+        )
+        .over(w)
+        .alias(s)
+        for s in series
+    ]
+    return (
+        g_tag.unionByName(e_tag)
+        .select(key_col, "__t", "__is_grid", *filled)
+        .filter(F.col("__is_grid") == 1)
+        .select(F.col(key_col), F.col("__t").alias("grid_ts"), *[F.col(s) for s in series])
+    )
+
+
 def resample_ffill(
     df: DataFrame,
     key_col: str,

@@ -2191,6 +2191,68 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "align_series_6h",
+    """
+    WITH bounds AS (
+      SELECT user_id,
+             make_timestamp(CAST(floor(epoch(min(ts)) / 21600) * 21600 AS BIGINT) * 1000000) AS g0,
+             max(ts) AS g1
+      FROM events GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(g0, g1, INTERVAL 21600 SECOND)) AS t
+      FROM bounds
+    ),
+    u AS (
+      SELECT user_id, t, 1 AS is_grid, CAST(NULL AS VARCHAR) AS s,
+             CAST(NULL AS DOUBLE) AS v, CAST(NULL AS BIGINT) AS tie
+      FROM grid
+      UNION ALL
+      SELECT user_id, ts, 0, event_type, value, event_id FROM events
+    ),
+    f AS (
+      SELECT user_id, t, is_grid,
+        last_value(CASE WHEN s = 'click' THEN v END IGNORE NULLS) OVER win AS v_click,
+        last_value(CASE WHEN s = 'view' THEN v END IGNORE NULLS) OVER win AS v_view,
+        last_value(CASE WHEN s = 'purchase' THEN v END IGNORE NULLS) OVER win AS v_purchase
+      FROM u
+      WINDOW win AS (
+        PARTITION BY user_id
+        ORDER BY t, is_grid, tie NULLS FIRST
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      )
+    )
+    SELECT user_id, t AS grid_ts, v_click, v_view, v_purchase
+    FROM f WHERE is_grid = 1
+    """,
+)
+def align_series_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-series sensor-fusion alignment: three event series projected
+    onto one per-user 6-hour clock in a single sort-shuffle (the wide
+    per-tick row the reference's /gps+/imu+/pose topics imply). See
+    operators/resample.align_series."""
+    from ..operators import resample as RS
+
+    out = RS.align_series(
+        _t(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        series_col="event_type",
+        value_col="value",
+        step_seconds=21600,
+        series=["click", "view", "purchase"],
+        tie_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        "grid_ts",
+        F.col("click").alias("v_click"),
+        F.col("view").alias("v_view"),
+        F.col("purchase").alias("v_purchase"),
+    )
+
+
+@register(
     "resample_ffill_6h",
     """
     WITH bounds AS (

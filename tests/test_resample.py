@@ -70,3 +70,28 @@ def test_repetition_scores_flags_repeats(spark):
     assert out[2].top_gram_share == round(1 / 3, 6) or abs(
         out[2].top_gram_share - 1 / 3
     ) < 1e-6
+
+
+def test_align_series_one_clock_many_topics(spark):
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.resample import (
+        align_series,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, _ts(5), "gps", 1.0, 1),
+            (1, _ts(70), "imu", 2.0, 2),
+            (1, _ts(130), "gps", 3.0, 3),
+        ],
+        "k long, ts timestamp, topic string, v double, eid long",
+    )
+    out = {
+        r.grid_ts: (r.gps, r.imu)
+        for r in align_series(
+            df, "k", "ts", "topic", "v", 60, ["gps", "imu"], tie_col="eid"
+        ).collect()
+    }
+    assert out[_ts(0)] == (None, None)  # leading grid point
+    assert out[_ts(60)] == (1.0, None)  # gps seen, imu not yet
+    assert out[_ts(120)] == (1.0, 2.0)  # both carried forward independently
+    assert len(out) == 3  # grid capped at max ts (130 → last point 120)
