@@ -1219,6 +1219,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                  CAST(b.embedding AS DOUBLE[])) >= 0.4
     """,
+    headline=True,
 )
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding near-dup pairs (oracle-checkable baseline) via the
@@ -2144,6 +2145,7 @@ def dq_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY bm25 DESC, doc_id
     LIMIT 25
     """,
+    headline=True,
 )
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval for a literal query — zero-shuffle narrow tf pass +
@@ -2225,6 +2227,7 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, t AS grid_ts, v_click, v_view, v_purchase
     FROM f WHERE is_grid = 1
     """,
+    headline=True,
 )
 def align_series_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-series sensor-fusion alignment: three event series projected
