@@ -247,3 +247,67 @@ def repetition_scores(
             F.col("__s.top_gram_share").alias("top_gram_share"),
         )
     )
+
+
+def curation_decisions(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    allowed_langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.3,
+    max_dup_gram_frac: float = 0.6,
+) -> DataFrame:
+    """The curation pipeline's end product: one keep/drop verdict per
+    document with the FIRST failing rule as the reason (rules in fixed
+    priority order: too_short → wrong_lang → low_quality → repetitive).
+
+    Everything is a per-row expression — length, language-ID argmax,
+    composite quality, dup-bigram fraction — so the whole decision table is
+    ONE narrow pass over the corpus: no joins between signal tables, no
+    shuffle, scan-speed at any corpus size. Filtering a 100 TB corpus is
+    ``decisions.filter("keep")`` semi-joined (or column-pruned) back to the
+    source — the signals never need materializing separately.
+    """
+    t = F.col(text_col)
+    n_tok = T.token_count(t)
+    diversity = T.distinct_token_count(t) / n_tok
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    stop = T.stopword_ratio(t)
+    punct = T.punct_ratio(t)
+    quality = (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * diversity
+        + F.lit(0.3) * F.least(stop * 5, F.lit(1.0))
+    ) * (F.lit(1.0) - F.least(punct * 2, F.lit(1.0)))
+
+    scores = lang_scores(t)
+    best, best_lang = None, F.lit("und")
+    for lang in sorted(scores):
+        s = scores[lang]
+        if best is None:
+            best, best_lang = s, F.when(s > 0, F.lit(lang)).otherwise(F.lit("und"))
+        else:
+            best_lang = F.when(s > best, F.lit(lang)).otherwise(best_lang)
+            best = F.greatest(best, s)
+
+    grams = T.word_ngrams(t, 2)
+    dup_frac = T.bind(
+        grams,
+        lambda g: F.try_divide(
+            F.size(g) - F.size(F.array_distinct(g)), F.size(g).cast("double")
+        ),
+    )
+
+    reason = (
+        F.when(n_tok < min_tokens, F.lit("too_short"))
+        .when(~best_lang.isin(*allowed_langs), F.lit("wrong_lang"))
+        .when(quantize(quality, 4) < min_quality, F.lit("low_quality"))
+        .when(quantize(dup_frac, 4) > max_dup_gram_frac, F.lit("repetitive"))
+        .otherwise(F.lit("keep"))
+    )
+    return docs.select(
+        F.col(id_col),
+        (reason == "keep").alias("keep"),
+        reason.alias("reason"),
+    )

@@ -2111,6 +2111,65 @@ def dq_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_decisions",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS lt,
+             regexp_split_to_array(trim(text), '\\s+') AS rt,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+               / length(text) AS punct
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+        len(rt) AS n_tok,
+        len(list_filter(lt, t -> list_contains(['der','die','das','und','ist'], t))) AS de,
+        len(list_filter(lt, t -> list_contains(['the','a','of','and','is'], t))) AS en,
+        len(list_filter(lt, t -> list_contains(['el','la','los','y','es'], t))) AS es,
+        len(list_filter(lt, t -> list_contains(['le','la','les','et','est'], t))) AS fr,
+        len(list_distinct(rt)) / len(rt) AS diversity,
+        least(len(rt) / 100.0, 1.0) AS len_score,
+        len(list_filter(lt, t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
+          / len(lt) AS stop,
+        punct,
+        list_transform(range(1, len(lt)), i -> lt[i] || ' ' || lt[i+1]) AS g2
+      FROM base
+    ),
+    scored AS (
+      SELECT doc_id, n_tok,
+        CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+             WHEN de >= greatest(en, es, fr) THEN 'de'
+             WHEN en >= greatest(es, fr) THEN 'en'
+             WHEN es >= fr THEN 'es'
+             ELSE 'fr' END AS pred_lang,
+        floor(((0.4 * len_score + 0.3 * diversity + 0.3 * least(stop * 5, 1.0))
+               * (1.0 - least(punct * 2, 1.0))) * 10000 + 0.5) / 10000.0 AS q,
+        floor((CASE WHEN len(g2) > 0
+                    THEN (len(g2) - len(list_distinct(g2))) / CAST(len(g2) AS DOUBLE)
+               END) * 10000 + 0.5) / 10000.0 AS dupf
+      FROM sig
+    ),
+    sel AS (
+      SELECT doc_id,
+        CASE WHEN n_tok < 20 THEN 'too_short'
+             WHEN pred_lang NOT IN ('en') THEN 'wrong_lang'
+             WHEN q < 0.3 THEN 'low_quality'
+             WHEN dupf > 0.6 THEN 'repetitive'
+             ELSE 'keep' END AS reason
+      FROM scored
+    )
+    SELECT doc_id, reason = 'keep' AS keep, reason FROM sel
+    """,
+)
+def q_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation verdict table: keep/drop + first-failing-rule reason per
+    document, computed in ONE narrow pass (no joins between signal tables).
+    See textstats.curation_decisions."""
+    return textstats.curation_decisions(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "bm25_topk",
     """
     WITH td AS (

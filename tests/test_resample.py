@@ -95,3 +95,25 @@ def test_align_series_one_clock_many_topics(spark):
     assert out[_ts(60)] == (1.0, None)  # gps seen, imu not yet
     assert out[_ts(120)] == (1.0, 2.0)  # both carried forward independently
     assert len(out) == 3  # grid capped at max ts (130 → last point 120)
+
+
+def test_curation_decisions_reasons(spark):
+    long_en = (
+        "the quick brown fox jumps over a lazy dog while the keen owl "
+        "watches from an old oak tree and the wind carries a faint scent "
+        "of rain across the quiet valley where farmers tend their fields"
+    )  # healthy: long, english, diverse bigrams
+    docs = spark.createDataFrame(
+        [
+            (1, long_en),
+            (2, "short text"),  # < 20 tokens
+            (3, "der hund und die katze und der vogel und das haus " * 5),
+            (4, "the spam is the spam of spam " * 20),  # en but repetitive
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.reason for r in textstats.curation_decisions(docs).collect()}
+    assert out[1] == "keep"
+    assert out[2] == "too_short"
+    assert out[3] == "wrong_lang"
+    assert out[4] == "repetitive"
