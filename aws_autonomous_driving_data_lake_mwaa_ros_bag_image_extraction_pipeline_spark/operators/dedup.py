@@ -578,3 +578,57 @@ def embedding_dup_pairs_numpy(
             )
 
     return emb.select(id_col, vec_col).mapInPandas(_pairs, schema=schema)
+
+
+def semantic_dedup_survivors(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: cluster the embedding space with the
+    IVF coarse quantizer, then drop every vector that has a lower-id
+    neighbor with cosine ≥ ``threshold`` INSIDE its own cluster. Returns
+    the survivors as (id, list_id).
+
+    This is the scale answer to exact embedding dedup: the all-pairs
+    comparison runs per cluster, so cost is Σ|list|² instead of n² — at
+    corpus scale ``n_lists`` grows with n (SemDeDup uses ~10⁵ clusters for
+    web-scale corpora) keeping each list bounded, and the self-join
+    shuffles on list_id, never broadcasting the corpus. Misses only
+    cross-cluster near-dups (pairs straddling a quantizer boundary) — the
+    accepted recall trade of the published method.
+
+    Deterministic end to end (md5-seeded centroids, rounded cid-tie-broken
+    assignment — same contract as similarity.ivf_topk) → SQL-replayable.
+    """
+    from ..functions import vectors as V
+    from . import similarity as S
+
+    cents = S._ivf_centroids(emb, n_lists, id_col, vec_col)
+    scored = emb.select(F.col(id_col), F.col(vec_col)).join(F.broadcast(cents))
+    assign = (
+        scored.select(
+            F.col(id_col),
+            F.col("cid"),
+            F.round(-V.cosine(F.col(vec_col), F.col("cv")), 6).alias("d"),
+        )
+        .groupBy(id_col)
+        .agg(F.min(F.struct("d", "cid"))["cid"].alias("list_id"))
+        .join(emb.select(F.col(id_col), F.col(vec_col)), id_col)
+    )
+    a = assign.select(
+        F.col(id_col).alias("id_a"), F.col("list_id"), F.col(vec_col).alias("va")
+    )
+    b = assign.select(
+        F.col(id_col).alias("id_b"), F.col("list_id"), F.col(vec_col).alias("vb")
+    )
+    dropped = (
+        a.join(b, "list_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(V.cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return assign.join(dropped, id_col, "left_anti").select(id_col, "list_id")

@@ -2111,6 +2111,43 @@ def dq_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_dedup_survivors",
+    """
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cv
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid AS list_id FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(-list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                               CAST(c.cv AS DOUBLE[])), 6),
+                 c.cid) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b
+        ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.4
+    )
+    SELECT vec_id, list_id FROM assign
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+)
+def q_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: IVF-cluster the embedding space,
+    drop vectors with a lower-id cosine-neighbor inside their cluster.
+    Σ|list|² work instead of n² — see dedup.semantic_dedup_survivors."""
+    return dedup.semantic_dedup_survivors(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_lists=16
+    )
+
+
+@register(
     "curation_decisions",
     """
     WITH base AS (

@@ -154,3 +154,24 @@ def test_embedding_dup_pairs_exact_and_lsh_agree(spark):
     assert set(via_numpy) == set(exact)
     for k, v in exact.items():
         assert via_numpy[k] == pytest.approx(v, abs=1e-9)
+
+
+def test_semantic_dedup_drops_within_cluster_twins(spark):
+    import math
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    emb = spark.createDataFrame(
+        [
+            (1, vec(0.0)),
+            (2, vec(0.001)),  # near-twin of 1 → dropped (higher id)
+            (3, vec(2.0)),    # far from 1/2
+            (4, vec(2.0)),    # exact twin of 3 → dropped
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = dedup.semantic_dedup_survivors(emb, threshold=0.99, n_lists=2)
+    survivors = {r.vec_id for r in out.collect()}
+    assert 2 not in survivors and 4 not in survivors
+    assert 1 in survivors and 3 in survivors

@@ -29,6 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # - price_quartiles: cross join against a broadcast 1-row percentile bounds agg
 # - distinctive_terms: cross join against a broadcast 1-row group-count agg
 # - bm25_topk: cross join against a broadcast 1-row corpus-stats agg
+# - semantic_dedup_survivors: cross join against the broadcast n_lists-row
+#   centroid set (same coarse-quantizer assignment as ivf_topk)
 ALLOWED_BNLJ = {
     "brute_force_topk",
     "similar_nation_names",
@@ -37,6 +39,7 @@ ALLOWED_BNLJ = {
     "price_quartiles",
     "distinctive_terms",
     "bm25_topk",
+    "semantic_dedup_survivors",
 }
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
