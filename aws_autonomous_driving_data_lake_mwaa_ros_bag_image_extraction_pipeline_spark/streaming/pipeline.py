@@ -106,6 +106,40 @@ def current_manifest(spark: SparkSession, manifest_dir: str) -> DataFrame:
     )
 
 
+def manifest_at(
+    spark: SparkSession,
+    manifest_dir: str,
+    generation: int | None = None,
+    as_of: "dt.datetime | None" = None,
+) -> DataFrame:
+    """Time travel over the ledger: the last-writer-wins view as of a past
+    ``generation`` (pre-vacuum snapshot) or an ``as_of`` timestamp (replay
+    the active generation's log up to that instant). The generation dirs
+    the compactor already leaves behind ARE the snapshot history — this
+    reads them instead of only the head, the same read contract as Delta's
+    ``VERSION AS OF`` / ``TIMESTAMP AS OF`` on plain parquet.
+    """
+    gens = _gens(manifest_dir)
+    if not gens:
+        return spark.createDataFrame([], MANIFEST_LOG_SCHEMA)
+    if generation is not None:
+        if generation not in gens:
+            raise ValueError(
+                f"generation {generation} not on disk (have {gens}; vacuumed?)"
+            )
+        log = spark.read.parquet(_gen_path(manifest_dir, generation))
+    else:
+        log = spark.read.parquet(_gen_path(manifest_dir, gens[-1]))
+    if as_of is not None:
+        log = log.filter(F.col("updated_at") <= F.lit(as_of))
+    w = Window.partitionBy("key").orderBy(F.desc("updated_at"))
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def compact_manifest(spark: SparkSession, manifest_dir: str) -> None:
     """Rewrite the log to one row per key (run when the log gets long).
 

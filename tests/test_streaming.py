@@ -147,3 +147,33 @@ def test_replay_by_clearing_status(spark, tmp_path):
     assert replayed == {target: "complete"}
     got = {r.key: r.status for r in sp.current_manifest(spark, m).collect()}
     assert got[target] == "complete"
+
+
+def test_manifest_time_travel(spark, tmp_path):
+    import datetime as dt
+    import time
+
+    m = str(tmp_path / "manifest")
+    sp.append_status(spark, m, ["k1"], "in progress")
+    time.sleep(0.05)
+    t_mid = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    time.sleep(0.05)
+    sp.append_status(spark, m, ["k1"], "complete")
+    sp.append_status(spark, m, ["k2"], "in progress")
+
+    # as-of timestamp: k1 still in progress, k2 absent
+    past = {r.key: r.status for r in sp.manifest_at(spark, m, as_of=t_mid).collect()}
+    assert past == {"k1": "in progress"}
+
+    # generation travel: gen 0 (pre-compaction log) still readable after compaction
+    sp.compact_manifest(spark, m)
+    sp.append_status(spark, m, ["k1"], None)  # later mutation in gen 1
+    gen0 = {r.key: r.status for r in sp.manifest_at(spark, m, generation=0).collect()}
+    assert gen0 == {"k1": "complete", "k2": "in progress"}
+    head = {r.key: r.status for r in sp.current_manifest(spark, m).collect()}
+    assert head["k1"] is None  # the head moved on
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not on disk"):
+        sp.manifest_at(spark, m, generation=99)
