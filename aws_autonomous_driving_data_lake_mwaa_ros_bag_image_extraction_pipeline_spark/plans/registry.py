@@ -2111,6 +2111,35 @@ def dq_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "props_json_stats",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(count(json_extract(props, '$.k')) AS BIGINT) AS n_with_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload extraction (S9's JSON path applied to an
+    attribute column): ``from_json`` with a declared schema pushes the parse
+    into codegen once per row; aggregation is integer-exact so both engines
+    hash-match without quantization."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k int")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count("k").alias("n_with_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
     "semantic_dedup_survivors",
     """
     WITH cents AS (
