@@ -211,3 +211,76 @@ def test_chunk_documents_property(spark, docs, size, stride):
             assert want, "no chunk may start past the last token"
             assert c.chunk.split() == want
             assert c.n_tokens == len(want)
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 3600), st.floats(0, 100)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_resample_ffill_matches_brute_force(spark, events):
+    """Every grid value equals the value of the latest event at or before
+    the grid point (computed brute-force in Python); grid is step-aligned
+    and spans floor(min)..max per key."""
+    import datetime as dt
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.resample import (
+        resample_ffill,
+    )
+
+    t0 = dt.datetime(2022, 1, 1)
+    step = 300
+    rows = [
+        (k, t0 + dt.timedelta(seconds=s), v, i)
+        for i, (k, s, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double, eid long")
+    got = resample_ffill(df, "k", "ts", "v", step, tie_col="eid").collect()
+
+    by_key: dict = {}
+    for k, ts, v, eid in rows:
+        by_key.setdefault(k, []).append((ts, eid, v))
+    for r in got:
+        evs = sorted(by_key[r.k])
+        sec = (r.grid_ts - t0).total_seconds()
+        assert sec % step == 0  # aligned
+        prior = [v for ts, _eid, v in evs if ts <= r.grid_ts]
+        assert r.v == (prior[-1] if prior else None)
+    # row-count check: per key, floor(min)..max inclusive
+    import math
+
+    for k, evs in by_key.items():
+        lo = math.floor((min(e[0] for e in evs) - t0).total_seconds() / step)
+        hi = math.floor((max(e[0] for e in evs) - t0).total_seconds() / step)
+        assert sum(1 for r in got if r.k == k) == hi - lo + 1
+
+
+@SLOW
+@given(st.lists(DOC, min_size=1, max_size=25))
+def test_repetition_scores_bounds_and_unique_case(spark, docs):
+    """Fractions live in [0,1]; a doc whose bigrams are all distinct scores
+    dup_gram_frac == 0; n_grams == max(0, n_tokens-1) for nonempty docs."""
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        textstats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in textstats.repetition_scores(df).collect()}
+    for i, d in enumerate(docs):
+        toks = d.lower().split()
+        grams = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        if not grams:
+            assert i not in out
+            continue
+        r = out[i]
+        assert r.n_grams == len(grams)
+        assert 0.0 <= r.dup_gram_frac <= 1.0
+        assert 0.0 <= r.top_gram_share <= 1.0
+        if len(set(grams)) == len(grams):
+            assert r.dup_gram_frac == 0.0
