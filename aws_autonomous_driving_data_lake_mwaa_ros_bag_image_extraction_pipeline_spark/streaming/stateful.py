@@ -215,3 +215,78 @@ def streaming_group_quota(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_resample_ffill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_seconds: int = 60,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Streaming twin of ``operators.resample.resample_ffill``: per key,
+    emit ``step_seconds``-aligned grid points carrying the last observation
+    forward, incrementally as the stream advances.
+
+    A grid point ``g`` is emitted exactly once, as soon as an event with
+    ``ts > g`` proves no earlier-or-equal observation can still change it
+    (events are processed in (ts, tie) order inside each batch; an event
+    arriving in a later batch with ``ts`` behind the emitted frontier is
+    late by definition and ignored — the same contract a watermark gives
+    the built-in windowed aggregates). State per key is two scalars
+    (next grid tick, running value) — O(keys), never O(events).
+    """
+    dt = dict(events.dtypes)
+    out_schema = f"{key_col} {dt[key_col]}, grid_ts timestamp, {value_col} double"
+    state_schema = "next_grid long, last_val double"
+    step = int(step_seconds)
+
+    def _fill(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts)
+        order = [ts_col, tie_col] if tie_col else [ts_col]
+        pdf = pdf.sort_values(order, kind="mergesort")
+        secs = pdf[ts_col].astype("int64") // 1_000_000_000
+        vals = pdf[value_col]
+        if state.exists:
+            next_grid, last_val = state.get
+        else:
+            next_grid, last_val = int(secs.iloc[0]) // step * step, None
+        out_g: list[int] = []
+        out_v: list = []
+        last_e = None
+        for e, v in zip(secs.tolist(), vals.tolist()):
+            if last_e is not None and e < last_e:  # defensive; sorted above
+                continue
+            while next_grid < e:
+                out_g.append(next_grid)
+                out_v.append(last_val)
+                next_grid += step
+            last_val = v
+            last_e = e
+        while last_e is not None and next_grid <= last_e:
+            out_g.append(next_grid)
+            out_v.append(last_val)
+            next_grid += step
+        state.update((int(next_grid), last_val))
+        if out_g:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(out_g),
+                    "grid_ts": pd.to_datetime(pd.Series(out_g) * 1_000_000_000),
+                    value_col: out_v,
+                }
+            )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        _fill,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

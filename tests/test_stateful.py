@@ -137,3 +137,48 @@ def test_streaming_group_quota_tws(spark, tmp_path):
     _write(src, "b1.json", [(1, 10), (1, 11), (1, 12)])
     _tick(spark, src, ck, op, sink, "append")
     assert sorted((r.user_id, r.event_id) for r in sink) == [(1, 10), (1, 11)]
+
+
+def test_streaming_resample_ffill_incremental(spark, tmp_path):
+    """Grid points emit exactly once across triggers, carrying the running
+    value forward — matching the batch resample_ffill semantics up to the
+    emitted frontier."""
+    import datetime as dt
+
+    src = str(tmp_path / "ev")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    t0 = dt.datetime(2022, 1, 1)
+
+    def _write_ts(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for uid, sec, val in rows:
+                ts = (t0 + dt.timedelta(seconds=sec)).strftime("%Y-%m-%dT%H:%M:%S")
+                f.write(json.dumps({"user_id": uid, "ts": ts, "value": val}) + "\n")
+
+    def _tick_rs(sink):
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).json(src)
+        out = stateful.streaming_resample_ffill(stream, step_seconds=60)
+        q = (
+            out.writeStream.foreachBatch(lambda df, _e: sink.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_ts("b1.json", [(1, 5, 1.0), (1, 65, 2.0)])
+    s1: list = []
+    _tick_rs(s1)
+    got1 = {((r.grid_ts - t0).total_seconds(), r.value) for r in s1}
+    assert got1 == {(0.0, None), (60.0, 1.0)}  # 60s carries the t=5 reading
+
+    _write_ts("b2.json", [(1, 185, 3.0)])
+    s2: list = []
+    _tick_rs(s2)
+    got2 = {((r.grid_ts - t0).total_seconds(), r.value) for r in s2}
+    # frontier resumes at 120 from checkpointed state; both points carry v=2
+    assert got2 == {(120.0, 2.0), (180.0, 2.0)}
