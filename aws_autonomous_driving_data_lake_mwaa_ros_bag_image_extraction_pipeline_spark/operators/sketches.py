@@ -46,3 +46,52 @@ def kmv_distinct(
             4,
         ).alias("est_distinct"),
     )
+
+
+def bottomk_sample(
+    df: DataFrame, group_col: str, id_col: str, value_col: str, k: int = 256
+) -> DataFrame:
+    """Per-group mergeable uniform row sample: the ``k`` rows whose
+    ``md5(id)`` rank lowest. Hashing the row IDENTITY (not the value)
+    keeps duplicate values in the sample with their true multiplicity —
+    required for unbiased quantile/mean estimation over the sample.
+
+    Mergeable exactly like KMV: the union of two groups' samples re-ranked
+    to its bottom-k IS the sample of the union — so per-partition,
+    per-day, or per-shard samples fold together without resampling.
+    WindowGroupLimit pushes the rank filter map-side; a skewed group ships
+    k rows per input partition, never its full population.
+    """
+    h = (H.md5_long(F.col(id_col).cast("string")) / F.lit(TWO_POW_60)).alias("__h")
+    w = Window.partitionBy(group_col).orderBy("__h", id_col)
+    return (
+        df.select(F.col(group_col), F.col(id_col), F.col(value_col), h)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__h", "__rn")
+    )
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    quantiles: list[float],
+    names: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """Quantile estimates per group from the bottom-k sample — error
+    O(1/√k), deterministic (the sample is fixed by the md5 ranks, the
+    estimate is Spark's exact interpolated ``percentile`` OVER the
+    sample). Exact when the group has ≤ k rows. The mergeable-sample +
+    cheap-final-percentile split is the same contract as
+    ``approx_percentile`` with an oracle-replayable sketch."""
+    sample = bottomk_sample(df, group_col, id_col, value_col, k)
+    return sample.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        *[
+            H.quantize(F.percentile(value_col, F.lit(q)), 6).alias(n)
+            for q, n in zip(quantiles, names)
+        ],
+    )

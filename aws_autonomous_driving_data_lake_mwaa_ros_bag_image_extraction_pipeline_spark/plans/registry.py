@@ -2111,6 +2111,46 @@ def dq_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sampled_quantiles_priority",
+    f"""
+    WITH s AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) / {float(1 << 60)} AS h
+      FROM orders
+    ),
+    kept AS (
+      SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY h, o_orderkey) AS rn
+      FROM s QUALIFY rn <= 256
+    )
+    SELECT o_orderpriority, COUNT(*) AS n_sample,
+           floor(quantile_cont(o_totalprice, 0.5) * 1000000 + 0.5) / 1000000.0 AS p50_est,
+           floor(quantile_cont(o_totalprice, 0.9) * 1000000 + 0.5) / 1000000.0 AS p90_est
+    FROM kept GROUP BY o_orderpriority
+    """,
+)
+def sampled_quantiles_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a MERGEABLE bottom-k uniform sample (md5
+    row ranks — deterministic, oracle-replayable; union+re-rank folds
+    shard samples). The relational cousin of approx_percentile: same
+    O(1/√k) error, but the sketch itself is a plain table. See
+    sketches.bottomk_sample."""
+    from ..operators import sketches as SK
+
+    return SK.sampled_quantiles(
+        _t(spark, sf_dir, "orders"),
+        group_col="o_orderpriority",
+        id_col="o_orderkey",
+        value_col="o_totalprice",
+        quantiles=[0.5, 0.9],
+        names=["p50_est", "p90_est"],
+        k=256,
+    )
+
+
+@register(
     "props_json_stats",
     """
     SELECT event_type,

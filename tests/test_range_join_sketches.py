@@ -66,3 +66,46 @@ def test_kmv_exact_below_k_and_close_above(spark):
     n_kept, est = got["big"]
     assert n_kept == 64
     assert est == pytest.approx(5000, rel=0.25)  # KMV σ ≈ 1/√(k-2) ≈ 12.6%
+
+
+def test_bottomk_sample_merge_invariance(spark):
+    """bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B)) — the
+    property that lets shard/day samples fold without resampling."""
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        sketches,
+    )
+
+    rows = [("g", i, float(i % 17)) for i in range(300)]
+    df = spark.createDataFrame(rows, "grp string, id long, v double")
+    a = df.filter("id < 150")
+    b = df.filter("id >= 150")
+    k = 32
+
+    direct = sketches.bottomk_sample(df, "grp", "id", "v", k)
+    folded = sketches.bottomk_sample(
+        sketches.bottomk_sample(a, "grp", "id", "v", k).unionByName(
+            sketches.bottomk_sample(b, "grp", "id", "v", k)
+        ),
+        "grp",
+        "id",
+        "v",
+        k,
+    )
+    assert {tuple(r) for r in direct.collect()} == {
+        tuple(r) for r in folded.collect()
+    }
+    assert direct.count() == k
+
+
+def test_sampled_quantiles_exact_when_small(spark):
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        sketches,
+    )
+
+    rows = [("g", i, float(i)) for i in range(101)]  # 0..100
+    df = spark.createDataFrame(rows, "grp string, id long, v double")
+    out = sketches.sampled_quantiles(
+        df, "grp", "id", "v", [0.5], ["p50"], k=256
+    ).collect()[0]
+    assert out.n_sample == 101
+    assert out.p50 == 50.0  # ≤ k rows → sample is the population → exact
