@@ -311,3 +311,62 @@ def curation_decisions(
         (reason == "keep").alias("keep"),
         reason.alias("reason"),
     )
+
+
+def lm_fluency_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """CCNet-style fluency scoring: train an add-k-smoothed word-bigram
+    model ON the corpus, score each document by its mean token
+    log-probability ``ln((c(w1,w2)+a) / (c(w1)+a·V))``. Low scores flag
+    token-salad / machine-mangled text that per-doc heuristics miss,
+    because the model encodes corpus-wide co-occurrence.
+
+    Plan: one tokenize pass feeds (a) unigram counts, (b) bigram counts
+    via the same posexplode+lead shape as the MinHash shingler, (c) the
+    per-doc bigram stream that joins back to the model — all shuffles key
+    on grams, so the model join is a plain shuffle join that scales with
+    vocabulary, and the vocab size rides a broadcast 1-row aggregate.
+    Scores are summed as DECIMAL(28,12): double addition is
+    order-dependent and shuffle order is not deterministic — decimal
+    accumulation makes the mean bit-stable across runs AND engines.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(T.tokens(F.lower(F.col(text_col)))).alias("p", "w"),
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    from pyspark.sql import Window as _W
+
+    w_doc = _W.partitionBy(id_col).orderBy("p")
+    bigrams = (
+        toks.select(
+            F.col(id_col),
+            F.col("w").alias("w1"),
+            F.lead("w").over(w_doc).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    big = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+
+    logp = F.log(
+        (F.col("c2") + F.lit(alpha))
+        / (F.col("c1") + F.lit(alpha) * F.col("v"))
+    )
+    return (
+        bigrams.join(big, ["w1", "w2"])
+        .join(uni, F.col("w1") == F.col("w"))
+        .join(F.broadcast(vocab))
+        .select(F.col(id_col), logp.cast("decimal(28,12)").alias("lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            quantize(
+                (F.sum("lp").cast("double") / F.count(F.lit(1))), 4
+            ).alias("mean_logp"),
+        )
+    )

@@ -2111,6 +2111,46 @@ def dq_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lm_fluency_scores",
+    """
+    WITH td AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS lt
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(lt)), i -> lt[i])) AS w1,
+             unnest(list_transform(range(1, len(lt)), i -> lt[i+1])) AS w2
+      FROM td
+    ),
+    uni AS (
+      SELECT w, count(*) AS c1
+      FROM (SELECT unnest(lt) AS w FROM td) GROUP BY w
+    ),
+    big AS (
+      SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+    ),
+    vocab AS (SELECT count(*) AS v FROM uni)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           floor((CAST(sum(CAST(ln((c2 + 0.1) / (c1 + 0.1 * v)) AS DECIMAL(28,12)))
+                       AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000.0 AS mean_logp
+    FROM bg
+    JOIN big USING (w1, w2)
+    JOIN uni ON bg.w1 = uni.w
+    CROSS JOIN vocab
+    GROUP BY doc_id
+    """,
+)
+def q_lm_fluency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM fluency score per document (CCNet-style
+    quality signal). Decimal-accumulated log-prob sums are shuffle-order
+    independent, so Spark and DuckDB agree bit-for-bit. See
+    textstats.lm_fluency_scores."""
+    return textstats.lm_fluency_scores(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "sampled_quantiles_priority",
     f"""
     WITH s AS (

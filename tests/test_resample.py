@@ -117,3 +117,21 @@ def test_curation_decisions_reasons(spark):
     assert out[2] == "too_short"
     assert out[3] == "wrong_lang"
     assert out[4] == "repetitive"
+
+
+def test_lm_fluency_ranks_salad_below_fluent(spark):
+    """Docs built from the corpus's common bigrams outscore a shuffled
+    token salad of the same vocabulary."""
+    fluent = "the cat sat on the mat and the cat ran to the mat"
+    docs = spark.createDataFrame(
+        [
+            (1, fluent),
+            (2, fluent),
+            (3, fluent),
+            (4, "mat the on cat sat ran and mat to the cat the"),  # salad
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.mean_logp for r in textstats.lm_fluency_scores(docs).collect()}
+    assert out[4] < out[1]
+    assert out[1] == out[2] == out[3]

@@ -31,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # - bm25_topk: cross join against a broadcast 1-row corpus-stats agg
 # - semantic_dedup_survivors: cross join against the broadcast n_lists-row
 #   centroid set (same coarse-quantizer assignment as ivf_topk)
+# - lm_fluency_scores: cross join against a broadcast 1-row vocab-size agg
 ALLOWED_BNLJ = {
     "brute_force_topk",
     "similar_nation_names",
@@ -40,6 +41,7 @@ ALLOWED_BNLJ = {
     "distinctive_terms",
     "bm25_topk",
     "semantic_dedup_survivors",
+    "lm_fluency_scores",
 }
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
