@@ -73,10 +73,21 @@ def main() -> None:
         .join(textstats.language_id(docs), "doc_id")
         .join(textstats.token_stats(docs), "doc_id")
     )
+    # 5b) one-pass keep/drop verdicts (length/lang/quality/repetition rules)
+    # and corpus-trained bigram-LM fluency — the two signals a heuristic
+    # pipeline adds on top of per-doc features
+    verdicts = textstats.curation_decisions(docs)
+    verdicts.groupBy("reason").count().orderBy("reason").show()
+    worst = textstats.lm_fluency_scores(docs).orderBy("mean_logp")
+    print("== least fluent docs (bigram-LM):")
+    worst.show(3)
 
-    # 6) embedding-level near-dups (LSH buckets, cosine verify)
+    # 6) embedding-level near-dups (LSH buckets, cosine verify) + SemDeDup
+    # cluster-scoped survivors (the Σ|list|² scale path)
     edup = dedup.embedding_dup_pairs(emb, dim=64, threshold=0.95)
-    print(f"== embedding near-dup pairs (cos ≥ 0.95): {edup.count()}")
+    sem = dedup.semantic_dedup_survivors(emb, threshold=0.95, n_lists=16)
+    print(f"== embedding near-dup pairs (cos ≥ 0.95): {edup.count()}; "
+          f"semantic-dedup survivors: {sem.count()}/{emb.count()}")
 
     # 8) keep-list: transitive duplicate clusters over the union of all
     # pair detectors, one canonical survivor (smallest id) per cluster
