@@ -2111,6 +2111,102 @@ def dq_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_stages",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_view_click_purchase
+    """,
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: users who viewed, then clicked AFTER the
+    first view, then purchased AFTER that click. Each stage is a per-user
+    min-aggregate semi-joined to the previous stage — aggregates shrink to
+    one row per user BEFORE each join, so the joins move user-count rows,
+    not event-count rows, and every shuffle shares the user_id key."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .join(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_view_click"))))
+        .join(
+            F.broadcast(
+                p.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+            )
+        )
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort FROM events
+      GROUP BY user_id
+    )
+    SELECT f.cohort,
+           CAST(date_diff('day', f.cohort, date_trunc('day', e.ts)) // 7 AS INTEGER)
+             AS week_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity week,
+    counted distinct per week offset. The firsts aggregate is user-count
+    sized (broadcastable); count_distinct shuffles (cohort, offset, user)
+    partials with map-side combine."""
+    ev = _t(spark, sf_dir, "events")
+    # to_date: DuckDB's date_trunc('week') yields DATE, Spark's a TIMESTAMP
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort")
+    )
+    offset = F.floor(
+        F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort")) / 7
+    ).cast("int")
+    return (
+        ev.join(F.broadcast(firsts), "user_id")
+        .groupBy("cohort", offset.alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@register(
     "lm_fluency_scores",
     """
     WITH td AS (

@@ -32,6 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # - semantic_dedup_survivors: cross join against the broadcast n_lists-row
 #   centroid set (same coarse-quantizer assignment as ivf_topk)
 # - lm_fluency_scores: cross join against a broadcast 1-row vocab-size agg
+# - funnel_stages: three broadcast 1-row stage-count aggregates joined
 ALLOWED_BNLJ = {
     "brute_force_topk",
     "similar_nation_names",
@@ -42,6 +43,7 @@ ALLOWED_BNLJ = {
     "bm25_topk",
     "semantic_dedup_survivors",
     "lm_fluency_scores",
+    "funnel_stages",
 }
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
