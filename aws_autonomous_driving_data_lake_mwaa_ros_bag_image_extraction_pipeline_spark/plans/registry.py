@@ -2111,6 +2111,42 @@ def dq_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "value_ranks",
+    """
+    SELECT o_orderkey,
+           floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000.0 AS pct_rank,
+           floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000.0 AS cume,
+           CAST(dense_rank() OVER w AS BIGINT) AS drank
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 45000
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family window breadth (percent_rank / cume_dist / dense_rank),
+    expressed through the SQL-string surface (spark.sql over a temp view) —
+    the engine's two front doors compile to the same Catalyst plan. The
+    window partitions by status so no global single-partition sort; the
+    selective filter runs before the exchange."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        -- CAST, not a `1000000.0` literal: Spark SQL parses decimal-point
+        -- literals as DECIMAL (→ decimal division); DuckDB as DOUBLE.
+        SELECT o_orderkey,
+               floor(percent_rank() OVER w * 1000000 + 0.5)
+                 / CAST(1000000 AS DOUBLE) AS pct_rank,
+               floor(cume_dist() OVER w * 1000000 + 0.5)
+                 / CAST(1000000 AS DOUBLE) AS cume,
+               CAST(dense_rank() OVER w AS BIGINT) AS drank
+        FROM orders_v
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 45000
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        """
+    )
+
+
+@register(
     "funnel_stages",
     """
     WITH v AS (
