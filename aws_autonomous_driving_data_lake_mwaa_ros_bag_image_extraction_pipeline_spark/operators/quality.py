@@ -87,3 +87,55 @@ def check_foreign_key(
     computes; add a ``not_null`` rule separately if NULLs are violations."""
     keys = ref.select(F.col(ref_col).alias(col)).distinct()
     return df.filter(F.col(col).isNotNull()).join(keys, col, "left_anti")
+
+
+NUMERIC_TYPES = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One-scan data profile: (column, n_rows, n_nulls, n_distinct, min_val,
+    max_val) per column — the observability table every ingestion step
+    should emit. ``min_val``/``max_val`` are doubles for numeric columns,
+    NULL otherwise (cross-type min/max as strings would hash differently
+    per engine's float formatting).
+
+    ALL metrics for ALL columns ride ONE aggregate over ONE scan — the
+    output pivot from the single stats row to per-column rows is an
+    ``explode`` of a literal-sized array, not a second pass. n_distinct is
+    exact (count_distinct expands to per-column partial dedup inside the
+    same stage); at 100 TB swap ``approx_count_distinct`` into the same
+    slot — the operator shape doesn't change.
+    """
+    if cols is None:
+        cols = df.columns
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+        if dtypes[c].startswith(NUMERIC_TYPES):
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"__mn_{c}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"__mx_{c}"))
+    stats = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - F.col(f"__nn_{c}")).alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                (
+                    F.col(f"__mn_{c}")
+                    if dtypes[c].startswith(NUMERIC_TYPES)
+                    else F.lit(None).cast("double")
+                ).alias("min_val"),
+                (
+                    F.col(f"__mx_{c}")
+                    if dtypes[c].startswith(NUMERIC_TYPES)
+                    else F.lit(None).cast("double")
+                ).alias("max_val"),
+            )
+            for c in cols
+        ]
+    )
+    return stats.select(F.explode(per_col).alias("p")).select("p.*")

@@ -2111,6 +2111,41 @@ def dq_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_orders",
+    """
+    SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+           count(*) - count(o_orderkey) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS DOUBLE) AS min_val,
+           CAST(max(o_orderkey) AS DOUBLE) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority), NULL, NULL
+    FROM orders
+    """,
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan column profile of the orders table (null counts, exact
+    distinct, numeric min/max) — see quality.profile_columns."""
+    from ..operators import quality as Q
+
+    return Q.profile_columns(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"],
+    )
+
+
+@register(
     "value_ranks",
     """
     SELECT o_orderkey,

@@ -56,3 +56,21 @@ def test_check_foreign_key(spark):
     parent = spark.createDataFrame([(100,), (200,)], "pk long")
     got = Q.check_foreign_key(child, "fk", parent, "pk").collect()
     assert [r.id for r in got] == [3]
+
+
+def test_profile_columns_one_scan(spark):
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        quality as Q,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "a"), (2, None, "b"), (3, 8.0, None), (3, 8.0, "a")],
+        "id long, x double, s string",
+    )
+    out = {r.column: r for r in Q.profile_columns(df).collect()}
+    assert out["id"].n_rows == 4
+    assert out["id"].n_nulls == 0 and out["id"].n_distinct == 3
+    assert out["x"].n_nulls == 1 and out["x"].n_distinct == 2
+    assert (out["x"].min_val, out["x"].max_val) == (2.0, 8.0)
+    assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
+    assert out["s"].min_val is None  # non-numeric: no cross-engine min/max
