@@ -2259,9 +2259,11 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle: users grouped by first-activity week,
-    counted distinct per week offset. The firsts aggregate is user-count
-    sized (broadcastable); count_distinct shuffles (cohort, offset, user)
-    partials with map-side combine."""
+    counted distinct per week offset. The firsts aggregate is one row per
+    user — a fact-sized side at scale, so the join strategy stays AQE's
+    call (both sides shuffle on user_id, the key events already grouped
+    on); count_distinct shuffles (cohort, offset, user) partials with
+    map-side combine."""
     ev = _t(spark, sf_dir, "events")
     # to_date: DuckDB's date_trunc('week') yields DATE, Spark's a TIMESTAMP
     firsts = ev.groupBy("user_id").agg(
@@ -2271,7 +2273,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort")) / 7
     ).cast("int")
     return (
-        ev.join(F.broadcast(firsts), "user_id")
+        ev.join(firsts, "user_id")
         .groupBy("cohort", offset.alias("week_offset"))
         .agg(F.count_distinct("user_id").alias("active_users"))
     )
