@@ -128,3 +128,34 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_files(
+    spark: SparkSession, path: str, target_rows_per_file: int = 1_000_000
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(rows / target)`` files and atomically swap it into place.
+    Returns the new file count.
+
+    Streaming sinks and per-batch MERGE/append writers accrete small files
+    until scan planning (one task per file, footer reads) dominates query
+    time — the classic 100 TB operational tax. The rewrite stages to a
+    sibling ``<path>__compacting`` dir and swaps via two renames, so a
+    reader never observes a half-written directory; the displaced
+    original is kept at ``<path>__pre_compact`` until the caller vacuums
+    (same retention contract as the manifest ledger's generations).
+    """
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    staging = path.rstrip("/") + "__compacting"
+    backup = path.rstrip("/") + "__pre_compact"
+    df.repartition(n_files).write.mode("overwrite").parquet(staging)
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(path, backup)
+    os.rename(staging, path)
+    return n_files

@@ -67,3 +67,24 @@ def test_partitioned_write_and_pruned_read(spark, messages, tmp_path):
     assert pruned.count() == messages.filter(F.col("topic") == "/imu").count()
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "/imu" in plan
+
+
+def test_widen_topic_across_evolving_bag_schemas(spark, tmp_path):
+    """Per-bag inferred schemas drift (the reference infers from each bag's
+    first message, bag_to_csv.py:114-130); the landing read must merge
+    them — new fields appear as nulls on old rows."""
+    p = str(tmp_path / "landing")
+    b1 = spark.createDataFrame(
+        [("bag1", "/gps", 1, 1.0)], "bag_id string, topic string, ts long, lat double"
+    )
+    b2 = spark.createDataFrame(
+        [("bag2", "/gps", 2, 2.0, 9.9)],
+        "bag_id string, topic string, ts long, lat double, alt double",
+    )
+    b1.write.mode("append").parquet(p)
+    b2.write.mode("append").parquet(p)
+    got = {
+        r.bag_id: (r.lat, r.alt)
+        for r in spark.read.option("mergeSchema", True).parquet(p).collect()
+    }
+    assert got == {"bag1": (1.0, None), "bag2": (2.0, 9.9)}

@@ -100,3 +100,24 @@ def test_zorder_clusters_both_dimensions(spark, tmp_path):
     # global span is 63 in both dims; z-clustered files must be far tighter
     # in BOTH (a y-only sort would leave avg_sx ~ 63)
     assert avg_sx < 40 and avg_sy < 40
+
+
+def test_compact_files_preserves_data_and_keeps_backup(spark, tmp_path):
+    import glob
+    import os
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.layout import (
+        compact_files,
+    )
+
+    p = str(tmp_path / "t")
+    df = spark.range(1000).selectExpr("id", "id % 7 AS k")
+    df.repartition(40).write.parquet(p)  # 40 tiny files
+    assert len(glob.glob(f"{p}/part-*.parquet")) == 40
+
+    n_files = compact_files(spark, p, target_rows_per_file=500)
+    assert n_files == 2
+    assert len(glob.glob(f"{p}/part-*.parquet")) == 2
+    got = {(r.id, r.k) for r in spark.read.parquet(p).collect()}
+    assert got == {(i, i % 7) for i in range(1000)}
+    assert os.path.isdir(p + "__pre_compact")  # displaced original retained
