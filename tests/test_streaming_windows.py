@@ -195,3 +195,31 @@ def test_stream_stream_attribution_join(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.user_id, r.purchase_ts, r.click_ts) for r in sink}
     assert got == {(1, T0 + dt.timedelta(minutes=30), T0 + dt.timedelta(minutes=25))}
+
+
+def test_stream_static_dim_enrichment(spark, tmp_path):
+    """A static dim table broadcast-joins into every micro-batch — the
+    streaming form of the reference's per-frame metadata attach."""
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    _write_events(src, "b1.json", [("click", 0), ("view", 1), ("error", 2)])
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"), ("error", "ops")],
+        "event_type string, category string",
+    )
+    stream = spark.readStream.schema("event_type string, ts timestamp").json(src)
+    joined = stream.join(dim.hint("broadcast"), "event_type")
+    sink: list = []
+    q = (
+        joined.writeStream.foreachBatch(lambda df, _e: sink.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert {(r.event_type, r.category) for r in sink} == {
+        ("click", "engagement"),
+        ("view", "engagement"),
+        ("error", "ops"),
+    }
