@@ -95,3 +95,80 @@ def sampled_quantiles(
             for q, n in zip(quantiles, names)
         ],
     )
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch as a TABLE: (d, bucket, c) with ``depth × width``
+    rows regardless of input cardinality — the bounded-memory answer to
+    frequency counting when the exact per-key groupBy (heavy_hitters)
+    would carry an unbounded key space through the shuffle.
+
+    Each row hashes into one bucket per depth (independent md5 salts); the
+    sketch is MERGEABLE by construction — union two sketch tables and sum
+    ``c`` per (d, bucket) to get the sketch of the union. Deterministic
+    (md5), so an oracle replays it bit-for-bit.
+    """
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            H.md5_long(
+                                F.concat(F.lit(f"cms{d}|"), F.col(value_col))
+                            )
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("h")
+    )
+    return (
+        rows.select("h.d", "h.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, probes: DataFrame, value_col: str, width: int = 256
+) -> DataFrame:
+    """Point-frequency estimates from a count-min sketch: for each probe
+    value, the MIN bucket count across depths (upward-biased; error ≤
+    ε·N with ε = e/width at probability 1 - e^-depth). The probe side
+    computes its buckets with the same salted hashes and joins the sketch
+    on (d, bucket) — sketch-size rows, never the original data."""
+    depth_count = sketch.select("d").distinct().count()
+    probe_buckets = probes.select(
+        F.col(value_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            H.md5_long(
+                                F.concat(F.lit(f"cms{d}|"), F.col(value_col))
+                            )
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth_count)
+                ]
+            )
+        ).alias("h"),
+    ).select(value_col, "h.d", "h.bucket")
+    return (
+        probe_buckets.join(sketch, ["d", "bucket"], "left")
+        .fillna(0, subset=["c"])
+        .groupBy(value_col)
+        .agg(F.min("c").alias("est_count"))
+    )

@@ -2111,6 +2111,49 @@ def dq_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cms_token_counts",
+    """
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    depths AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    h AS (
+      SELECT d, CAST(concat('0x', substr(md5('cms' || d || '|' || w), 1, 15))
+                 AS BIGINT) % 256 AS bucket
+      FROM toks, depths
+    ),
+    sketch AS (SELECT d, bucket, count(*) AS c FROM h GROUP BY d, bucket),
+    probes AS (SELECT unnest(['spark', 'table', 'window', 'the', 'zzzz']) AS w),
+    pb AS (
+      SELECT w, d, CAST(concat('0x', substr(md5('cms' || d || '|' || w), 1, 15))
+                    AS BIGINT) % 256 AS bucket
+      FROM probes, depths
+    )
+    SELECT pb.w AS token, CAST(min(COALESCE(s.c, 0)) AS BIGINT) AS est_count
+    FROM pb LEFT JOIN sketch s USING (d, bucket)
+    GROUP BY pb.w
+    """,
+)
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates: the sketch is a depth×width
+    TABLE (bounded memory at any cardinality, mergeable by summing), the
+    probe joins it on (d, bucket). Deterministic md5 rows → the oracle
+    replays the identical sketch. See sketches.cms_build/cms_estimate."""
+    from ..operators import sketches as SK
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("w")
+    )
+    sketch = SK.cms_build(toks, "w", depth=4, width=256)
+    probes = spark.createDataFrame(
+        [("spark",), ("table",), ("window",), ("the",), ("zzzz",)],
+        "token string",
+    )
+    return SK.cms_estimate(sketch, probes, "token", width=256)
+
+
+@register(
     "profile_orders",
     """
     SELECT 'o_orderkey' AS "column", count(*) AS n_rows,

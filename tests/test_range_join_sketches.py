@@ -109,3 +109,36 @@ def test_sampled_quantiles_exact_when_small(spark):
     ).collect()[0]
     assert out.n_sample == 101
     assert out.p50 == 50.0  # ≤ k rows → sample is the population → exact
+
+
+def test_cms_overestimates_and_merges(spark):
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        sketches,
+    )
+    from pyspark.sql import functions as F
+
+    words = ["a"] * 50 + ["b"] * 30 + ["c"] * 5 + ["d"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    probes = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("x",)], "w string")
+
+    sketch = sketches.cms_build(df, "w", depth=4, width=64)
+    est = {
+        r.w: r.est_count
+        for r in sketches.cms_estimate(sketch, probes, "w", width=64).collect()
+    }
+    true = {"a": 50, "b": 30, "c": 5, "d": 1, "x": 0}
+    for w, t in true.items():
+        assert est[w] >= t  # CMS never underestimates
+        assert est[w] <= t + len(words)  # and is bounded by N
+
+    # mergeability: sketch(A) + sketch(B) == sketch(A ∪ B), bucket-for-bucket
+    a = spark.createDataFrame([(w,) for w in words[:40]], "w string")
+    b = spark.createDataFrame([(w,) for w in words[40:]], "w string")
+    merged = (
+        sketches.cms_build(a, "w", depth=4, width=64)
+        .unionByName(sketches.cms_build(b, "w", depth=4, width=64))
+        .groupBy("d", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    direct = sketches.cms_build(df, "w", depth=4, width=64)
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in direct.collect()}
