@@ -70,3 +70,44 @@ def asof_join(
     return out.select(
         *[F.col(f"__lrow.{c}").alias(c) for c in left.columns], *sel_vals
     )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str,
+    fact_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    dim_vals: list[str] | None = None,
+) -> DataFrame:
+    """Effective-dated (SCD type-2) dimension lookup: each fact row picks
+    the dimension version whose ``[valid_from, valid_to)`` interval
+    contains its timestamp; facts before the first version keep NULLs.
+
+    The join is EQUI on the key with the interval containment as a
+    residual predicate — Catalyst plans a hash/sort-merge join on the key
+    and filters the few versions per key afterwards, so this scales like
+    any key join (a version-count blowup per key is a dim-modeling bug,
+    not a plan problem). A NULL ``valid_to`` means the open current
+    version. Caller contract: versions of one key don't overlap — with
+    overlaps, use ``asof_join`` on ``valid_from`` (latest-start-wins).
+    """
+    if dim_vals is None:
+        dim_vals = [
+            c for c in dim.columns if c not in (on, valid_from, valid_to)
+        ]
+    d = dim.select(
+        F.col(on).alias("__k"),
+        F.col(valid_from).alias("__vf"),
+        F.col(valid_to).alias("__vt"),
+        *[F.col(c) for c in dim_vals],
+    )
+    cond = (
+        (facts[fact_ts] >= d["__vf"])
+        & (d["__vt"].isNull() | (facts[fact_ts] < d["__vt"]))
+        & (facts[on] == d["__k"])
+    )
+    return facts.join(d, cond, "left").select(
+        *[facts[c] for c in facts.columns], *[d[c] for c in dim_vals]
+    )

@@ -85,3 +85,31 @@ def test_tumbling_window(spark):
     assert got[("click", T0.replace(minute=0))] == 2
     assert got[("click", T0.replace(minute=0) + dt.timedelta(hours=1))] == 1
     assert got[("buy", T0.replace(minute=0))] == 1
+
+
+def test_scd2_lookup_picks_effective_version(spark):
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.asof import (
+        scd2_lookup,
+    )
+
+    dim = spark.createDataFrame(
+        [
+            (1, _ts(0), _ts(100), "bronze"),
+            (1, _ts(100), None, "gold"),  # open current version
+            (2, _ts(50), _ts(60), "silver"),
+        ],
+        "user_id long, valid_from timestamp, valid_to timestamp, tier string",
+    )
+    facts = spark.createDataFrame(
+        [(1, _ts(99)), (1, _ts(100)), (1, _ts(500)), (2, _ts(10)), (2, _ts(60))],
+        "user_id long, fts timestamp",
+    )
+    got = {
+        (r.user_id, r.fts): r.tier
+        for r in scd2_lookup(facts, dim, "user_id", "fts").collect()
+    }
+    assert got[(1, _ts(99))] == "bronze"  # end-exclusive boundary
+    assert got[(1, _ts(100))] == "gold"  # start-inclusive
+    assert got[(1, _ts(500))] == "gold"  # open-ended current
+    assert got[(2, _ts(10))] is None  # before first version
+    assert got[(2, _ts(60))] is None  # after closed version
