@@ -89,3 +89,76 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_df_frac: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    digits: int = 4,
+) -> DataFrame:
+    """Sparse lexical similarity: document pairs with TF-IDF cosine ≥
+    ``threshold`` via an inverted-index self-join — the term-space
+    complement of the dense-embedding near-dup paths.
+
+    Scale levers, in order: terms with document frequency above
+    ``max_df_frac·N`` are DROPPED before the join (a stopword-grade term
+    contributes ~zero idf weight but quadratic posting-list pairs — this
+    is the pruning that keeps the self-join O(collisions)); the join keys
+    on the term so co-occurring docs meet on one shuffle; dot products
+    accumulate as DECIMAL so the sum is shuffle-order independent and the
+    quantized cosine is bit-stable across engines.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(T.tokens(F.lower(F.col(text_col)))).alias("w"),
+    )
+    tf = toks.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n"))
+    weights = (
+        tf.join(df_t, "w")
+        .join(F.broadcast(n_docs))
+        .filter(F.col("df") <= F.lit(max_df_frac) * F.col("n"))
+        .select(
+            F.col(id_col),
+            F.col("w"),
+            (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("wt"),
+        )
+    )
+    norms = weights.groupBy(id_col).agg(
+        F.sqrt(
+            F.sum((F.col("wt") * F.col("wt")).cast("decimal(28,10)")).cast(
+                "double"
+            )
+        ).alias("nrm")
+    )
+    a = weights.select(
+        F.col(id_col).alias("id_a"), "w", F.col("wt").alias("wa")
+    )
+    b = weights.select(
+        F.col(id_col).alias("id_b"), "w", F.col("wt").alias("wb")
+    )
+    dots = (
+        a.join(b, "w")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum((F.col("wa") * F.col("wb")).cast("decimal(28,10)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    cos = quantize(
+        F.col("dot")
+        / (F.col("na.nrm") * F.col("nb.nrm")),
+        digits,
+    )
+    return (
+        dots.join(norms.alias("na"), dots["id_a"] == F.col(f"na.{id_col}"))
+        .join(norms.alias("nb"), dots["id_b"] == F.col(f"nb.{id_col}"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -2111,6 +2111,51 @@ def dq_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_cosine_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+    dft AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    n AS (SELECT count(*) AS n FROM documents),
+    wts AS (
+      SELECT doc_id, w, tf * ln(CAST(n AS DOUBLE) / df) AS wt
+      FROM tf JOIN dft USING (w) CROSS JOIN n
+      WHERE df <= 0.5 * n
+    ),
+    nrm AS (
+      SELECT doc_id,
+             sqrt(CAST(sum(CAST(wt * wt AS DECIMAL(28,10))) AS DOUBLE)) AS nrm
+      FROM wts GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(sum(CAST(a.wt * b.wt AS DECIMAL(28,10))) AS DOUBLE) AS dot
+      FROM wts a JOIN wts b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           floor(dot / (na.nrm * nb.nrm) * 10000 + 0.5) / 10000.0 AS cosine
+    FROM dots
+    JOIN nrm na ON dots.id_a = na.doc_id
+    JOIN nrm nb ON dots.id_b = nb.doc_id
+    WHERE floor(dot / (na.nrm * nb.nrm) * 10000 + 0.5) / 10000.0 >= 0.5
+    """,
+)
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine pairs via the inverted-index self-join with
+    df-ceiling pruning — the lexical complement of the dense embedding
+    near-dup paths. See search.tfidf_cosine_pairs."""
+    from ..operators import search as SE
+
+    return SE.tfidf_cosine_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, max_df_frac=0.5
+    )
+
+
+@register(
     "cms_token_counts",
     """
     WITH toks AS (

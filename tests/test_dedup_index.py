@@ -104,3 +104,49 @@ def test_bm25_ranks_term_rich_docs_first(spark):
     assert [r.doc_id for r in rows[:2]] == [1, 2]  # tf-ordered
     scores = {r.doc_id: r.bm25 for r in rows}
     assert scores[3] == 0.0 and scores[4] == 0.0
+
+
+def test_tfidf_cosine_pairs_vs_brute_force(spark):
+    """Inverted-index TF-IDF cosine == brute-force numpy computation."""
+    import math
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        search,
+    )
+
+    texts = {
+        1: "apple banana cherry apple",
+        2: "apple banana cherry",
+        3: "dog elephant fox",
+        4: "dog elephant fox dog",
+        5: "apple dog",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in search.tfidf_cosine_pairs(
+            docs, threshold=0.0, max_df_frac=1.0
+        ).collect()
+    }
+
+    # brute force
+    n = len(texts)
+    tf: dict = {i: {} for i in texts}
+    for i, t in texts.items():
+        for w in t.split():
+            tf[i][w] = tf[i].get(w, 0) + 1
+    df = {}
+    for i in texts:
+        for w in tf[i]:
+            df[w] = df.get(w, 0) + 1
+    wts = {
+        i: {w: c * math.log(n / df[w]) for w, c in tf[i].items() if df[w] <= n}
+        for i in texts
+    }
+    for (a, b), got_cos in got.items():
+        dot = sum(wts[a][w] * wts[b].get(w, 0.0) for w in wts[a])
+        na = math.sqrt(sum(v * v for v in wts[a].values()))
+        nb = math.sqrt(sum(v * v for v in wts[b].values()))
+        assert abs(got_cos - dot / (na * nb)) < 1e-3
+    assert (1, 2) in got and got[(1, 2)] > 0.9  # near-identical docs
+    assert (3, 4) in got and got[(3, 4)] > 0.9

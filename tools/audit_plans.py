@@ -33,6 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #   centroid set (same coarse-quantizer assignment as ivf_topk)
 # - lm_fluency_scores: cross join against a broadcast 1-row vocab-size agg
 # - funnel_stages: three broadcast 1-row stage-count aggregates joined
+# - tfidf_cosine_pairs: cross join against a broadcast 1-row corpus-count agg
 ALLOWED_BNLJ = {
     "brute_force_topk",
     "similar_nation_names",
@@ -44,6 +45,7 @@ ALLOWED_BNLJ = {
     "semantic_dedup_survivors",
     "lm_fluency_scores",
     "funnel_stages",
+    "tfidf_cosine_pairs",
 }
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
