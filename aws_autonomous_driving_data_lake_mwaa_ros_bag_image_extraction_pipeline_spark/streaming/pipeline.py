@@ -413,3 +413,60 @@ def streaming_rollup(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def streaming_cms(
+    stream,
+    sketch_path: str,
+    checkpoint: str,
+    value_col: str = "event_type",
+    depth: int = 4,
+    width: int = 256,
+):
+    """Continuously-maintained count-min sketch: each micro-batch's sketch
+    folds into the persisted one by per-(d, bucket) addition — the
+    mergeability that makes CMS the right frequency structure for streams
+    (state is depth×width rows forever, independent of stream length).
+    Same epoch-marker idempotence and staged-swap write as
+    ``streaming_rollup``; query the live sketch any time with
+    ``sketches.cms_estimate(spark.read.parquet(sketch_path), ...)``.
+    """
+    import os
+    import shutil
+
+    from ..operators.sketches import cms_build
+
+    marker_dir = sketch_path.rstrip("/") + "__epochs"
+
+    def _fold(batch, epoch_id: int) -> None:
+        marker = os.path.join(marker_dir, str(epoch_id))
+        if os.path.exists(marker):
+            return
+        spark = batch.sparkSession
+        new = cms_build(batch, value_col, depth, width)
+        if os.path.exists(sketch_path):
+            merged = (
+                spark.read.parquet(sketch_path)
+                .unionByName(new)
+                .groupBy("d", "bucket")
+                .agg(F.sum("c").alias("c"))
+            )
+        else:
+            merged = new
+        staging = sketch_path.rstrip("/") + "__staging"
+        merged.write.mode("overwrite").parquet(staging)
+        old = sketch_path.rstrip("/") + "__old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(sketch_path):
+            os.rename(sketch_path, old)
+        os.rename(staging, sketch_path)
+        shutil.rmtree(old, ignore_errors=True)
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w"):
+            pass
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -177,3 +177,56 @@ def test_manifest_time_travel(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not on disk"):
         sp.manifest_at(spark, m, generation=99)
+
+
+def test_streaming_cms_two_ticks_equal_batch(spark, tmp_path):
+    """Two streaming folds of the CMS == one batch build over all data."""
+    import json as _json
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        sketches,
+    )
+
+    import os
+
+    src = str(tmp_path / "ev")
+    ck = str(tmp_path / "ck")
+    skp = str(tmp_path / "sketch")
+    os.makedirs(src)
+
+    def _write(name, types):
+        with open(os.path.join(src, name), "w") as f:
+            for t in types:
+                f.write(_json.dumps({"event_type": t}) + "\n")
+
+    def _tick():
+        stream = spark.readStream.schema("event_type string").json(src)
+        q = sp.streaming_cms(stream, skp, ck, width=32).start()
+        q.awaitTermination(120)
+
+    _write("b1.json", ["a", "a", "b"])
+    _tick()
+    _write("b2.json", ["a", "c", "c", "c"])
+    _tick()
+
+    streamed = {
+        (r.d, r.bucket): r.c for r in spark.read.parquet(skp).collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(t,) for t in ["a", "a", "b", "a", "c", "c", "c"]], "event_type string"
+    )
+    direct = {
+        (r.d, r.bucket): r.c
+        for r in sketches.cms_build(batch_df, "event_type", width=32).collect()
+    }
+    assert streamed == direct
+    est = {
+        r.event_type: r.est_count
+        for r in sketches.cms_estimate(
+            spark.read.parquet(skp),
+            spark.createDataFrame([("a",), ("c",), ("z",)], "event_type string"),
+            "event_type",
+            width=32,
+        ).collect()
+    }
+    assert est["a"] >= 3 and est["c"] >= 3  # never underestimates
