@@ -489,3 +489,53 @@ def contamination_overlap(
             F.coalesce("n_contaminated", F.lit(0)) / F.col("n_passages"), 4
         ).alias("contamination"),
     )
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assemble a training mixture by TOKEN budget per source: within each
+    source, documents are taken in deterministic md5(id) order until the
+    source's budget is reached (the first document crossing the line is
+    included, so every budget is met, not undershot). Sources absent from
+    ``budgets`` are excluded.
+
+    Count-based sampling (``weighted_group_sample``) mixes by documents;
+    real pretraining mixes are specified in TOKENS — this is that cut.
+    One window cumsum per source (the hash order also randomizes which
+    docs fill the budget, decoupled from ingestion order); returns
+    (id, source, n_tokens, cum_tokens).
+    """
+    budget_map = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )
+    sized = docs.filter(
+        F.col(source_col).isin(list(budgets))
+    ).select(
+        F.col(id_col),
+        F.col(source_col),
+        T.token_count(F.col(text_col)).alias("n_tokens"),
+        H.md5_long(F.col(id_col).cast("string")).alias("__h"),
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        sized.select(
+            F.col(id_col),
+            F.col(source_col),
+            F.col("n_tokens"),
+            cum.alias("cum_tokens"),
+        )
+        .filter(
+            F.col("cum_tokens") - F.col("n_tokens")
+            < budget_map[F.col(source_col)]
+        )
+    )

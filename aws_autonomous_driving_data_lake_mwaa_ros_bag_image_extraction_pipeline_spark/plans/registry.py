@@ -2111,6 +2111,39 @@ def dq_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_budget_mix",
+    f"""
+    WITH sized AS (
+      SELECT doc_id, source,
+             {_D_NTOK} AS n_tokens,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM documents
+      WHERE source IN ('src0', 'src1', 'src2')
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM sized
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens FROM c
+    WHERE cum_tokens - n_tokens <
+          CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 1000 ELSE 500 END
+    """,
+)
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-mix assembly by per-source TOKEN budget (md5-ordered
+    cumulative fill; budgets met, not undershot). See
+    curation.token_budget_mix."""
+    return curation.token_budget_mix(
+        _t(spark, sf_dir, "documents"),
+        {"src0": 2000, "src1": 1000, "src2": 500},
+    )
+
+
+@register(
     "tfidf_cosine_pairs",
     """
     WITH toks AS (

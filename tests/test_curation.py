@@ -209,3 +209,31 @@ def test_distinctive_terms_tfidf(spark):
     assert rows["s2"].token == "cherry"
     import math
     assert abs(rows["s0"].tfidf - round(2 * math.log(3), 6)) < 1e-6
+
+
+def test_token_budget_mix_meets_budgets(spark):
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        curation,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "s1" if i < 20 else "s2", "tok " * 10) for i in range(40)]
+        + [(99, "s3", "excluded words here")],
+        "doc_id long, source string, text string",
+    )
+    out = curation.token_budget_mix(docs, {"s1": 45, "s2": 100})
+    rows = out.collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    # budget reached but not overshot by more than one doc
+    for src, budget in (("s1", 45), ("s2", 100)):
+        total = sum(r.n_tokens for r in by_src[src])
+        assert total >= budget  # met
+        assert total - max(r.n_tokens for r in by_src[src]) < budget  # minimal
+    assert "s3" not in by_src  # unbudgeted source excluded
+    # deterministic: same call → same selection
+    again = {(r.doc_id, r.cum_tokens) for r in curation.token_budget_mix(
+        docs, {"s1": 45, "s2": 100}
+    ).collect()}
+    assert again == {(r.doc_id, r.cum_tokens) for r in rows}
