@@ -539,3 +539,36 @@ def token_budget_mix(
             < budget_map[F.col(source_col)]
         )
     )
+
+
+def epoch_upsample(
+    docs: DataFrame,
+    factor: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic upsampling to ``factor`` epochs: every document
+    repeats ``floor(factor)`` times, and the md5-selected ``frac(factor)``
+    fraction of documents gets one more — so expected multiplicity is
+    exactly ``factor``, selection is reproducible, and each copy carries
+    an ``epoch`` index for shuffle/sharding downstream (pair with
+    ``shuffle_assignment``-style hashing on (id, epoch) so repeats land
+    in different shards).
+
+    The under-sampled-source case of mixture assembly (the complement of
+    ``token_budget_mix``): when a source's budget exceeds its data, real
+    pipelines repeat it a fractional number of epochs. Pure narrow ops —
+    a sequence explode against a per-row epoch count, no shuffle.
+    """
+    if factor <= 0:
+        raise ValueError(f"factor must be > 0, got {factor}")
+    full = int(factor)
+    frac = factor - full
+    # md5 in [0, 1): doc gets the extra epoch iff its hash < frac
+    h01 = H.md5_long(F.col(id_col).cast("string")) / F.lit(float(1 << 60))
+    n_epochs = F.lit(full) + (h01 < F.lit(frac)).cast("int")
+    return (
+        docs.withColumn("__n", n_epochs)
+        .filter(F.col("__n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__n")
+    )

@@ -2111,6 +2111,30 @@ def dq_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "epoch_upsample",
+    f"""
+    WITH n AS (
+      SELECT doc_id, source,
+             2 + CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                           AS BIGINT) / {float(1 << 60)} < 0.3
+                      THEN 1 ELSE 0 END AS ne
+      FROM documents WHERE source = 'src0'
+    )
+    SELECT doc_id, source, CAST(unnest(range(0, ne)) AS INTEGER) AS epoch
+    FROM n
+    """,
+)
+def q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2.3-epoch deterministic upsample of one source (every doc twice, the
+    md5-selected 30%% a third time) — the over-budget side of mixture
+    assembly. See curation.epoch_upsample."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("source") == "src0")
+    return curation.epoch_upsample(
+        docs.select("doc_id", "source"), 2.3
+    ).select("doc_id", "source", F.col("epoch").cast("int").alias("epoch"))
+
+
+@register(
     "token_budget_mix",
     f"""
     WITH sized AS (

@@ -237,3 +237,30 @@ def test_token_budget_mix_meets_budgets(spark):
         docs, {"s1": 45, "s2": 100}
     ).collect()}
     assert again == {(r.doc_id, r.cum_tokens) for r in rows}
+
+
+def test_epoch_upsample_multiplicity(spark):
+    import pytest
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        curation,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = curation.epoch_upsample(docs, 1.5).collect()
+    counts: dict = {}
+    for r in out:
+        counts[r.doc_id] = counts.get(r.doc_id, 0) + 1
+    assert set(counts.values()) <= {1, 2}  # floor=1, some get 2
+    boosted = sum(1 for v in counts.values() if v == 2)
+    assert 60 <= boosted <= 140  # ~50% of 200, md5-selected
+    # epoch indices are dense per doc
+    epochs: dict = {}
+    for r in out:
+        epochs.setdefault(r.doc_id, []).append(r.epoch)
+    assert all(sorted(v) == list(range(len(v))) for v in epochs.values())
+    # deterministic
+    again = {(r.doc_id, r.epoch) for r in curation.epoch_upsample(docs, 1.5).collect()}
+    assert again == {(r.doc_id, r.epoch) for r in out}
+    with pytest.raises(ValueError):
+        curation.epoch_upsample(docs, 0)
