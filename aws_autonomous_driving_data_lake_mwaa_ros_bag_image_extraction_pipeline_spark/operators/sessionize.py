@@ -61,3 +61,44 @@ def tumbling_window_agg(
         .agg(F.count("*").alias("n_events"))
         .select(F.col("w.start").alias("window_start"), group_col, "n_events")
     )
+
+
+def event_pattern_match(
+    events: DataFrame,
+    pattern: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_col: str = "event_id",
+    type_char=None,
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: each key's events in time order become a
+    character string (first letter of the type by default), and keys whose
+    sequence matches ``pattern`` (a regex over those characters) are
+    returned with the sequence — funnels, retries-then-success,
+    abandonment, any order-sensitive behavior in one regex.
+
+    One shuffle (groupBy key); the sort happens INSIDE each key's
+    collected array (``array_sort`` on (ts, tie, char) structs —
+    deterministic under same-timestamp events), so no windowed global
+    sort. Sequence length = events per key: bound it upstream (e.g.
+    sessionize first and key by session) when keys can have unbounded
+    history — the same contract every CEP engine carries.
+    """
+    ch = type_char if type_char is not None else F.substring(F.col(type_col), 1, 1)
+    seq = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(ts_col), F.col(tie_col), ch.alias("c"))
+                )
+            ),
+            lambda x: x["c"],
+        ),
+    )
+    return (
+        events.groupBy(key_col)
+        .agg(seq.alias("seq"))
+        .filter(F.col("seq").rlike(pattern))
+    )

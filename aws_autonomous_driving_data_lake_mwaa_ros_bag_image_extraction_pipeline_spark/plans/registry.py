@@ -2111,6 +2111,24 @@ def dq_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_pattern_users",
+    """
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, seq FROM seqs WHERE regexp_matches(seq, 'cp')
+    """,
+)
+def event_pattern_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-style sequence matching: users whose ordered event string
+    contains a click immediately followed by a purchase. See
+    sessionize.event_pattern_match."""
+    return sessionize.event_pattern_match(_t(spark, sf_dir, "events"), "cp")
+
+
+@register(
     "epoch_upsample",
     f"""
     WITH n AS (

@@ -113,3 +113,31 @@ def test_scd2_lookup_picks_effective_version(spark):
     assert got[(1, _ts(500))] == "gold"  # open-ended current
     assert got[(2, _ts(10))] is None  # before first version
     assert got[(2, _ts(60))] is None  # after closed version
+
+
+def test_event_pattern_match_order_and_regex(spark):
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.sessionize import (
+        event_pattern_match,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: view → click → purchase (matches v.*c.*p)
+            (1, _ts(1), "view", 10),
+            (1, _ts(2), "click", 11),
+            (1, _ts(3), "purchase", 12),
+            # user 2: purchase first — order matters
+            (2, _ts(1), "purchase", 20),
+            (2, _ts(2), "view", 21),
+            (2, _ts(3), "click", 22),
+            # user 3: same-ts tie broken by event_id (click before purchase)
+            (3, _ts(5), "click", 30),
+            (3, _ts(5), "purchase", 31),
+        ],
+        "user_id long, ts timestamp, event_type string, event_id long",
+    )
+    got = {
+        r.user_id: r.seq
+        for r in event_pattern_match(ev, "v.*c.*p|cp").collect()
+    }
+    assert got == {1: "vcp", 3: "cp"}
