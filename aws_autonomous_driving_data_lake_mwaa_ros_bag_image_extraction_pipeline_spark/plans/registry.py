@@ -18,7 +18,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
@@ -2108,6 +2108,35 @@ def dq_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
     )
     return orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+
+
+@register(
+    "rolling_1h_counts",
+    """
+    SELECT event_id, user_id,
+           CAST(count(*) OVER (
+             PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_last_hour
+    FROM events
+    """,
+)
+def rolling_1h_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per event, how many of the same user's events
+    fall in the trailing hour — a true time-interval frame (value-based
+    bounds over epoch seconds), not a row count. Same one sort-shuffle as
+    any keyed window; integer output, no fp parity concerns."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_seconds(F.col("ts")))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+    )
 
 
 @register(
