@@ -139,3 +139,55 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         ]
     )
     return stats.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tie_col: str,
+    lookback: int = 20,
+    min_history: int = 5,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-key rolling z-score outlier flags: each value scored against the
+    mean/std of its OWN trailing ``lookback`` observations (current row
+    excluded — the score tests the value against history, not against
+    itself). Rows with fewer than ``min_history`` prior points or zero
+    variance get a NULL score and no flag.
+
+    Determinism across engines: the window sums accumulate as DECIMAL (fp
+    addition is order-sensitive; decimals aren't), and variance comes from
+    the sum/sum-of-squares identity on those exact sums — so Spark and a
+    SQL replica produce bit-identical z-scores. One keyed sort-shuffle,
+    same shape as every other window op here.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import quantize
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(tie_col))
+        .rowsBetween(-lookback, -1)
+    )
+    v = F.col(value_col)
+    n = F.count(v).over(w)
+    s = F.sum(v.cast("decimal(28,10)")).over(w).cast("double")
+    sq = F.sum((v * v).cast("decimal(28,10)")).over(w).cast("double")
+    mean = s / n
+    var = F.greatest(
+        (sq - s * s / n) / (n - F.lit(1)), F.lit(0.0)
+    )
+    z = F.when(
+        (n >= min_history) & (var > 0), (v - mean) / F.sqrt(var)
+    )
+    zq = quantize(z, 4)
+    return df.select(
+        F.col(key_col),
+        F.col(tie_col),
+        F.col(value_col),
+        zq.alias("zscore"),
+        F.coalesce(F.abs(zq) > z_threshold, F.lit(False)).alias("is_anomaly"),
+    )

@@ -2111,6 +2111,44 @@ def dq_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zscore_anomalies",
+    """
+    WITH st AS (
+      SELECT user_id, event_id, value,
+             count(value) OVER w AS n,
+             CAST(sum(CAST(value AS DECIMAL(28,10))) OVER w AS DOUBLE) AS s,
+             CAST(sum(CAST(value * value AS DECIMAL(28,10))) OVER w AS DOUBLE) AS sq
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+      SELECT user_id, event_id, value,
+             CASE WHEN n >= 5 AND greatest((sq - s * s / n) / (n - 1), 0.0) > 0
+                  THEN floor((value - s / n)
+                             / sqrt(greatest((sq - s * s / n) / (n - 1), 0.0))
+                             * 10000 + 0.5) / 10000.0
+             END AS zscore
+      FROM st
+    )
+    SELECT user_id, event_id, value, zscore,
+           COALESCE(abs(zscore) > 3.0, false) AS is_anomaly
+    FROM z
+    """,
+)
+def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score outlier detection per sensor stream (the
+    quantitative form of the reference's frame-gap QA): decimal-accumulated
+    window sums make the score engine-exact. See
+    quality.rolling_zscore_anomalies."""
+    from ..operators import quality as Q
+
+    return Q.rolling_zscore_anomalies(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "value", "event_id"
+    )
+
+
+@register(
     "rolling_1h_counts",
     """
     SELECT event_id, user_id,

@@ -74,3 +74,22 @@ def test_profile_columns_one_scan(spark):
     assert (out["x"].min_val, out["x"].max_val) == (2.0, 8.0)
     assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
     assert out["s"].min_val is None  # non-numeric: no cross-engine min/max
+
+
+def test_rolling_zscore_flags_spike(spark):
+    import datetime as dt
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        quality as Q,
+    )
+
+    t0 = dt.datetime(2022, 1, 1)
+    rows = [(1, t0 + dt.timedelta(seconds=i), float(10 + (i % 3)), i) for i in range(10)]
+    rows.append((1, t0 + dt.timedelta(seconds=10), 1000.0, 10))  # spike
+    rows.append((1, t0 + dt.timedelta(seconds=11), 11.0, 11))
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double, eid long")
+    out = {r.eid: r for r in Q.rolling_zscore_anomalies(df, "k", "ts", "v", "eid").collect()}
+    assert out[10].is_anomaly  # the spike
+    assert not out[5].is_anomaly
+    assert out[2].zscore is None  # < min_history prior points
+    assert not out[2].is_anomaly  # null never flags
