@@ -93,3 +93,18 @@ def test_rolling_zscore_flags_spike(spark):
     assert not out[5].is_anomaly
     assert out[2].zscore is None  # < min_history prior points
     assert not out[2].is_anomaly  # null never flags
+
+
+def test_rolling_zscore_constant_series_never_flags(spark):
+    import datetime as dt
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        quality as Q,
+    )
+
+    t0 = dt.datetime(2022, 1, 1)
+    rows = [(1, t0 + dt.timedelta(seconds=i), 5.0, i) for i in range(15)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double, eid long")
+    out = Q.rolling_zscore_anomalies(df, "k", "ts", "v", "eid").collect()
+    assert all(r.zscore is None for r in out)  # zero variance → no score
+    assert not any(r.is_anomaly for r in out)
