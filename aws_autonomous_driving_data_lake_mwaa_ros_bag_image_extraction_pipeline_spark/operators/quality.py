@@ -89,7 +89,16 @@ def check_foreign_key(
     return df.filter(F.col(col).isNotNull()).join(keys, col, "left_anti")
 
 
-NUMERIC_TYPES = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
+NUMERIC_TYPES = frozenset(
+    {"int", "bigint", "smallint", "tinyint", "double", "float"}
+)
+
+
+def _is_numeric(dtype: str) -> bool:
+    """Exact base-type match. A prefix test would also catch ANSI interval
+    dtypes (``interval day to second`` reports a dtype starting with "int"
+    under some renderings) — those must not be cast to double."""
+    return dtype in NUMERIC_TYPES or dtype.startswith("decimal(")
 
 
 def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -113,7 +122,7 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     for c in cols:
         aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
         aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
-        if dtypes[c].startswith(NUMERIC_TYPES):
+        if _is_numeric(dtypes[c]):
             aggs.append(F.min(F.col(c)).cast("double").alias(f"__mn_{c}"))
             aggs.append(F.max(F.col(c)).cast("double").alias(f"__mx_{c}"))
     stats = df.agg(*aggs)
@@ -126,12 +135,12 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
                 F.col(f"__nd_{c}").alias("n_distinct"),
                 (
                     F.col(f"__mn_{c}")
-                    if dtypes[c].startswith(NUMERIC_TYPES)
+                    if _is_numeric(dtypes[c])
                     else F.lit(None).cast("double")
                 ).alias("min_val"),
                 (
                     F.col(f"__mx_{c}")
-                    if dtypes[c].startswith(NUMERIC_TYPES)
+                    if _is_numeric(dtypes[c])
                     else F.lit(None).cast("double")
                 ).alias("max_val"),
             )

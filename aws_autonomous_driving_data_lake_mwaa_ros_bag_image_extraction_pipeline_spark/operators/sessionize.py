@@ -71,6 +71,7 @@ def event_pattern_match(
     type_col: str = "event_type",
     tie_col: str = "event_id",
     type_char=None,
+    max_events: int = 10_000,
 ) -> DataFrame:
     """MATCH_RECOGNIZE-lite: each key's events in time order become a
     character string (first letter of the type by default), and keys whose
@@ -81,22 +82,26 @@ def event_pattern_match(
     One shuffle (groupBy key); the sort happens INSIDE each key's
     collected array (``array_sort`` on (ts, tie, char) structs —
     deterministic under same-timestamp events), so no windowed global
-    sort. Sequence length = events per key: bound it upstream (e.g.
-    sessionize first and key by session) when keys can have unbounded
-    history — the same contract every CEP engine carries.
+    sort.
+
+    Hot-key guard: the sequence is capped at the EARLIEST ``max_events``
+    events per key (``slice`` after the in-key sort, before the concat),
+    so a skewed key cannot materialize an unbounded string in one task —
+    the regex then evaluates over that bounded prefix, the same
+    bounded-buffer contract every CEP engine carries. A key at the cap
+    still holds ``max_events`` (ts, tie, char) structs in its agg buffer
+    (~tens of MB at the default, well inside an executor task); for keys
+    with genuinely unbounded history, sessionize first and key by
+    (user, session) so the cap is never the semantics. Pass
+    ``max_events=None`` to disable the cap when keys are known-bounded.
     """
     ch = type_char if type_char is not None else F.substring(F.col(type_col), 1, 1)
-    seq = F.concat_ws(
-        "",
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(F.col(ts_col), F.col(tie_col), ch.alias("c"))
-                )
-            ),
-            lambda x: x["c"],
-        ),
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col(ts_col), F.col(tie_col), ch.alias("c")))
     )
+    if max_events is not None:
+        ordered = F.slice(ordered, 1, int(max_events))
+    seq = F.concat_ws("", F.transform(ordered, lambda x: x["c"]))
     return (
         events.groupBy(key_col)
         .agg(seq.alias("seq"))

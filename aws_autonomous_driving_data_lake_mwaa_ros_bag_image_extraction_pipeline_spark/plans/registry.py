@@ -1219,14 +1219,13 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                  CAST(b.embedding AS DOUBLE[])) >= 0.4
     """,
-    headline=True,
 )
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding near-dup pairs (oracle-checkable baseline) via the
-    column-expression self-join — fully distributed, no driver collect.
-    ``dedup.embedding_dup_pairs_numpy`` remains as a single-box speed
-    helper; the default/scale API is the LSH-bucketed
-    ``dedup.embedding_dup_pairs`` (registered rows-only below)."""
+    """Exact embedding near-dup pairs: the O(n^2) oracle baseline, kept
+    NON-headline by design — the bench headline is the LSH-bucketed scale
+    path ``embedding_dup_pairs_lsh`` below, which is the plan that survives
+    100x. ``dedup.embedding_dup_pairs_numpy`` remains a single-box speed
+    helper."""
     pairs = dedup.embedding_dup_pairs_exact(
         _t(spark, sf_dir, "embeddings"), threshold=0.4
     )
@@ -1251,11 +1250,14 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE list_cosine_similarity(CAST(va.embedding AS DOUBLE[]),
                                  CAST(vb.embedding AS DOUBLE[])) >= 0.4
     """,
+    headline=True,
 )
 def q_embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path for embedding dedup: LSH bucket candidates (id-only
-    shuffle) → join vectors back → exact cosine verify. Deterministic
-    hyperplanes make the banded candidate set oracle-replayable."""
+    """Headline scale path for embedding dedup: LSH bucket candidates
+    (id-only shuffle) → join vectors back → exact cosine verify.
+    Deterministic hyperplanes make the banded candidate set
+    oracle-replayable. Headline because it is the 100x-safe plan: cost is
+    O(sum of bucket sizes squared), not O(n^2)."""
     pairs = dedup.embedding_dup_pairs(
         _t(spark, sf_dir, "embeddings"), dim=64, threshold=0.4
     )

@@ -39,7 +39,7 @@ class PipelineConfig:
     topics: list[str] | None = field(
         default_factory=lambda: list(TOPIC_WHITELIST)
     )
-    model_fn: object = None  # P13 plug; None = deterministic fake
+    model_fn: object = None  # P13 plug; None = numpy color-blob detector
     sync_dir: str | None = None  # optional K2 file-tree export
     extra: dict = field(default_factory=dict)
 

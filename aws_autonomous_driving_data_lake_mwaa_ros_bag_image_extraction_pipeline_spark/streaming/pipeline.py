@@ -427,46 +427,87 @@ def streaming_cms(
     folds into the persisted one by per-(d, bucket) addition — the
     mergeability that makes CMS the right frequency structure for streams
     (state is depth×width rows forever, independent of stream length).
-    Same epoch-marker idempotence and staged-swap write as
-    ``streaming_rollup``; query the live sketch any time with
+    Idempotence is transactional with the fold itself: the set of folded
+    epoch ids rides INSIDE the swapped directory (an underscore-prefixed
+    ``_epochs`` parquet subdir, which Spark's parquet scan of the sketch
+    dir ignores as metadata), so the fold and its marker commit in the
+    same atomic rename. A replayed micro-batch (foreachBatch is
+    at-least-once) finds its epoch id already recorded and no-ops — and a
+    crash BETWEEN fold and marker is impossible because there is no
+    between. Query the live sketch any time with
     ``sketches.cms_estimate(spark.read.parquet(sketch_path), ...)``.
     """
-    import os
-    import shutil
-
-    from ..operators.sketches import cms_build
-
-    marker_dir = sketch_path.rstrip("/") + "__epochs"
-
     def _fold(batch, epoch_id: int) -> None:
-        marker = os.path.join(marker_dir, str(epoch_id))
-        if os.path.exists(marker):
-            return
-        spark = batch.sparkSession
-        new = cms_build(batch, value_col, depth, width)
-        if os.path.exists(sketch_path):
-            merged = (
-                spark.read.parquet(sketch_path)
-                .unionByName(new)
-                .groupBy("d", "bucket")
-                .agg(F.sum("c").alias("c"))
-            )
-        else:
-            merged = new
-        staging = sketch_path.rstrip("/") + "__staging"
-        merged.write.mode("overwrite").parquet(staging)
-        old = sketch_path.rstrip("/") + "__old"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(sketch_path):
-            os.rename(sketch_path, old)
-        os.rename(staging, sketch_path)
-        shutil.rmtree(old, ignore_errors=True)
-        os.makedirs(marker_dir, exist_ok=True)
-        with open(marker, "w"):
-            pass
+        cms_fold_batch(batch, epoch_id, sketch_path, value_col, depth, width)
 
     return (
         stream.writeStream.foreachBatch(_fold)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def cms_fold_batch(
+    batch,
+    epoch_id: int,
+    sketch_path: str,
+    value_col: str = "event_type",
+    depth: int = 4,
+    width: int = 256,
+) -> bool:
+    """One idempotent CMS fold (the foreachBatch body of ``streaming_cms``,
+    exposed for direct testing of replay/crash behavior). Returns True if
+    the batch was folded, False if its epoch was already committed.
+
+    The folded-epoch set is written INSIDE the staged sketch directory
+    (``_epochs`` subdir) so the fold and its idempotence marker commit in
+    the same directory rename; an interrupted swap (sketch absent, staging
+    complete) is rolled forward on the next call."""
+    import os
+    import shutil
+
+    from ..operators.sketches import cms_build
+
+    spark = batch.sparkSession
+    staging = sketch_path.rstrip("/") + "__staging"
+    if not os.path.exists(sketch_path) and os.path.exists(
+        os.path.join(staging, "_epochs")
+    ):
+        # Crash landed between the two swap renames: staging is a
+        # complete committed fold (renames only start after both
+        # writes finish), so roll it forward instead of refolding.
+        os.rename(staging, sketch_path)
+    epochs_path = os.path.join(sketch_path, "_epochs")
+    if os.path.exists(epochs_path):
+        prev_epochs = spark.read.parquet(epochs_path)
+        if prev_epochs.filter(F.col("epoch_id") == epoch_id).count() > 0:
+            return False  # retried epoch: fold already committed with swap
+    else:
+        prev_epochs = None
+    new = cms_build(batch, value_col, depth, width)
+    if os.path.exists(sketch_path):
+        merged = (
+            spark.read.parquet(sketch_path)
+            .unionByName(new)
+            .groupBy("d", "bucket")
+            .agg(F.sum("c").alias("c"))
+        )
+    else:
+        merged = new
+    this_epoch = spark.createDataFrame([(int(epoch_id),)], "epoch_id bigint")
+    all_epochs = (
+        prev_epochs.unionByName(this_epoch)
+        if prev_epochs is not None
+        else this_epoch
+    )
+    merged.write.mode("overwrite").parquet(staging)
+    all_epochs.write.mode("overwrite").parquet(
+        os.path.join(staging, "_epochs")
+    )
+    old = sketch_path.rstrip("/") + "__old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(sketch_path):
+        os.rename(sketch_path, old)
+    os.rename(staging, sketch_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return True

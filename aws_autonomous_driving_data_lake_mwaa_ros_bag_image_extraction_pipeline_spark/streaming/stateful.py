@@ -236,10 +236,20 @@ def streaming_resample_ffill(
     late by definition and ignored — the same contract a watermark gives
     the built-in windowed aggregates). State per key is two scalars
     (next grid tick, running value) — O(keys), never O(events).
+
+    The emitted value column keeps the input's numeric family, matching
+    the batch ``resample_ffill``: integral inputs stay ``bigint``, float
+    inputs stay ``double``; any other value dtype (decimal, string) is
+    coerced to double — that narrower contract is the price of the typed
+    state row.
     """
     dt = dict(events.dtypes)
-    out_schema = f"{key_col} {dt[key_col]}, grid_ts timestamp, {value_col} double"
-    state_schema = "next_grid long, last_val double"
+    integral = dt[value_col] in ("tinyint", "smallint", "int", "bigint")
+    value_type = "bigint" if integral else "double"
+    out_schema = (
+        f"{key_col} {dt[key_col]}, grid_ts timestamp, {value_col} {value_type}"
+    )
+    state_schema = f"next_grid long, last_val {value_type}"
     step = int(step_seconds)
 
     def _fill(

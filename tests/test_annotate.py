@@ -1,7 +1,8 @@
 """P12/P13: batch inference + the real annotate kernel.
 
 The annotate path is pixel-real (pure-numpy PNG codec + PIL-parity box
-rasterizer); only the detection model is a documented deterministic fake.
+rasterizer), and the default detection model is a genuine numpy color-blob
+detector over the decoded pixels — content in, boxes out.
 Includes a golden test: drawing the reference's own label JSON onto its
 original PNG reproduces its labeled PNG byte-for-byte.
 """
@@ -39,7 +40,7 @@ def test_infer_labels_schema_and_determinism(spark):
 
 def test_grouped_inference_matches_mapinpandas(spark):
     """applyInPandas per-camera grouping == mapInPandas for a
-    camera-agnostic model (same deterministic fake)."""
+    camera-agnostic model (same deterministic detector)."""
     frames_df = fixtures.frames(spark, n_bags=1, frames_per_camera=5)
     a = {
         (r.bag_id, r.camera, r.frame_index): r.labels
@@ -102,3 +103,59 @@ def test_annotate_golden_parity_with_reference_output(spark):
     orig = png.decode(open(f"{ref}/left0193_original.png", "rb").read())
     gold = png.decode(open(f"{ref}/left0193_labeled.png", "rb").read())
     assert (png.draw_boxes(orig, boxes) == gold).all()
+
+
+def test_detect_color_blobs_is_content_derived():
+    """The default model reads pixels: a painted region produces a box AT
+    that region, and moving the region moves the box."""
+    import numpy as np
+
+    base = np.full((40, 60, 3), 128, dtype=np.uint8)  # low-sat grey
+    img_a = base.copy()
+    img_a[10:20, 30:48] = (220, 30, 30)  # red blob → "Traffic Light"
+    img_b = base.copy()
+    img_b[25:35, 6:24] = (220, 30, 30)  # same blob, elsewhere
+
+    la = annotate.detect_color_blobs([png.encode(img_a)])[0]
+    lb = annotate.detect_color_blobs([png.encode(img_b)])[0]
+    box_a = next(l for l in la if l["Name"] == "Traffic Light")["Instances"][0][
+        "BoundingBox"
+    ]
+    box_b = next(l for l in lb if l["Name"] == "Traffic Light")["Instances"][0][
+        "BoundingBox"
+    ]
+    assert box_a == {
+        "Width": round(18 / 60, 6),
+        "Height": round(10 / 40, 6),
+        "Left": round(30 / 60, 6),
+        "Top": round(10 / 40, 6),
+    }
+    assert box_b["Left"] == round(6 / 60, 6) and box_b["Top"] == round(25 / 40, 6)
+    assert box_a != box_b
+    # the untouched grey background is one low-saturation component
+    assert any(l["Name"] == "Person" for l in la)
+    # an all-grey frame has no color-class labels at all
+    lg = annotate.detect_color_blobs([png.encode(base)])[0]
+    assert [l["Name"] for l in lg] == ["Person"]
+
+
+def test_detect_color_blobs_components():
+    """Two disjoint same-color blobs → two Instances; diagonal contact does
+    not merge (4-connectivity); sub-threshold specks are dropped."""
+    import numpy as np
+
+    img = np.full((40, 60, 3), 128, dtype=np.uint8)
+    img[2:10, 2:14] = (30, 200, 30)
+    img[20:30, 40:56] = (30, 200, 30)
+    img[0, 59] = (30, 200, 30)  # 1-px speck: below min_area_frac
+    road = next(
+        l
+        for l in annotate.detect_color_blobs([png.encode(img)])[0]
+        if l["Name"] == "Road"
+    )
+    assert len(road["Instances"]) == 2
+    areas = sorted(
+        round(i["BoundingBox"]["Width"] * 60) * round(i["BoundingBox"]["Height"] * 40)
+        for i in road["Instances"]
+    )
+    assert areas == [96, 160]

@@ -141,3 +141,34 @@ def test_event_pattern_match_order_and_regex(spark):
         for r in event_pattern_match(ev, "v.*c.*p|cp").collect()
     }
     assert got == {1: "vcp", 3: "cp"}
+
+
+def test_event_pattern_match_hot_key_cap(spark):
+    """A skewed key's sequence is capped at the earliest max_events events
+    — bounded per-task string, deterministic prefix semantics."""
+    import datetime as dt
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.sessionize import (
+        event_pattern_match,
+    )
+
+    t0 = dt.datetime(2022, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(seconds=i), "x" if i else "a", i)
+        for i in range(50)
+    ]  # hot key: 'a' then 49 'x'
+    rows += [(2, t0, "a", 0), (2, t0 + dt.timedelta(seconds=1), "b", 1)]
+    ev = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string, event_id int"
+    )
+    capped = {
+        r.user_id: r.seq
+        for r in event_pattern_match(ev, ".*", max_events=5).collect()
+    }
+    assert capped[1] == "axxxx"  # earliest 5 events, time order
+    assert capped[2] == "ab"  # under-cap keys unaffected
+    uncapped = {
+        r.user_id: r.seq
+        for r in event_pattern_match(ev, ".*", max_events=None).collect()
+    }
+    assert len(uncapped[1]) == 50

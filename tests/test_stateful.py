@@ -182,3 +182,35 @@ def test_streaming_resample_ffill_incremental(spark, tmp_path):
     got2 = {((r.grid_ts - t0).total_seconds(), r.value) for r in s2}
     # frontier resumes at 120 from checkpointed state; both points carry v=2
     assert got2 == {(120.0, 2.0), (180.0, 2.0)}
+
+
+def test_streaming_resample_ffill_integral_dtype(spark, tmp_path):
+    """A bigint value column stays bigint in the emitted grid (no silent
+    double coercion), matching the batch resample_ffill's type contract."""
+    import datetime as dt
+
+    src = str(tmp_path / "ev")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    t0 = dt.datetime(2022, 1, 1)
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for sec, val in [(5, 7), (65, 9)]:
+            ts = (t0 + dt.timedelta(seconds=sec)).strftime("%Y-%m-%dT%H:%M:%S")
+            f.write(json.dumps({"user_id": 1, "ts": ts, "value": val}) + "\n")
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value bigint"
+    ).json(src)
+    out = stateful.streaming_resample_ffill(stream, step_seconds=60)
+    assert dict(out.dtypes)["value"] == "bigint"
+    sink: list = []
+    q = (
+        out.writeStream.foreachBatch(lambda df, _e: sink.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {((r.grid_ts - t0).total_seconds(), r.value) for r in sink}
+    assert got == {(0.0, None), (60.0, 7)}
+    assert all(r.value is None or isinstance(r.value, int) for r in sink)

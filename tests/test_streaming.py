@@ -230,3 +230,42 @@ def test_streaming_cms_two_ticks_equal_batch(spark, tmp_path):
         ).collect()
     }
     assert est["a"] >= 3 and est["c"] >= 3  # never underestimates
+
+
+def test_cms_fold_replay_and_rollforward(spark, tmp_path):
+    """The folded-epoch set commits atomically with the sketch swap: a
+    replayed epoch no-ops, and an interrupted swap (sketch dir absent,
+    staging complete) rolls forward without double-counting."""
+    import os
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        sketches,
+    )
+
+    skp = str(tmp_path / "sketch")
+    b1 = spark.createDataFrame([("a",), ("a",), ("b",)], "event_type string")
+    b2 = spark.createDataFrame([("c",), ("c",)], "event_type string")
+
+    assert sp.cms_fold_batch(b1, 0, skp, width=32) is True
+    # at-least-once replay of the same epoch: committed marker wins
+    assert sp.cms_fold_batch(b1, 0, skp, width=32) is False
+
+    # simulate a crash between the two swap renames: sketch gone, staging
+    # holds the complete committed fold of epoch 1
+    assert sp.cms_fold_batch(b2, 1, skp, width=32) is True
+    os.rename(skp, skp + "__staging")
+    # replayed epoch 1 after the "crash": roll-forward then no-op
+    assert sp.cms_fold_batch(b2, 1, skp, width=32) is False
+
+    streamed = {(r.d, r.bucket): r.c for r in spark.read.parquet(skp).collect()}
+    direct = {
+        (r.d, r.bucket): r.c
+        for r in sketches.cms_build(
+            spark.createDataFrame(
+                [(t,) for t in ["a", "a", "b", "c", "c"]], "event_type string"
+            ),
+            "event_type",
+            width=32,
+        ).collect()
+    }
+    assert streamed == direct
