@@ -4,7 +4,12 @@ Runs every registered query via Spark and its DuckDB oracle at sf0.01,
 compares row count, sorted-by-name schema, and an order-insensitive
 value hash (rows rendered to canonical strings, sorted, md5'd).
 
-Usage: python tools/check_correctness.py [name ...]
+Usage: python tools/check_correctness.py [--json OUT.json] [name ...]
+
+--json writes a driver-shaped artifact ({name: {rows_match, schema_match,
+hash_match, spark_rows, oracle_rows, err}}) covering EVERY checked query —
+the per-round full-registry hard signal (the driver's own file caps at its
+first-50 window).
 """
 
 from __future__ import annotations
@@ -50,6 +55,28 @@ def table_digest(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
     return hashlib.md5("\n".join(lines).encode()).hexdigest(), len(rows)
 
 
+def _rec(
+    rows_match=False,
+    schema_match=False,
+    hash_match=False,
+    spark_rows=None,
+    oracle_rows=None,
+    err=None,
+    rows_only=False,
+):
+    r = {
+        "rows_match": rows_match,
+        "schema_match": schema_match,
+        "hash_match": hash_match,
+        "spark_rows": spark_rows,
+        "oracle_rows": oracle_rows,
+        "err": err,
+    }
+    if rows_only:
+        r["rows_only"] = True
+    return r
+
+
 def main() -> None:
     from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.plans import registry
     from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.session import get_spark
@@ -61,8 +88,15 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
 
-    only = set(sys.argv[1:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    only = set(argv)
     results = {}
+    records = {}
     for name, spec in registry.QUERIES.items():
         if only and name not in only:
             continue
@@ -73,9 +107,11 @@ def main() -> None:
             s_rows = [tuple(r) for r in df.collect()]
         except Exception as e:  # noqa: BLE001
             results[name] = f"SPARK-ERR {type(e).__name__}: {str(e)[:200]}"
+            records[name] = _rec(err=results[name])
             continue
         if spec.oracle is None:
             results[name] = f"rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)"
+            records[name] = _rec(spark_rows=len(s_rows), rows_only=True)
             continue
         try:
             rel = con.sql(spec.oracle)
@@ -83,9 +119,17 @@ def main() -> None:
             d_rows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             results[name] = f"ORACLE-ERR {type(e).__name__}: {str(e)[:200]}"
+            records[name] = _rec(spark_rows=len(s_rows), err=results[name])
             continue
         s_hash, s_n = table_digest(s_cols, s_rows)
         d_hash, d_n = table_digest(d_cols, d_rows)
+        records[name] = _rec(
+            rows_match=s_n == d_n,
+            schema_match=sorted(s_cols) == sorted(d_cols),
+            hash_match=s_hash == d_hash,
+            spark_rows=s_n,
+            oracle_rows=d_n,
+        )
         if sorted(s_cols) != sorted(d_cols):
             results[name] = f"SCHEMA-MISMATCH spark={sorted(s_cols)} duck={sorted(d_cols)}"
         elif s_n != d_n:
@@ -105,6 +149,12 @@ def main() -> None:
     for name, v in results.items():
         print(f"{name:<{width}}  {v}")
     print(f"\n{npass} PASS / {len(results)} checked")
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump(records, f, indent=1)
+        print(f"wrote {json_out}")
 
 
 if __name__ == "__main__":
