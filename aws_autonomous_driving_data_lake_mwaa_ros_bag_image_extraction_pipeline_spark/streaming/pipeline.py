@@ -43,43 +43,93 @@ BINARY_FILE_SCHEMA = (
 MANIFEST_LOG_SCHEMA = "key string, status string, updated_at timestamp"
 
 # ---------------------------------------------------------------------------
-# Manifest ledger (K8 / S2 state store)
+# Manifest ledger (K8 / S2 state store) — versioned commit log
 #
-# Layout: generation subdirectories 000000/, 000001/, … under manifest_dir.
-# Appends land in the highest generation; compaction writes the snapshot as
-# a NEW generation (staged under an underscore dir, atomically renamed into
-# place) and never touches prior generations — so a reader holding a plan
-# over the old generation still resolves. Old generations are reclaimed
-# explicitly via ``vacuum_manifest`` during a maintenance window. Writers
-# are single-driver by contract (the reference's tag store is likewise
-# driven by one scheduler); on Delta/Iceberg this whole ledger maps to
-# MERGE INTO + VACUUM.
+# Delta-semantics-without-the-package. Layout under manifest_dir:
+#
+#   _log/00000000.json, 00000001.json, …   one entry per COMMIT
+#   data/v00000000/, v00000001/, …         parquet rows for that commit
+#
+# Commit protocol (single-writer by contract, same as the reference's
+# tag store driven by one scheduler): write the commit's parquet rows to
+# its data dir, then create the log entry via write-temp + os.rename —
+# ONE atomic pointer move. A commit is visible iff its log entry exists;
+# a crash between data write and log rename leaves an invisible orphan
+# dir that the next commit at that version simply overwrites. The head
+# version is the max-numbered log entry (exactly Delta's _delta_log
+# discovery — no mutable HEAD file to corrupt).
+#
+# An "append" commit adds rows; a "snapshot" commit (compaction) holds
+# the full last-writer-wins state as of its version, superseding earlier
+# commits for readers at-or-after it. Reading version V = union of the
+# data dirs from the latest snapshot ≤ V through V. Compaction therefore
+# never touches files a concurrent reader may hold; old versions stay
+# readable (time travel) until ``vacuum_manifest`` reclaims commits
+# below the newest snapshot outside the retention window.
 # ---------------------------------------------------------------------------
 
 
-def _gens(manifest_dir: str) -> list[int]:
-    if not os.path.isdir(manifest_dir):
+def _log_dir(manifest_dir: str) -> str:
+    return os.path.join(manifest_dir, "_log")
+
+
+def _versions(manifest_dir: str) -> list[int]:
+    d = _log_dir(manifest_dir)
+    if not os.path.isdir(d):
         return []
-    return sorted(int(d) for d in os.listdir(manifest_dir) if d.isdigit())
+    return sorted(
+        int(f[:-5]) for f in os.listdir(d)
+        if f.endswith(".json") and f[:-5].isdigit()
+    )
 
 
-def _gen_path(manifest_dir: str, gen: int) -> str:
-    return os.path.join(manifest_dir, f"{gen:06d}")
+def _data_path(manifest_dir: str, version: int) -> str:
+    return os.path.join(manifest_dir, "data", f"v{version:08d}")
+
+
+def _read_entry(manifest_dir: str, version: int) -> dict:
+    import json
+
+    with open(os.path.join(_log_dir(manifest_dir), f"{version:08d}.json")) as f:
+        return json.load(f)
+
+
+def _commit(manifest_dir: str, version: int, action: str) -> None:
+    """Make a prepared data dir visible: one atomic rename of the log
+    entry. THIS is the commit point."""
+    import json
+
+    log = _log_dir(manifest_dir)
+    os.makedirs(log, exist_ok=True)
+    entry = {
+        "version": version,
+        "action": action,
+        "data": f"data/v{version:08d}",
+        "committed_at": dt.datetime.now(dt.timezone.utc).isoformat(),
+    }
+    tmp = os.path.join(log, f".tmp-{version:08d}.json")
+    with open(tmp, "w") as f:
+        json.dump(entry, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(log, f"{version:08d}.json"))
 
 
 def append_status(
     spark: SparkSession, manifest_dir: str, keys: list[str], status: str | None
 ) -> None:
-    """Record a status transition for each key (append-only; K8)."""
+    """Record a status transition for each key (append-only; K8). One
+    call = one commit = one new readable version."""
     now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     rows = [(k, status, now) for k in keys]
     if not rows:
         return
-    gens = _gens(manifest_dir)
-    dest = _gen_path(manifest_dir, gens[-1] if gens else 0)
-    spark.createDataFrame(rows, MANIFEST_LOG_SCHEMA).write.mode("append").parquet(
-        dest
-    )
+    versions = _versions(manifest_dir)
+    v = versions[-1] + 1 if versions else 0
+    spark.createDataFrame(rows, MANIFEST_LOG_SCHEMA).write.mode(
+        "overwrite"  # clobbers an invisible orphan from a crashed commit
+    ).parquet(_data_path(manifest_dir, v))
+    _commit(manifest_dir, v, "append")
 
 
 def clear_status(spark: SparkSession, manifest_dir: str, keys: list[str]) -> None:
@@ -88,80 +138,107 @@ def clear_status(spark: SparkSession, manifest_dir: str, keys: list[str]) -> Non
     append_status(spark, manifest_dir, keys, None)
 
 
-def current_manifest(spark: SparkSession, manifest_dir: str) -> DataFrame:
-    """Last-writer-wins view of the log: (key, status, updated_at).
-
-    Reads only the ACTIVE generation — a compaction snapshot carries
-    everything older, so the scan cost tracks the live key count, not the
-    full transition history."""
-    gens = _gens(manifest_dir)
-    if not gens:
+def _log_frame(
+    spark: SparkSession, manifest_dir: str, version: int
+) -> DataFrame:
+    """The raw transition log visible at ``version``: data dirs from the
+    latest snapshot ≤ version through version (a snapshot supersedes all
+    earlier commits — that's what makes compaction O(live keys) to read
+    while leaving history untouched)."""
+    versions = [v for v in _versions(manifest_dir) if v <= version]
+    if not versions:
         return spark.createDataFrame([], MANIFEST_LOG_SCHEMA)
-    log = spark.read.parquet(_gen_path(manifest_dir, gens[-1]))
+    base = versions[0]
+    for v in reversed(versions):
+        if _read_entry(manifest_dir, v)["action"] == "snapshot":
+            base = v
+            break
+    paths = [_data_path(manifest_dir, v) for v in versions if v >= base]
+    return spark.read.schema(MANIFEST_LOG_SCHEMA).parquet(*paths)
+
+
+def _last_writer_wins(log: DataFrame) -> DataFrame:
     w = Window.partitionBy("key").orderBy(F.desc("updated_at"))
     return (
         log.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def current_manifest(spark: SparkSession, manifest_dir: str) -> DataFrame:
+    """Last-writer-wins view of the log at the head version:
+    (key, status, updated_at)."""
+    versions = _versions(manifest_dir)
+    if not versions:
+        return spark.createDataFrame([], MANIFEST_LOG_SCHEMA)
+    return _last_writer_wins(_log_frame(spark, manifest_dir, versions[-1]))
 
 
 def manifest_at(
     spark: SparkSession,
     manifest_dir: str,
-    generation: int | None = None,
+    version: int | None = None,
     as_of: "dt.datetime | None" = None,
 ) -> DataFrame:
-    """Time travel over the ledger: the last-writer-wins view as of a past
-    ``generation`` (pre-vacuum snapshot) or an ``as_of`` timestamp (replay
-    the active generation's log up to that instant). The generation dirs
-    the compactor already leaves behind ARE the snapshot history — this
-    reads them instead of only the head, the same read contract as Delta's
-    ``VERSION AS OF`` / ``TIMESTAMP AS OF`` on plain parquet.
-    """
-    gens = _gens(manifest_dir)
-    if not gens:
+    """Time travel: the last-writer-wins view as of a past commit
+    ``version`` (every append and every compaction is one version —
+    Delta's ``VERSION AS OF``) or an ``as_of`` timestamp (``TIMESTAMP AS
+    OF``: replay the head log up to that instant)."""
+    versions = _versions(manifest_dir)
+    if not versions:
         return spark.createDataFrame([], MANIFEST_LOG_SCHEMA)
-    if generation is not None:
-        if generation not in gens:
+    if version is not None:
+        if version not in versions:
             raise ValueError(
-                f"generation {generation} not on disk (have {gens}; vacuumed?)"
+                f"version {version} not on disk (have {versions}; vacuumed?)"
             )
-        log = spark.read.parquet(_gen_path(manifest_dir, generation))
+        log = _log_frame(spark, manifest_dir, version)
     else:
-        log = spark.read.parquet(_gen_path(manifest_dir, gens[-1]))
+        log = _log_frame(spark, manifest_dir, versions[-1])
     if as_of is not None:
         log = log.filter(F.col("updated_at") <= F.lit(as_of))
-    w = Window.partitionBy("key").orderBy(F.desc("updated_at"))
-    return (
-        log.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    return _last_writer_wins(log)
 
 
 def compact_manifest(spark: SparkSession, manifest_dir: str) -> None:
-    """Rewrite the log to one row per key (run when the log gets long).
-
-    The snapshot is written to a staging dir and renamed into place as the
-    next generation — never an in-place overwrite of files a reader may
-    hold, and the rename is atomic on a POSIX filesystem. Prior
-    generations stay on disk until ``vacuum_manifest``."""
-    gens = _gens(manifest_dir)
-    if not gens:
+    """Write the one-row-per-key snapshot as the next commit (run when
+    the log gets long). Readers at older versions are untouched — their
+    data dirs remain until ``vacuum_manifest``; readers that list the log
+    after the commit rename resolve the snapshot and skip history."""
+    versions = _versions(manifest_dir)
+    if not versions:
         return
-    staging = os.path.join(manifest_dir, "_compacting")
-    current_manifest(spark, manifest_dir).write.mode("overwrite").parquet(staging)
-    os.rename(staging, _gen_path(manifest_dir, gens[-1] + 1))
+    head = versions[-1]
+    v = head + 1
+    current_manifest(spark, manifest_dir).write.mode("overwrite").parquet(
+        _data_path(manifest_dir, v)
+    )
+    _commit(manifest_dir, v, "snapshot")
 
 
 def vacuum_manifest(manifest_dir: str, keep: int = 2) -> None:
-    """Reclaim generations superseded by compaction, keeping the newest
-    ``keep``. Run when no reader predates the retained window (the same
-    contract as Delta VACUUM)."""
-    gens = _gens(manifest_dir)
-    for g in gens[:-keep] if keep > 0 else gens:
-        shutil.rmtree(_gen_path(manifest_dir, g), ignore_errors=True)
+    """Reclaim commits no reader inside the retention window can need:
+    keep the newest ``keep`` versions readable; everything below the
+    newest snapshot at-or-below that window goes (data dir + log entry).
+    Run when no reader predates the retained window — the same contract
+    as Delta VACUUM."""
+    versions = _versions(manifest_dir)
+    if not versions:
+        return
+    cutoff = versions[-1] - max(1, keep) + 1  # oldest version kept readable
+    base = versions[0]
+    for v in reversed(versions):
+        if v <= cutoff and _read_entry(manifest_dir, v)["action"] == "snapshot":
+            base = v
+            break
+    for v in versions:
+        if v < base:
+            shutil.rmtree(_data_path(manifest_dir, v), ignore_errors=True)
+            try:
+                os.remove(os.path.join(_log_dir(manifest_dir), f"{v:08d}.json"))
+            except FileNotFoundError:
+                pass
 
 
 # ---------------------------------------------------------------------------

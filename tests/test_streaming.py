@@ -24,39 +24,65 @@ def test_manifest_last_writer_wins(spark, tmp_path):
     got = {r.key: r.status for r in sp.current_manifest(spark, m).collect()}
     assert got["k1"] is None
     sp.compact_manifest(spark, m)
-    # the ACTIVE generation holds one row per key after compaction
-    log = spark.read.parquet(sp._gen_path(m, sp._gens(m)[-1]))
+    # the snapshot commit holds one row per key
+    log = spark.read.parquet(sp._data_path(m, sp._versions(m)[-1]))
     assert log.count() == 2
     got = {r.key: r.status for r in sp.current_manifest(spark, m).collect()}
     assert got == {"k1": None, "k2": "in progress"}
 
 
 def test_compaction_never_breaks_open_readers(spark, tmp_path):
-    """compact_manifest writes a NEW generation (staged + atomic rename);
-    a reader plan opened before compaction still resolves afterwards, and
-    vacuum reclaims superseded generations."""
+    """Compaction is a new snapshot COMMIT: a reader plan opened before it
+    still resolves afterwards (its data dirs are never touched), the live
+    view reads snapshot + later appends, and vacuum reclaims commits below
+    the snapshot."""
     m = str(tmp_path / "manifest")
-    sp.append_status(spark, m, ["k1", "k2"], "in progress")
-    sp.append_status(spark, m, ["k1"], "complete")
+    sp.append_status(spark, m, ["k1", "k2"], "in progress")  # v0
+    sp.append_status(spark, m, ["k1"], "complete")  # v1
 
-    reader = sp.current_manifest(spark, m)  # lazy plan over generation 0
-    sp.compact_manifest(spark, m)
-    sp.append_status(spark, m, ["k3"], "in progress")  # lands in generation 1
+    reader = sp.current_manifest(spark, m)  # lazy plan over v0+v1
+    sp.compact_manifest(spark, m)  # v2 = snapshot
+    sp.append_status(spark, m, ["k3"], "in progress")  # v3
 
-    # pre-compaction reader: generation 0 files are untouched
+    # pre-compaction reader: v0/v1 data dirs are untouched
     assert {r.key: r.status for r in reader.collect()} == {
         "k1": "complete",
         "k2": "in progress",
     }
-    # live view: compacted snapshot + post-compaction append
+    # live view: snapshot + post-compaction append
     want = {"k1": "complete", "k2": "in progress", "k3": "in progress"}
     got = {r.key: r.status for r in sp.current_manifest(spark, m).collect()}
     assert got == want
 
     sp.vacuum_manifest(m, keep=1)
-    assert sp._gens(m) == [1]  # generation 0 reclaimed
+    assert sp._versions(m) == [2, 3]  # pre-snapshot commits reclaimed
     got = {r.key: r.status for r in sp.current_manifest(spark, m).collect()}
     assert got == want
+
+
+def test_manifest_commit_is_atomic_log_rename(spark, tmp_path):
+    """A commit is visible iff its log entry exists: an orphan data dir
+    (crash between data write and log rename) is invisible to readers and
+    clobbered by the next commit at that version."""
+    import os
+
+    m = str(tmp_path / "manifest")
+    sp.append_status(spark, m, ["k1"], "in progress")  # v0
+    # simulate a crashed commit: data dir for v1 written, log entry never
+    # renamed into place
+    spark.createDataFrame(
+        [("ghost", "complete", None)], sp.MANIFEST_LOG_SCHEMA
+    ).write.parquet(sp._data_path(m, 1))
+    assert sp._versions(m) == [0]
+    got = {r.key: r.status for r in sp.current_manifest(spark, m).collect()}
+    assert got == {"k1": "in progress"}  # ghost invisible
+    sp.append_status(spark, m, ["k2"], "in progress")  # commits as v1
+    assert sp._versions(m) == [0, 1]
+    got = {r.key: r.status for r in sp.current_manifest(spark, m).collect()}
+    assert got == {"k1": "in progress", "k2": "in progress"}  # orphan gone
+    assert not os.path.exists(
+        os.path.join(sp._log_dir(m), ".tmp-00000001.json")
+    )
 
 
 def test_streaming_exactly_once_and_failure_marking(spark, tmp_path):
@@ -165,18 +191,21 @@ def test_manifest_time_travel(spark, tmp_path):
     past = {r.key: r.status for r in sp.manifest_at(spark, m, as_of=t_mid).collect()}
     assert past == {"k1": "in progress"}
 
-    # generation travel: gen 0 (pre-compaction log) still readable after compaction
-    sp.compact_manifest(spark, m)
-    sp.append_status(spark, m, ["k1"], None)  # later mutation in gen 1
-    gen0 = {r.key: r.status for r in sp.manifest_at(spark, m, generation=0).collect()}
-    assert gen0 == {"k1": "complete", "k2": "in progress"}
+    # version travel: every append is a commit — v2 (pre-compaction head)
+    # and v0 (the very first append) both stay readable after compaction
+    sp.compact_manifest(spark, m)  # v3 = snapshot
+    sp.append_status(spark, m, ["k1"], None)  # v4
+    v2 = {r.key: r.status for r in sp.manifest_at(spark, m, version=2).collect()}
+    assert v2 == {"k1": "complete", "k2": "in progress"}
+    v0 = {r.key: r.status for r in sp.manifest_at(spark, m, version=0).collect()}
+    assert v0 == {"k1": "in progress"}
     head = {r.key: r.status for r in sp.current_manifest(spark, m).collect()}
     assert head["k1"] is None  # the head moved on
 
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="not on disk"):
-        sp.manifest_at(spark, m, generation=99)
+        sp.manifest_at(spark, m, version=99)
 
 
 def test_streaming_cms_two_ticks_equal_batch(spark, tmp_path):
