@@ -184,3 +184,51 @@ def test_csvs_to_parquet_roundtrip(spark, tmp_path):
     imu_pq = spark.read.parquet(f"{pq}/topic=imu")
     assert imu_pq.count() == imu_csv.count()
     assert dict(imu_pq.dtypes)["orientation.x"] == "double"
+
+
+def test_streaming_bag_ingest_e2e_exactly_once(spark, tmp_path):
+    """E1/E2 in one streaming job on genuine .bag bytes: rosbag stream
+    source → widen_topic → per-topic bag_id-partitioned parquet. Two ticks:
+    the second sees only the newly-arrived bag; a no-op tick changes
+    nothing; output matches the batch widen of the fixture table."""
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.streaming import (
+        pipeline as sp,
+    )
+
+    bags = str(tmp_path / "bags")
+    dest = str(tmp_path / "lake")
+    ck = str(tmp_path / "ck")
+    fixtures.write_bag_dir(bags, n_bags=2, tar_gz=())
+    topics = ["/imu", "/gps"]
+
+    sp.streaming_bag_ingest(spark, bags, dest, ck, topics)
+
+    def landed(topic):
+        df = spark.read.parquet(f"{dest}/{topic.strip('/')}")
+        return {
+            tuple(r) for r in df.select("bag_id", "rosbagTimestamp", "seq").collect()
+        }
+
+    def want(topic, n_bags):
+        msgs = fixtures.topic_messages(spark, n_bags=n_bags)
+        df = flatten.widen_topic(msgs, topic)
+        return {
+            tuple(r) for r in df.select("bag_id", "rosbagTimestamp", "seq").collect()
+        }
+
+    for t in topics:
+        assert landed(t) == want(t, 2), t
+    # typed, not stringly: the widened imu table carries double columns
+    imu = spark.read.parquet(f"{dest}/imu")
+    assert dict(imu.dtypes)["orientation_x"] == "double"
+
+    # tick with no new files: no-op
+    sp.streaming_bag_ingest(spark, bags, dest, ck, topics)
+    for t in topics:
+        assert landed(t) == want(t, 2), t
+
+    # one new bag arrives: exactly its rows land, old partitions untouched
+    fixtures.write_bag_dir(bags, n_bags=3, tar_gz=())
+    sp.streaming_bag_ingest(spark, bags, dest, ck, topics)
+    for t in topics:
+        assert landed(t) == want(t, 3), t
