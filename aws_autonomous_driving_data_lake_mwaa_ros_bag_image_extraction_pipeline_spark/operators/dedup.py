@@ -485,7 +485,9 @@ def embedding_dup_pairs(
     """
     from . import similarity
 
-    bk = similarity.lsh_buckets(emb, dim, n_tables, n_bits, id_col, vec_col)
+    bk = similarity.lsh_buckets(
+        emb, dim, n_tables, n_bits, id_col, vec_col, include_vec=False
+    )
     a = bk.select(F.col(id_col).alias("id_a"), "table", "bucket")
     b = bk.select(F.col(id_col).alias("id_b"), "table", "bucket")
     cand = (

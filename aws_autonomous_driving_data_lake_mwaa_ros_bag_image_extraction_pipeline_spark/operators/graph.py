@@ -62,6 +62,7 @@ def connected_components(
     dst: str = "dst",
     max_rounds: int = 50,
     rows_per_partition: int = 1_000_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; the component
     id is the smallest node id in the component.
@@ -75,6 +76,9 @@ def connected_components(
     paying 100 TB-scale task-scheduling overhead (a round is ~10 stages;
     at the parent's partitioning that was the dominant cost on small graphs),
     while a graph that stays huge keeps its parallelism.
+
+    Pass ``stats={}`` to get ``stats["rounds"]`` back — the observed
+    round count (adversarial-topology tests assert the O(log n) bound).
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -91,7 +95,9 @@ def connected_components(
 
     prev: tuple | None = None
     parts: int | None = None
+    rounds = 0
     for _ in range(max_rounds):
+        rounds += 1
         e = _small_star(_sym(_large_star(_sym(e))))
         if parts is not None:
             e = e.coalesce(parts)  # narrow — merges, never reshuffles
@@ -109,6 +115,8 @@ def connected_components(
         parts = max(1, min(row.n // rows_per_partition + 1, 4096))
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
+    if stats is not None:
+        stats["rounds"] = rounds
 
     # At the fixpoint every edge is (child, root); roots/isolated nodes map
     # to themselves. groupBy-min instead of assuming uniqueness costs nothing

@@ -81,17 +81,25 @@ def lsh_buckets(
     n_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    include_vec: bool = True,
 ) -> DataFrame:
     """Assign each vector a bucket per hash table (sign pattern of ``n_bits``
     hyperplane projections, packed into an integer). Output long-format:
-    (id, vec, table, bucket).
+    (id, vec, table, bucket) — or (id, table, bucket) with
+    ``include_vec=False``, which callers that join vectors back by id
+    should prefer: mapInPandas output can't be column-pruned by Catalyst,
+    and NOT repeating a dim-sized array per table is ~dim×8 bytes saved
+    per bucket row through Arrow and the candidate shuffle.
 
     Fully vectorized — no per-row Python: all ``n_tables × n_bits``
     projections are ONE matmul per Arrow batch against the (tiny,
     deterministic) plane matrix, and bucket ids come from a second matmul
     against bit weights (packbits-style, MSB first). Integer buckets also
-    shrink the candidate-join shuffle key vs the old '0101…' strings. No
-    shuffle here; the long format explodes executor-side."""
+    shrink the candidate-join shuffle key vs the old '0101…' strings. The
+    input is spread to ``defaultParallelism`` first — a compact parquet
+    arrives as ONE scan split, and without the repartition the matmul
+    stage runs single-threaded (the BNLJ-stream-side trap all our
+    CPU-bound narrow kernels guard against)."""
     import numpy as np
     import pandas as pd
 
@@ -105,10 +113,8 @@ def lsh_buckets(
     b_planes = emb.sparkSession.sparkContext.broadcast(planes)
 
     dtypes = dict(emb.dtypes)
-    schema = (
-        f"{id_col} {dtypes[id_col]}, {vec_col} {dtypes[vec_col]}, "
-        "table int, bucket long"
-    )
+    vec_part = f"{vec_col} {dtypes[vec_col]}, " if include_vec else ""
+    schema = f"{id_col} {dtypes[id_col]}, {vec_part}table int, bucket long"
     weights = (1 << np.arange(n_bits)[::-1]).astype("int64")  # bit 0 = MSB
 
     def _assign(batches):
@@ -120,16 +126,19 @@ def lsh_buckets(
             M = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
             signs = (M @ P.T) >= 0  # (n, tables*bits)
             buckets = signs.reshape(n, n_tables, n_bits) @ weights  # (n, T)
-            yield pd.DataFrame(
-                {
-                    id_col: np.repeat(pdf[id_col].to_numpy(), n_tables),
-                    vec_col: np.repeat(pdf[vec_col].to_numpy(), n_tables),
-                    "table": np.tile(np.arange(n_tables, dtype="int32"), n),
-                    "bucket": buckets.reshape(-1),
-                }
-            )
+            cols = {id_col: np.repeat(pdf[id_col].to_numpy(), n_tables)}
+            if include_vec:
+                cols[vec_col] = np.repeat(pdf[vec_col].to_numpy(), n_tables)
+            cols["table"] = np.tile(np.arange(n_tables, dtype="int32"), n)
+            cols["bucket"] = buckets.reshape(-1)
+            yield pd.DataFrame(cols)
 
-    return emb.select(id_col, vec_col).mapInPandas(_assign, schema=schema)
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    return (
+        emb.select(id_col, vec_col)
+        .repartition(par)
+        .mapInPandas(_assign, schema=schema)
+    )
 
 
 def lsh_topk(

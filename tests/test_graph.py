@@ -81,3 +81,50 @@ def test_keep_canonical(spark):
     )
     # {1,3,5} -> keep 1; {2,6} -> keep 2; others untouched
     assert kept == [0, 1, 2, 4, 7]
+
+
+def test_cc_adversarial_chain_logarithmic_rounds(spark):
+    """Worst-case diameter: a 2048-node path collapses in O(log n) rounds
+    (Kiveris et al. bound), not O(diameter) — the property that makes the
+    alternating-star algorithm usable on billion-node near-dup graphs."""
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    n = 2048
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    stats: dict = {}
+    comp = connected_components(edges, stats=stats)
+    rows = comp.collect()
+    assert len(rows) == n
+    assert {r.component for r in rows} == {0}
+    # log2(2048)=11; each alternating round roughly squares star reach.
+    # +fixpoint-detection round; bound generous but far below diameter.
+    assert stats["rounds"] <= 16, stats
+
+
+def test_cc_adversarial_star_of_stars(spark):
+    """Hub-of-hubs (heavy skew: one node with 512 spokes, each spoke a
+    sub-hub of 8): converges in a handful of rounds and one component."""
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = []
+    nid = 1
+    for s in range(512):
+        hub = nid
+        nid += 1
+        edges.append((0, hub))
+        for _ in range(8):
+            edges.append((hub, nid))
+            nid += 1
+    df = spark.createDataFrame(edges, "src long, dst long")
+    stats: dict = {}
+    comp = connected_components(df, stats=stats)
+    rows = comp.collect()
+    assert len(rows) == nid
+    assert {r.component for r in rows} == {0}
+    assert stats["rounds"] <= 6, stats
