@@ -2911,6 +2911,35 @@ def resample_ffill_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "edit_distance_pairs",
+    f"""
+    WITH s AS (
+      SELECT doc_id, substr({_D_NORM}, 1, 64) AS s FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.s, b.s) AS dist
+    FROM s a JOIN s b
+      ON a.doc_id < b.doc_id
+     AND abs(length(a.s) - length(b.s)) <= 2
+    WHERE levenshtein(a.s, b.s) <= 2
+    """,
+    headline=True,
+)
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs (Levenshtein <= 2 on the 64-char
+    normalized prefix) via PassJoin segment blocking — candidate generation
+    is an equi-join on (segment, index, length), O(collisions) not O(n²);
+    the oracle is the brute-force all-pairs formulation. The character-edit
+    flavor MinHash/SimHash can't see (typo'd titles, OCR noise)."""
+    from ..operators.fuzzy import edit_distance_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return edit_distance_pairs(
+        docs, id_col="doc_id", text=T.normalized(F.col("text")).substr(1, 64), k=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------
