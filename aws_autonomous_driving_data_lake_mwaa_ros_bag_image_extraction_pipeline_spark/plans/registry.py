@@ -2940,6 +2940,43 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bloom_prune_join",
+    f"""
+    SELECT l_returnflag,
+           {SQL_DSUM.format(x="CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))")} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+    headline=True,
+)
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective fact⋈dim join with the fact side Bloom-pruned BEFORE its
+    shuffle: urgent orders' keys → broadcast bitmap → codegen bit-test at
+    the lineitem scan → exact join on survivors only. Result is identical
+    to the plain join (false positives die in the exact join) — the oracle
+    is the plain join — but at 100 TB the fact shuffle carries only the
+    ~matching fraction instead of every row. The reference's shape:
+    deploy.py's filtered S3 sync (copy only keys present in the manifest)."""
+    from ..operators.bloom import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    joined = bloom_semi_join(
+        li, urgent.select("o_orderkey"), "l_orderkey", "o_orderkey"
+    )
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return joined.groupBy("l_returnflag").agg(
+        dsum(disc, "revenue"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

@@ -46,6 +46,8 @@ ALLOWED_BNLJ = {
     "lm_fluency_scores",
     "funnel_stages",
     "tfidf_cosine_pairs",
+    # bloom_prune_join: cross join against the broadcast 1-row bloom bitmap
+    "bloom_prune_join",
 }
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
