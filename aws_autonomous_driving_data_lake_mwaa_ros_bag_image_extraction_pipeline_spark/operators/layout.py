@@ -166,3 +166,74 @@ def compact_files(
     os.rename(path, backup)
     os.rename(staging, path)
     return n_files
+
+
+def zonemap_stats(spark: SparkSession, path: str, cols: list[str]):
+    """Per-FILE zone map: ``(file, n_rows, min/max/n_nulls per col)`` —
+    the Delta add-file-stats / Iceberg manifest-metrics table, computed on
+    plain parquet via the ``_metadata.file_path`` column.
+
+    Parquet footers already hold row-group min/max, but at 100 TB "open
+    every footer" is itself the bottleneck (one S3 GET per file per query).
+    Persisting this table once means query planning touches ONE small
+    metadata table instead of a million footers; ``write_zordered`` makes
+    the per-file ranges tight so the skipping actually bites on multiple
+    dimensions. One narrow scan; the groupBy key is the file path, so the
+    aggregation is map-sided by Spark's file-partition alignment.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path).select(
+        F.col("_metadata.file_path").alias("file"), *cols
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nulls_{c}"),
+        ]
+    return df.groupBy("file").agg(*aggs)
+
+
+def zonemap_candidate_files(
+    zonemap, ranges: dict[str, tuple]
+) -> list[str]:
+    """Files whose zone COULD contain a row matching every ``col BETWEEN
+    lo AND hi`` range — the file-skipping decision. A file with a NULL
+    min/max for a predicate column holds no non-null values there and is
+    skipped (BETWEEN never matches NULL). Driver-side materialization is
+    metadata-bounded: one row per file, never per data row."""
+    from pyspark.sql import functions as F
+
+    cond = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        cond = (
+            cond
+            & (F.col(f"min_{c}") <= F.lit(hi))
+            & (F.col(f"max_{c}") >= F.lit(lo))
+        )
+    return [r.file for r in zonemap.filter(cond).select("file").collect()]
+
+
+def zonemap_pruned_read(
+    spark: SparkSession,
+    path: str,
+    ranges: dict[str, tuple],
+    zonemap=None,
+):
+    """Read ``path`` filtered to ``col BETWEEN lo AND hi`` per range, but
+    open ONLY the files the zone map admits; the exact predicate still
+    applies on the survivors (zones are a superset guarantee, like the
+    Bloom filter's). Result is identical to a plain filtered read."""
+    from pyspark.sql import functions as F
+
+    if zonemap is None:
+        zonemap = zonemap_stats(spark, path, list(ranges))
+    files = zonemap_candidate_files(zonemap, ranges)
+    cond = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        cond = cond & F.col(c).between(F.lit(lo), F.lit(hi))
+    if not files:
+        return spark.read.parquet(path).filter(cond).limit(0)
+    return spark.read.parquet(*files).filter(cond)

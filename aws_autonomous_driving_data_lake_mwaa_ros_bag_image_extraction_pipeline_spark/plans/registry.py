@@ -2977,6 +2977,83 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "zonemap_pruned_scan",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE value BETWEEN 10.0 AND 50.0
+    GROUP BY event_type
+    """,
+)
+def q_zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range scan through the zone-map file-skipping path: per-file min/max
+    stats table → candidate-file pruning → exact filter on survivors. The
+    result is identical to a plain filtered read (zones are a superset
+    guarantee); at 100 TB the win is planning against ONE metadata table
+    instead of a million parquet footers, with write_zordered keeping the
+    per-file ranges tight. Oracle: the plain filtered aggregate."""
+    from ..operators.layout import zonemap_pruned_read
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = zonemap_pruned_read(
+        spark, f"{sf_dir}/events.parquet", {"value": (10.0, 50.0)}
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value"), "sum_value"),
+    )
+
+
+def _zorder_sql(x: str, y: str, bits: int) -> str:
+    """Unrolled Morton-interleave SQL replica of layout.zorder_value for the
+    oracle (DuckDB and Spark share >>, <<, & semantics on BIGINT)."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({x} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({y} >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_cluster_keys",
+    f"""
+    WITH z AS (
+      SELECT event_type,
+             {_zorder_sql("(user_id % 4096)", "(event_id % 4096)", 12)} AS zkey
+      FROM events
+    )
+    SELECT event_type, COUNT(*) AS n, MIN(zkey) AS min_z, MAX(zkey) AS max_z,
+           SUM(zkey) AS sum_z
+    FROM z GROUP BY event_type
+    """,
+)
+def q_zorder_cluster_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-curve) key computation — the clustering key behind
+    write_zordered (multi-dimensional file locality for zone-map skipping).
+    Pure shifts/masks in whole-stage codegen; the oracle replays the exact
+    bit interleave unrolled in SQL, verifying every row's key via the
+    per-group min/max/sum digest."""
+    from ..operators.layout import zorder_value
+
+    ev = _t(spark, sf_dir, "events")
+    z = ev.select(
+        "event_type",
+        zorder_value(
+            [F.pmod(F.col("user_id"), F.lit(4096)), F.pmod(F.col("event_id"), F.lit(4096))],
+            bits=12,
+        ).alias("zkey"),
+    )
+    return z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("zkey").alias("min_z"),
+        F.max("zkey").alias("max_z"),
+        F.sum("zkey").alias("sum_z"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

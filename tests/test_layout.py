@@ -121,3 +121,56 @@ def test_compact_files_preserves_data_and_keeps_backup(spark, tmp_path):
     got = {(r.id, r.k) for r in spark.read.parquet(p).collect()}
     assert got == {(i, i % 7) for i in range(1000)}
     assert os.path.isdir(p + "__pre_compact")  # displaced original retained
+
+
+def test_zonemap_prunes_files_and_matches_plain_read(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.layout import (
+        write_zordered,
+        zonemap_candidate_files,
+        zonemap_pruned_read,
+        zonemap_stats,
+    )
+
+    p = str(tmp_path / "zm")
+    df = spark.range(4000).select(
+        F.col("id"),
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") * 7) % 64).alias("y"),
+    )
+    write_zordered(df, p, ["x", "y"], n_files=8, bits=6)
+
+    zm = zonemap_stats(spark, p, ["x", "y"])
+    assert zm.count() == 8
+
+    ranges = {"x": (0, 7), "y": (0, 7)}
+    files = zonemap_candidate_files(zm, ranges)
+    # z-clustered layout: the 8x8 corner box must live in a few files
+    assert 0 < len(files) < 8
+
+    got = sorted(r.id for r in zonemap_pruned_read(spark, p, ranges, zm).collect())
+    want = sorted(
+        r.id
+        for r in spark.read.parquet(p)
+        .filter(F.col("x").between(0, 7) & F.col("y").between(0, 7))
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_zonemap_null_column_file_skipped(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.layout import (
+        zonemap_candidate_files,
+        zonemap_stats,
+    )
+
+    p = str(tmp_path / "nulls")
+    spark.range(100).select(
+        F.col("id"), F.lit(None).cast("bigint").alias("v")
+    ).coalesce(1).write.parquet(p)
+    zm = zonemap_stats(spark, p, ["v"])
+    # all-null file can never satisfy v BETWEEN 1 AND 5 -> pruned entirely
+    assert zonemap_candidate_files(zm, {"v": (1, 5)}) == []
