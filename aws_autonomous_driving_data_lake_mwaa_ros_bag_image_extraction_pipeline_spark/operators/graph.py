@@ -149,3 +149,76 @@ def keep_canonical(
         F.col("node").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank with uniform teleport and dangling-mass
+    redistribution — ``(node, pr)`` after a FIXED number of power
+    iterations (deterministic, so an unrolled SQL oracle can replay it).
+
+    Each iteration is exactly one shuffle: ranks join the out-normalized
+    edge list on the source key, contributions aggregate on the
+    destination key (map-side combined). The node count and the dangling
+    mass ride as broadcast one-row aggregates — no driver-side scalars, no
+    collect. At 100 TB: pre-partition ``edges`` by ``src`` once and every
+    iteration's join co-locates; iterations are a linear chain, so
+    checkpoint every ~5 rounds to truncate lineage (same contract as
+    connected_components).
+
+    The fixed-iteration form is the batch twin of an incremental-update
+    scheme; for rank CONVERGENCE run more rounds — 3 is enough for the
+    short-random-walk signal ranking training-corpus link graphs by
+    centrality.
+    """
+    w = F.col(weight) if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d"), w.alias("__w")
+    )
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .union(e.select(F.col("__d").alias("node")))
+        .distinct()
+    )
+    n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    outsum = e.groupBy("__s").agg(F.sum("__w").alias("__wout"))
+    enorm = e.join(outsum, "__s").select(
+        "__s", "__d", (F.col("__w").cast("double") / F.col("__wout")).alias("__p")
+    )
+    srcs = outsum.select(F.col("__s").alias("node"))
+
+    ranks = nodes.crossJoin(F.broadcast(n_row)).select(
+        "node", (F.lit(1.0) / F.col("__n")).alias("pr")
+    )
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(enorm, ranks["node"] == enorm["__s"])
+            .groupBy(F.col("__d").alias("node"))
+            .agg(F.sum(F.col("pr") * F.col("__p")).alias("__c"))
+        )
+        dangling = ranks.join(srcs, "node", "left_anti").agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("__dm")
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(n_row))
+            .crossJoin(F.broadcast(dangling))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("__n")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__c"), F.lit(0.0))
+                        + F.col("__dm") / F.col("__n")
+                    )
+                ).alias("pr"),
+            )
+        )
+    return ranks

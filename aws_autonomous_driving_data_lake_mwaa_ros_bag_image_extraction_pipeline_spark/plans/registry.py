@@ -3054,6 +3054,81 @@ def q_zorder_cluster_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_sql(iterations: int, damping: float = 0.85) -> str:
+    """Unrolled power-iteration replica of graph.pagerank for the oracle
+    (fixed iterations → expressible as chained CTEs; all arithmetic forced
+    to DOUBLE so DuckDB's decimal literals don't diverge from Spark)."""
+    d = damping
+    ctes = [
+        """seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    )""",
+        """edges AS (
+      SELECT prev AS src, event_type AS dst, COUNT(*) AS w
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    )""",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM nodes)",
+        """enorm AS (
+      SELECT src, dst, CAST(w AS DOUBLE) / CAST(SUM(w) OVER (PARTITION BY src) AS DOUBLE) AS p
+      FROM edges
+    )""",
+        "srcs AS (SELECT DISTINCT src AS node FROM edges)",
+        "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT c FROM nn) AS pr FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        prev = f"r{i - 1}"
+        ctes.append(
+            f"""r{i} AS (
+      SELECT n.node,
+             CAST({1 - d} AS DOUBLE) / (SELECT c FROM nn)
+             + CAST({d} AS DOUBLE) * (
+                 COALESCE(ct.contrib, CAST(0 AS DOUBLE))
+                 + (SELECT COALESCE(SUM(pr), CAST(0 AS DOUBLE)) FROM {prev}
+                    WHERE node NOT IN (SELECT node FROM srcs)) / (SELECT c FROM nn)
+               ) AS pr
+      FROM nodes n
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.pr * e.p) AS contrib
+        FROM {prev} r JOIN enorm e ON r.node = e.src GROUP BY e.dst
+      ) ct ON n.node = ct.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node AS event_type, pr FROM r{iterations}"
+    )
+
+
+@register("event_type_pagerank", _pagerank_sql(3))
+def q_event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph (edges = consecutive
+    event types per user, weighted by transition count): which states a
+    user's random walk concentrates on. Fixed 3 power iterations with
+    dangling-mass redistribution; the oracle unrolls the same iterations
+    as chained CTEs. Each iteration: one shuffle on the destination key +
+    broadcast one-row node-count/dangling aggregates — see
+    operators/graph.pagerank."""
+    from ..operators import graph
+
+    ev = _t(spark, sf_dir, "events")
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(win).alias("prev")
+    )
+    edges = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return graph.pagerank(edges, weight="w", iterations=3).select(
+        F.col("node").alias("event_type"), "pr"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

@@ -128,3 +128,43 @@ def test_cc_adversarial_star_of_stars(spark):
     assert len(rows) == nid
     assert {r.component for r in rows} == {0}
     assert stats["rounds"] <= 6, stats
+
+
+def test_pagerank_symmetric_cycle(spark):
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.graph import (
+        pagerank,
+    )
+
+    e = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    got = {r.node: r.pr for r in pagerank(e, iterations=5).collect()}
+    assert abs(got["a"] - 0.5) < 1e-12 and abs(got["b"] - 0.5) < 1e-12
+
+
+def test_pagerank_dangling_mass_hand_computed(spark):
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.graph import (
+        pagerank,
+    )
+
+    # a -> b, b dangling. After one iteration from (.5, .5):
+    # dangling mass .5 redistributes; pr(a)=.15/2+.85*(.5/2)=0.2875,
+    # pr(b)=.15/2+.85*(.5+.5/2)=0.7125. Total mass stays 1.
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    got = {r.node: r.pr for r in pagerank(e, iterations=1).collect()}
+    assert abs(got["a"] - 0.2875) < 1e-12
+    assert abs(got["b"] - 0.7125) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+
+
+def test_pagerank_weights_shift_rank(spark):
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.graph import (
+        pagerank,
+    )
+
+    # c splits its vote 9:1 toward a; a and b both return to c.
+    e = spark.createDataFrame(
+        [("c", "a", 9.0), ("c", "b", 1.0), ("a", "c", 1.0), ("b", "c", 1.0)],
+        "src string, dst string, w double",
+    )
+    got = {r.node: r.pr for r in pagerank(e, weight="w", iterations=8).collect()}
+    assert got["a"] > got["b"]
+    assert abs(sum(got.values()) - 1.0) < 1e-9

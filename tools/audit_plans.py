@@ -48,6 +48,9 @@ ALLOWED_BNLJ = {
     "tfidf_cosine_pairs",
     # bloom_prune_join: cross join against the broadcast 1-row bloom bitmap
     "bloom_prune_join",
+    # event_type_pagerank: per-iteration cross joins against broadcast 1-row
+    # node-count / dangling-mass aggregates
+    "event_type_pagerank",
 }
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
