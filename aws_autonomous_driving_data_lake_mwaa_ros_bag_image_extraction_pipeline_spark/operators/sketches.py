@@ -172,3 +172,35 @@ def cms_estimate(
         .groupBy(value_col)
         .agg(F.min("c").alias("est_count"))
     )
+
+
+def hll_sketches(
+    df: DataFrame, group_col: str, value_col: str, lg_k: int = 14
+) -> DataFrame:
+    """Per-group Apache DataSketches HLL sketch (binary, mergeable) via
+    Spark's native ``hll_sketch_agg`` — the industrial-strength cousin of
+    the relational KMV above. The sketch column is a few KB per group
+    regardless of cardinality; persist it per partition/day and roll any
+    time range up with ``hll_merge`` without rescanning data (the same
+    "partial aggregates are the long-lived artifact" contract as cms_build
+    and the rollup tables)."""
+    return df.groupBy(group_col).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("hll")
+    )
+
+
+def hll_estimate(sketches: DataFrame, group_col: str) -> DataFrame:
+    """(group, n_distinct_est) from stored sketches — no data rescan."""
+    return sketches.select(
+        group_col, F.hll_sketch_estimate("hll").alias("n_distinct_est")
+    )
+
+
+def hll_merge(sketches: DataFrame, group_col: str) -> DataFrame:
+    """Merge per-partition sketches for the same group into one (e.g.
+    per-day sketches → per-month): ``hll_union_agg`` is associative and
+    commutative, so Spark combines map-side — the shuffle carries one
+    sketch per group per mapper, never raw values."""
+    return sketches.groupBy(group_col).agg(
+        F.hll_union_agg("hll", F.lit(True)).alias("hll")
+    )

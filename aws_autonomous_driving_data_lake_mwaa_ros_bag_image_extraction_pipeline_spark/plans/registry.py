@@ -3129,6 +3129,41 @@ def q_event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hll_distinct_users",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+           TRUE AS within_3pct
+    FROM events GROUP BY event_type
+    """,
+)
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSketches HLL distinct users per event type, accuracy-gated
+    through the oracle: the query emits the exact count alongside a
+    ``within_3pct`` verdict on the sketch estimate, and the oracle asserts
+    the verdict is TRUE — so a broken sketch path fails the hash gate even
+    though DuckDB can't replay the sketch itself. At 100 TB only the
+    few-KB mergeable sketches shuffle (see operators/sketches.hll_merge);
+    the exact count here is the small-scale audit column."""
+    from ..operators import sketches as SK
+
+    ev = _t(spark, sf_dir, "events")
+    est = SK.hll_estimate(
+        SK.hll_sketches(ev, "event_type", "user_id", lg_k=14), "event_type"
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("n_distinct_est") - F.col("n_exact"))
+            <= F.lit(0.03) * F.col("n_exact")
+        ).alias("within_3pct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

@@ -142,3 +142,34 @@ def test_cms_overestimates_and_merges(spark):
     )
     direct = sketches.cms_build(df, "w", depth=4, width=64)
     assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in direct.collect()}
+
+
+def test_hll_merge_equals_whole(spark):
+    from pyspark.sql import functions as F
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        sketches as SK,
+    )
+
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 997).alias("v")
+    )
+    whole = {
+        r.g: r.n_distinct_est
+        for r in SK.hll_estimate(SK.hll_sketches(df, "g", "v"), "g").collect()
+    }
+    # split into two halves, sketch each, merge the partials
+    halves = SK.hll_sketches(df.filter(F.col("id") < 5000), "g", "v").union(
+        SK.hll_sketches(df.filter(F.col("id") >= 5000), "g", "v")
+    )
+    merged = {
+        r.g: r.n_distinct_est
+        for r in SK.hll_estimate(SK.hll_merge(halves, "g"), "g").collect()
+    }
+    assert merged == whole  # mergeable: union of partials == one-shot sketch
+    exact = {
+        r.g: r.n
+        for r in df.groupBy("g").agg(F.count_distinct("v").alias("n")).collect()
+    }
+    for g, est in whole.items():
+        assert abs(est - exact[g]) <= 0.03 * exact[g]
