@@ -55,4 +55,5 @@ def test_bitmap_is_one_bounded_row(spark):
     rows = bloom_bitmap(keys, "k", m_bits=1 << 16, n_hashes=4).collect()
     assert len(rows) == 1
     words = rows[0].bloom
-    assert 0 < len(words) <= (1 << 16) // 64  # never wider than m/64 words
+    assert len(words) == (1 << 16) // 64  # dense: exactly m/64 packed words
+    assert any(w != 0 for w in words)
