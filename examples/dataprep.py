@@ -64,8 +64,22 @@ def main() -> None:
     ngram = dedup.ngram_jaccard_pairs(docs, threshold=0.8, n=8)
     # 4) SimHash neighbors within Hamming distance 3
     sim = dedup.simhash_near_pairs(docs, bits=32, max_hamming=3)
+    # 4b) character-level edit-distance pairs on the normalized 64-char
+    # prefix (PassJoin segment blocking) — catches typo/OCR-level dups the
+    # token-set detectors miss
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.functions import (
+        text as T,
+    )
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        fuzzy,
+    )
+
+    fz = fuzzy.edit_distance_pairs(
+        docs, text=T.normalized(F.col("text")).substr(1, 64), k=2
+    )
     print(f"== near-dup pairs: minhash={near.count()} "
-          f"ngram_jaccard={ngram.count()} simhash={sim.count()}")
+          f"ngram_jaccard={ngram.count()} simhash={sim.count()} "
+          f"edit_distance={fz.count()}")
 
     # 5) quality + language + token budget per doc
     scored = (
@@ -95,6 +109,7 @@ def main() -> None:
         near.select("id_a", "id_b")
         .union(ngram.select("id_a", "id_b"))
         .union(sim.select("id_a", "id_b"))
+        .union(fz.select("id_a", "id_b"))
         .distinct()
     )
     comp = graph.connected_components(pairs, src="id_a", dst="id_b")
