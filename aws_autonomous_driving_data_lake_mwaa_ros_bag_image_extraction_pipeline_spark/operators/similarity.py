@@ -149,14 +149,24 @@ def lsh_topk(
     n_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: compare only within shared LSH buckets.
 
     Self-join on (table, bucket) — join key cardinality ~ n_tables × 2^bits;
     candidates deduped across tables before scoring so each pair is scored
-    once. At 100 TB this is the difference between O(n²) and O(n·bucket)."""
+    once. At 100 TB this is the difference between O(n²) and O(n·bucket).
+    ``queries`` (optional, id column only) restricts the query side to a
+    probe set via broadcast semi-join — per-query results are unchanged
+    (ranking is per-query), the candidate join just skips non-probes."""
     bk = lsh_buckets(emb, dim, n_tables, n_bits, id_col, vec_col)
-    a = bk.select(
+    if queries is not None:
+        bk_q = bk.join(
+            F.broadcast(queries.select(F.col(id_col))), id_col, "left_semi"
+        )
+    else:
+        bk_q = bk
+    a = bk_q.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "table", "bucket"
     )
     b = bk.select(

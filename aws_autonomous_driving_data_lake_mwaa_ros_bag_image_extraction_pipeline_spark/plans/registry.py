@@ -3164,6 +3164,81 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_recall_sql() -> str:
+    """Composed oracle: exact top-5 (brute oracle) vs LSH top-5 at the
+    recall-tuned parameters (8 tables × 3 bits), recall@5 over the probe
+    set. Reuses the registered brute oracle verbatim and the shared
+    deterministic-hyperplane CTE builder."""
+    brute = QUERIES["brute_force_topk"].oracle
+    lsh = f"""
+    WITH {_lsh_bucket_cte(64, 8, 3)},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                         AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < 10
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(n.embedding AS DOUBLE[])), 6) AS cosine
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings n ON n.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM scored) s
+    WHERE rnk <= 5
+    """
+    return f"""
+    WITH brute AS ({brute}), lshr AS ({lsh})
+    SELECT COUNT(DISTINCT b.query_id) AS n_queries,
+           CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS recall_at_5,
+           (CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*)) >= 0.7 AS recall_ok
+    FROM brute b LEFT JOIN lshr l
+      ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+    """
+
+
+@register("ann_recall_at5", _ann_recall_sql())
+def q_ann_recall_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality as a QUERY: recall@5 of the hyperplane-LSH path against
+    the exact top-5 on the 10-query probe set, with a >=0.7 gate — the
+    measurement a production ANN rollout runs before trusting the
+    approximate index (recall is the accuracy axis the speed win trades
+    against). Both sides and the recall arithmetic replay in the oracle,
+    so the gate is hash-checked. Params (8 tables × 3 bits) are the
+    recall-tuned point: wider buckets than the throughput-tuned lsh_topk
+    headline; at larger corpus sizes raise n_bits to hold bucket size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    brute = similarity.brute_force_topk(emb, probes, k=5).select(
+        "query_id", F.col("neighbor_id").alias("exact_nb")
+    )
+    lsh = similarity.lsh_topk(
+        emb, dim=64, k=5, n_tables=8, n_bits=3,
+        queries=probes.select("vec_id"),
+    ).select("query_id", F.col("neighbor_id").alias("lsh_nb"))
+    joined = brute.join(
+        lsh,
+        (brute["query_id"] == lsh["query_id"])
+        & (brute["exact_nb"] == lsh["lsh_nb"]),
+        "left",
+    )
+    hit = F.sum(
+        F.when(F.col("lsh_nb").isNotNull(), 1).otherwise(0)
+    ).cast("double")
+    return joined.agg(
+        F.count_distinct(brute["query_id"]).alias("n_queries"),
+        (hit / F.count(F.lit(1))).alias("recall_at_5"),
+        ((hit / F.count(F.lit(1))) >= F.lit(0.7)).alias("recall_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

@@ -51,6 +51,9 @@ ALLOWED_BNLJ = {
     # event_type_pagerank: per-iteration cross joins against broadcast 1-row
     # node-count / dangling-mass aggregates
     "event_type_pagerank",
+    # ann_recall_at5: contains brute_force_topk's documented broadcast
+    # probe-set cross join (the exact side of the recall measurement)
+    "ann_recall_at5",
 }
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
