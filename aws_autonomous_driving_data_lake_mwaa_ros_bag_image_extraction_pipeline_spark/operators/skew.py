@@ -66,3 +66,28 @@ def salted_count_distinct(
         .agg(F.count_distinct(value_col).alias("__n"))
     )
     return partial.groupBy(group_col).agg(F.sum("__n").alias("n_distinct"))
+
+
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row skew diagnostic for a prospective join/agg key: ``(n_keys,
+    total_rows, max_key_rows, p50_key_rows, p99_key_rows, top_key_share,
+    skew_ratio)`` — the numbers that decide whether a key needs salting
+    (``skew_ratio`` = hottest key vs median key; a ratio in the hundreds
+    with a meaningful ``top_key_share`` means one reducer will own the
+    join) or whether AQE's split threshold will catch it.
+
+    Two shuffles, both tiny after partial aggregation: per-key counts
+    (map-side combined, one row per distinct key) then a one-row summary.
+    NULL keys are counted as a key — they're the most common hot key in
+    the wild.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n"))
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("__n").alias("total_rows"),
+        F.max("__n").alias("max_key_rows"),
+        F.percentile("__n", F.lit(0.5)).alias("p50_key_rows"),
+        F.percentile("__n", F.lit(0.99)).alias("p99_key_rows"),
+        (F.max("__n") / F.sum("__n")).alias("top_key_share"),
+        (F.max("__n") / F.percentile("__n", F.lit(0.5))).alias("skew_ratio"),
+    )

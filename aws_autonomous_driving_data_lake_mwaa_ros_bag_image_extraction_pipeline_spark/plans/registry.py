@@ -3239,6 +3239,28 @@ def q_ann_recall_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "user_key_skew",
+    """
+    WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
+    SELECT COUNT(*) AS n_keys, SUM(n) AS total_rows, MAX(n) AS max_key_rows,
+           quantile_cont(n, 0.5) AS p50_key_rows,
+           quantile_cont(n, 0.99) AS p99_key_rows,
+           CAST(MAX(n) AS DOUBLE) / SUM(n) AS top_key_share,
+           CAST(MAX(n) AS DOUBLE) / quantile_cont(n, 0.5) AS skew_ratio
+    FROM c
+    """,
+)
+def q_user_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic on events.user_id — the pre-flight check
+    that decides between a plain shuffle join, AQE skew splitting, and
+    operators/skew.salted_join (skew_ratio = hottest/median key). Two
+    map-side-combined aggregations, one summary row."""
+    from ..operators.skew import key_skew_report
+
+    return key_skew_report(_t(spark, sf_dir, "events"), "user_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

@@ -45,3 +45,42 @@ def test_salted_count_distinct_exact(spark):
     }
     got = {r.g: r.n_distinct for r in skew.salted_count_distinct(df, "g", "v").collect()}
     assert got == want == {"g1": 37, "g2": 5}
+
+
+def test_key_skew_report_flags_hot_key(spark):
+    from pyspark.sql import functions as F
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.skew import (
+        key_skew_report,
+    )
+
+    # 1000 rows on one hot key + 100 keys with 2 rows each
+    df = spark.range(1200).select(
+        F.when(F.col("id") < 1000, F.lit(0))
+        .otherwise((F.col("id") % 100) + 1)
+        .alias("k")
+    )
+    r = key_skew_report(df, "k").first()
+    assert r.n_keys == 101
+    assert r.total_rows == 1200
+    assert r.max_key_rows == 1000
+    assert r.p50_key_rows == 2.0
+    assert abs(r.top_key_share - 1000 / 1200) < 1e-12
+    assert r.skew_ratio == 500.0
+
+
+def test_key_skew_report_counts_null_keys(spark):
+    from pyspark.sql import functions as F
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.skew import (
+        key_skew_report,
+    )
+
+    df = spark.range(10).select(
+        F.when(F.col("id") < 8, F.lit(None).cast("bigint"))
+        .otherwise(F.col("id"))
+        .alias("k")
+    )
+    r = key_skew_report(df, "k").first()
+    assert r.n_keys == 3  # NULL is a key (the classic hot key)
+    assert r.max_key_rows == 8
