@@ -461,6 +461,8 @@ def contamination_overlap(
     text_col: str = "text",
     ref_id_col: str = "doc_id",
     ref_text_col: str = "text",
+    prescreen_bloom: bool = False,
+    bloom_bits: int = 1 << 23,
 ) -> DataFrame:
     """Benchmark decontamination: for every training document, how many of
     its n-token passages appear anywhere in the ``reference`` corpus (the
@@ -471,6 +473,14 @@ def contamination_overlap(
     its DISTINCT passage set (benchmark corpora are small next to training
     corpora, so the semi-join's build side broadcasts). One explode per
     side, one semi-join, one per-doc rollup — no full-text comparisons.
+
+    ``prescreen_bloom=True`` bit-tests every training passage against a
+    broadcast Bloom bitmap of the reference passages BEFORE the exact
+    semi-join — for when the union of benchmark suites outgrows the
+    broadcast threshold and the semi-join would otherwise shuffle the full
+    training passage set (the dominant cost at corpus scale). The bitmap
+    is ``bloom_bits/8`` bytes no matter how many passages; false positives
+    just proceed to the exact semi-join, so the result is unchanged.
     """
     p = passage_hashes(docs, n, id_col, text_col).distinct()
     ref = (
@@ -478,7 +488,12 @@ def contamination_overlap(
         .select("passage_md5")
         .distinct()
     )
-    hits = p.join(ref, "passage_md5", "left_semi")
+    probe = p
+    if prescreen_bloom:
+        from .bloom import bloom_prune
+
+        probe = bloom_prune(p, ref, "passage_md5", m_bits=bloom_bits)
+    hits = probe.join(ref, "passage_md5", "left_semi")
     per_doc = p.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_passages"))
     per_hit = hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_contaminated"))
     return per_doc.join(per_hit, id_col, "left").select(

@@ -2003,6 +2003,25 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("benchmark_contamination_bloom", QUERIES["benchmark_contamination"].oracle)
+def benchmark_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with the Bloom prescreen: training passages bit-test
+    against a broadcast bitmap of the benchmark passages before the exact
+    semi-join — the plan for when the union of benchmark suites outgrows
+    the broadcast threshold and the semi-join would shuffle the full
+    training passage set. Same oracle as benchmark_contamination: the
+    bloom is a superset prune, so the answer is identical by construction
+    (and hash-checked here)."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.contamination_overlap(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=3,
+        prescreen_bloom=True,
+        bloom_bits=1 << 20,
+    )
+
+
 @register(
     "token_heavy_hitters",
     f"""

@@ -54,6 +54,9 @@ ALLOWED_BNLJ = {
     # ann_recall_at5: contains brute_force_topk's documented broadcast
     # probe-set cross join (the exact side of the recall measurement)
     "ann_recall_at5",
+    # benchmark_contamination_bloom: cross join against the broadcast 1-row
+    # bloom bitmap (same pattern as bloom_prune_join)
+    "benchmark_contamination_bloom",
 }
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
