@@ -33,3 +33,11 @@ def norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity. DuckDB oracle: ``list_cosine_similarity``."""
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance via the polarization identity
+    ``|a|² + |b|² − 2·a·b`` — three dot products, the SAME arithmetic a
+    DuckDB oracle can replay with ``list_inner_product`` (an elementwise
+    (a−b)² fold has no DuckDB twin with matching float semantics)."""
+    return dot(a, a) + dot(b, b) - 2.0 * dot(a, b)

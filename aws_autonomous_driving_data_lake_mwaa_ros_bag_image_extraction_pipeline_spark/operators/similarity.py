@@ -497,3 +497,135 @@ def append_to_ivf_index(
     assigned.write.partitionBy("list_id").mode("append").parquet(
         f"{path}/lists"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): memory-bound ANN
+# ---------------------------------------------------------------------------
+
+def _subspaces(df: DataFrame, dim: int, m: int, vec_col: str, out: str):
+    """Explode a vector column into ``m`` contiguous subvectors:
+    (…, sub, <out>). dim must divide by m."""
+    d = dim // m
+    return df.select(
+        "*",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.alias("sub"),
+                    F.slice(F.col(vec_col), s * d + 1, d).alias(out),
+                ),
+            )
+        ).alias("__sp"),
+    ).select(*[c for c in df.columns], F.col("__sp.sub"), F.col(f"__sp.{out}"))
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(sub, code, cv): one ``n_codes``-entry codebook per subspace, sampled
+    deterministically (the n_codes vectors with the smallest md5(id), code =
+    md5 rank — the same no-RNG convention as the IVF centroids, so the
+    DuckDB oracle replays it). The window runs over the n_codes-row sample,
+    not the corpus — bounded, like the IVF TakeOrderedAndProject."""
+    keys = (
+        emb.select(F.col(id_col), F.md5(F.col(id_col).cast("string")).alias("__m"))
+        .orderBy("__m", id_col)
+        .limit(n_codes)
+    )
+    keys = keys.withColumn(
+        "code",
+        F.row_number().over(Window.orderBy("__m", F.col(id_col))) - 1,
+    ).select(id_col, "code")
+    sample = emb.join(F.broadcast(keys), id_col).select("code", vec_col)
+    return _subspaces(sample, dim, m, vec_col, "cv").select("sub", "code", "cv")
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus → PQ codes: (id, sub, code), each subvector assigned to its
+    nearest (L2², rounded, code-tie-broken) codebook entry. This is the
+    compression step: downstream the corpus is m ONE-BYTE codes per vector
+    instead of dim floats — the table that makes billion-vector search
+    memory-feasible. One broadcast join (m·n_codes rows) + a per-(id,sub)
+    top-1, which Spark's WindowGroupLimit keeps map-side."""
+    subs = _subspaces(
+        emb.select(id_col, vec_col), dim, m, vec_col, "sv"
+    ).select(id_col, "sub", "sv")
+    scored = subs.join(F.broadcast(codebooks), "sub").select(
+        id_col,
+        "sub",
+        "code",
+        F.round(V.l2sq(F.col("sv"), F.col("cv")), 6).alias("__d"),
+    )
+    w = Window.partitionBy(id_col, "sub").orderBy("__d", "code")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "sub", "code")
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC) over PQ
+    codes (Jégou, Douze, Schmid: "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011 — public literature): the query builds an
+    m×n_codes lookup table of exact subvector distances, the corpus
+    contributes only its codes, and the approximate distance is the sum of
+    m table lookups — an equi-join on (sub, code), never a float op per
+    corpus dimension.
+
+    Scale shape: encode once, store (id, sub, code) — m bytes/vector of
+    state; a query scans the code table with a BROADCAST lookup join and a
+    groupBy-sum, so cost per query is O(n·m) integer-keyed lookups and the
+    full-precision vectors are never touched at query time (at 100 TB the
+    vectors don't even need to be co-resident with the serving cluster).
+    Output: (query_id, neighbor_id, adist, rank) — adist is the PQ-
+    approximate L2², rank ties broken by neighbor id.
+    """
+    cb = pq_codebooks(emb, dim, m, n_codes, id_col, vec_col)
+    codes = pq_encode(emb, cb, dim, m, id_col, vec_col)
+    qsubs = _subspaces(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col)
+        ),
+        dim, m, vec_col, "qv",
+    ).select("query_id", "sub", "qv")
+    lut = qsubs.join(F.broadcast(cb), "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        F.round(V.l2sq(F.col("qv"), F.col("cv")), 6).alias("__d"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.round(F.sum("__d"), 4).alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

