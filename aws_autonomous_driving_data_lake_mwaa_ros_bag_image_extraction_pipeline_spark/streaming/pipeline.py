@@ -348,6 +348,7 @@ def attribution_join_streams(
     click_ts: str = "click_ts",
     horizon: str = "10 minutes",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each purchase matched to the same key's
     clicks in the preceding ``horizon`` (ad-attribution shape; the streaming
@@ -358,7 +359,19 @@ def attribution_join_streams(
     evicts matched/expired rows — state stays O(horizon × rate), never
     O(stream). Inner join → append mode; results for a purchase emit once
     its click-side watermark passes the interval's end.
+
+    ``how="leftOuter"`` is the audit form: every purchase emits exactly
+    once — attributed rows as they match, UNATTRIBUTED purchases with a
+    NULL click_ts once the watermark guarantees no qualifying click can
+    still arrive. The null-flush happens at a later micro-batch than the
+    match (it needs the watermark to PASS the horizon), which is why the
+    test drives two ticks through one checkpoint.
     """
+    if how not in ("inner", "leftOuter", "left_outer", "left"):
+        raise ValueError(
+            f"attribution join supports inner/leftOuter, got {how!r}: "
+            "right/full outer would emit per-click rows, not per-purchase"
+        )
     p = purchases.withWatermark(purchase_ts, watermark).alias("p")
     c = clicks.withWatermark(click_ts, watermark).alias("c")
     return p.join(
@@ -368,7 +381,7 @@ def attribution_join_streams(
             f"c.{click_ts} >= p.{purchase_ts} - INTERVAL {horizon} AND "
             f"c.{click_ts} <= p.{purchase_ts}"
         ),
-        "inner",
+        how,
     ).select(
         F.col(f"p.{key}").alias(key),
         F.col(f"p.{purchase_ts}").alias(purchase_ts),

@@ -223,3 +223,49 @@ def test_stream_static_dim_enrichment(spark, tmp_path):
         ("view", "engagement"),
         ("error", "ops"),
     }
+
+
+def test_stream_stream_left_outer_flushes_unattributed(spark, tmp_path):
+    """leftOuter attribution: matched purchases emit with their click;
+    unattributed purchases emit ONCE with NULL click_ts after the
+    watermark passes their horizon (driven by a second tick whose newer
+    events advance both sides' watermarks through one checkpoint)."""
+    p_src, c_src = str(tmp_path / "p"), str(tmp_path / "c")
+    os.makedirs(p_src), os.makedirs(c_src)
+    ck = str(tmp_path / "ck")
+
+    def _run_tick():
+        purchases = spark.readStream.schema(
+            "user_id long, purchase_ts timestamp"
+        ).json(p_src)
+        clicks = spark.readStream.schema(
+            "user_id long, click_ts timestamp"
+        ).json(c_src)
+        joined = sp.attribution_join_streams(purchases, clicks, how="leftOuter")
+        sink: list = []
+        q = (
+            joined.writeStream.foreachBatch(
+                lambda df, _e: sink.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sink
+
+    # tick 1: user 1 attributes (click @25, purchase @30); user 3's
+    # purchase @32 has no click — held in state, not emitted yet
+    _write_ts_rows(c_src, "c1.json", [(1, 25)], "click_ts")
+    _write_ts_rows(p_src, "p1.json", [(1, 30), (3, 32)], "purchase_ts")
+    got1 = {(r.user_id, r.click_ts is None) for r in _run_tick()}
+    assert (1, False) in got1
+    assert not any(u == 3 for u, _ in got1)
+
+    # tick 2: late traffic at minute ~120 pushes both watermarks past
+    # user 3's horizon → its unattributed row flushes with NULL click_ts
+    _write_ts_rows(c_src, "c2.json", [(9, 119)], "click_ts")
+    _write_ts_rows(p_src, "p2.json", [(9, 120)], "purchase_ts")
+    got2 = {(r.user_id, r.click_ts is None) for r in _run_tick()}
+    assert (3, True) in got2
