@@ -3356,6 +3356,46 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "small_quantity_revenue",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem l
+    JOIN (SELECT l_partkey AS pk,
+                 0.2 * AVG(l_quantity) AS qty_floor
+          FROM lineitem GROUP BY l_partkey) t
+      ON l.l_partkey = t.pk
+    WHERE l.l_quantity < t.qty_floor
+    """,
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate shape (TPC-H Q17): lineitems below 20% of their
+    part's average quantity — the 'each row compared to its own group's
+    aggregate' pattern. Decorrelated explicitly into groupBy + equi-join
+    (what Catalyst does to the correlated subquery form); the per-part agg
+    is 2 columns and shuffles once, map-side combined. The oracle keeps
+    the same decorrelated join so both engines aggregate identically."""
+    li = _t(spark, sf_dir, "lineitem")
+    floors = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_floor")
+    )
+    return (
+        li.join(floors, li["l_partkey"] == floors["pk"])
+        .filter(F.col("l_quantity") < F.col("qty_floor"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------
