@@ -172,6 +172,71 @@ def main() -> None:
             "components": n_comp,
         }
         out["graph_adversarial"] = graph_notes
+    # --- layout micro-bench: zone-map skipping over a z-ordered lake ------
+    # Writes the events table z-clustered on (user_id, value), then runs the
+    # same 2-D range aggregate through the zone-map pruned path and the
+    # plain full-scan path. Records wall time and how many files the zone
+    # map admitted — the effect that, at 100 TB, turns "scan a million
+    # footers" into "open the handful of files the query can touch".
+    if os.environ.get("SPARK_GRAFT_LAYOUT_BENCH", "1") != "0":
+        import shutil
+        import tempfile
+
+        from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.layout import (
+            write_zordered,
+            zonemap_candidate_files,
+            zonemap_pruned_read,
+            zonemap_stats,
+        )
+        from pyspark.sql import functions as F
+
+        tmp = tempfile.mkdtemp(prefix="zorder_bench_")
+        lake = os.path.join(tmp, "events_z")
+        try:
+            ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+                "event_id", "user_id", "value", "event_type"
+            )
+            write_zordered(ev, lake, ["user_id", "value"], n_files=32, bits=10)
+            zm = zonemap_stats(spark, lake, ["user_id", "value"]).cache()
+            zm.count()
+            ranges = {"user_id": (100, 160), "value": (10.0, 30.0)}
+            n_files = len(zonemap_candidate_files(zm, ranges))
+
+            def _agg(df):
+                return df.groupBy("event_type").agg(
+                    F.count(F.lit(1)).alias("n")
+                )
+
+            cond = F.col("user_id").between(100, 160) & F.col(
+                "value"
+            ).between(10.0, 30.0)
+            # warm both paths, then time
+            _agg(zonemap_pruned_read(spark, lake, ranges, zm)).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            _agg(spark.read.parquet(lake).filter(cond)).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            t0 = time.time()
+            _agg(zonemap_pruned_read(spark, lake, ranges, zm)).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            t_pruned = time.time() - t0
+            t0 = time.time()
+            _agg(spark.read.parquet(lake).filter(cond)).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            t_full = time.time() - t0
+            out["layout"] = {
+                "files_total": 32,
+                "files_admitted": n_files,
+                "sec_pruned": round(t_pruned, 3),
+                "sec_full_scan": round(t_full, 3),
+            }
+            zm.unpersist()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     if prev_queries:
         out["prev_round"] = prev_round
         out["delta_vs_prev"] = {
