@@ -200,3 +200,61 @@ def rolling_zscore_anomalies(
         zq.alias("zscore"),
         F.coalesce(F.abs(zq) > z_threshold, F.lit(False)).alias("is_anomaly"),
     )
+
+
+def group_linear_trend(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    unit_ms: int = 3_600_000,
+) -> DataFrame:
+    """Per-group OLS line fit of ``value`` against time: (group, n, slope,
+    intercept, r2) with time in ``unit_ms`` units since the group's first
+    event — drift/trend detection as one aggregation (is this sensor
+    drifting? is error rate climbing?), the regression twin of
+    rolling_zscore_anomalies' level alarms.
+
+    Everything reduces to the five classic sums (n, Σx, Σy, Σxy, Σx²), so
+    the whole fit is ONE map-side-combined groupBy (plus a broadcast join
+    of per-group epoch minimums that keeps x small and the x² sums inside
+    double's 53-bit mantissa). No window, no per-row state; scales as a
+    plain aggregation. Degenerate groups (n<2 or zero time variance)
+    return NULL slope/intercept/r2 rather than dividing by zero.
+    """
+    x0 = df.groupBy(group_col).agg(F.min(F.unix_millis(F.col(ts_col))).alias("__x0"))
+    base = df.join(F.broadcast(x0), group_col).select(
+        F.col(group_col),
+        (
+            (F.unix_millis(F.col(ts_col)) - F.col("__x0"))
+            / F.lit(float(unit_ms))
+        ).alias("__x"),
+        F.col(value_col).cast("double").alias("__y"),
+    )
+    s = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    den = s["n"] * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = F.when(
+        (s["n"] >= 2) & (den != 0),
+        (s["n"] * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / den,
+    )
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / s["n"]
+    sst = s["n"] * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    ssr = s["n"] * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    r2 = F.when(
+        (s["n"] >= 2) & (den != 0) & (sst != 0),
+        (ssr * ssr) / (den * sst),
+    )
+    return s.select(
+        group_col,
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

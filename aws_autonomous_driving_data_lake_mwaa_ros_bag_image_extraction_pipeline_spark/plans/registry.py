@@ -3396,6 +3396,44 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "value_trend_by_type",
+    """
+    WITH x0 AS (SELECT event_type, MIN(epoch_ms(ts)) AS mn
+                FROM events GROUP BY event_type),
+    b AS (
+      SELECT e.event_type,
+             (epoch_ms(e.ts) - x0.mn) / 3600000.0 AS x,
+             CAST(e.value AS DOUBLE) AS y
+      FROM events e JOIN x0 USING (event_type)
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM b GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+)
+def q_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend (slope/intercept/R² of value vs hours since the
+    group's first event): drift detection as ONE map-side-combined
+    aggregation over the five classic sums — no window, no iteration; the
+    regression twin of the rolling z-score level alarms. Oracle replays
+    the identical closed form (quality.group_linear_trend)."""
+    from ..operators.quality import group_linear_trend
+
+    return group_linear_trend(
+        _t(spark, sf_dir, "events"), "event_type", "ts", "value"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

@@ -108,3 +108,31 @@ def test_rolling_zscore_constant_series_never_flags(spark):
     out = Q.rolling_zscore_anomalies(df, "k", "ts", "v", "eid").collect()
     assert all(r.zscore is None for r in out)  # zero variance → no score
     assert not any(r.is_anomaly for r in out)
+
+
+def test_group_linear_trend_exact_line(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.quality import (
+        group_linear_trend,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # group "a": exact line y = 2x + 3 (x in hours)
+    for h in range(6):
+        rows.append(("a", t0 + dt.timedelta(hours=h), 2.0 * h + 3.0))
+    # group "b": constant time (zero variance) -> NULL fit
+    rows += [("b", t0, 1.0), ("b", t0, 2.0)]
+    # group "c": single point -> NULL fit
+    rows.append(("c", t0, 7.0))
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    got = {r.g: r for r in group_linear_trend(df, "g", "ts", "v").collect()}
+    assert got["a"].slope == 2.0
+    assert got["a"].intercept == 3.0
+    assert got["a"].r2 == 1.0
+    assert got["b"].slope is None and got["b"].r2 is None
+    assert got["c"].slope is None
+    assert got["a"].n == 6 and got["b"].n == 2 and got["c"].n == 1
