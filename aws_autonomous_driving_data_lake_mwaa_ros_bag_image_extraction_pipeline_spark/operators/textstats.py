@@ -370,3 +370,82 @@ def lm_fluency_scores(
             ).alias("mean_logp"),
         )
     )
+
+
+def source_kl_divergence(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    k: float = 0.5,
+) -> DataFrame:
+    """Distribution drift per source: add-k-smoothed KL(source token dist ‖
+    corpus token dist) → (source, n_tokens, n_distinct, kl) — the mixture
+    audit that flags a source whose language has shifted away from the
+    blend it was weighted for (or an ingest gone wrong: spam, boilerplate,
+    wrong language).
+
+    KL needs EVERY vocab token per source — absent tokens (count 0) still
+    contribute p₀·ln(p₀/q_t). Materializing |vocab|×|sources| rows to say
+    mostly "absent" is the scale trap; instead the absent mass has the
+    CLOSED FORM p₀·(|absent|·ln p₀ − Σ_absent ln q_t), and Σ_absent ln q_t
+    = (Σ_vocab ln q_t) − (Σ_present ln q_t) — so one groupBy over PRESENT
+    (source, token) pairs plus two broadcast one-row corpus aggregates
+    covers the whole vocabulary exactly. Work is O(present pairs), the
+    same shuffle the token counts already need.
+    """
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(T.tokens(F.lower(F.col(text_col)))).alias("token"),
+    ).filter(F.col("token") != "")
+    c_st = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("cst"))
+    c_t = c_st.groupBy("token").agg(F.sum("cst").alias("ct"))
+    n_s = c_st.groupBy("source").agg(F.sum("cst").alias("ns"))
+    corpus = c_t.agg(
+        F.count(F.lit(1)).cast("double").alias("v"),
+        F.sum("ct").cast("double").alias("n"),
+    )
+    q = c_t.crossJoin(F.broadcast(corpus)).select(
+        "token",
+        F.log((F.col("ct") + F.lit(k)) / (F.col("n") + F.lit(k) * F.col("v"))).alias("lnq"),
+    )
+    slnq_all = q.agg(F.sum("lnq").alias("slnq_vocab"))
+
+    present = (
+        c_st.join(q, "token")
+        .join(F.broadcast(n_s), "source")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "source",
+            "ns",
+            "v",
+            "lnq",
+            (
+                (F.col("cst") + F.lit(k))
+                / (F.col("ns") + F.lit(k) * F.col("v"))
+            ).alias("p"),
+        )
+        .groupBy("source", "ns", "v")
+        .agg(
+            F.sum(F.col("p") * (F.log("p") - F.col("lnq"))).alias("kl_present"),
+            F.sum("lnq").alias("slnq_present"),
+            F.count(F.lit(1)).cast("double").alias("n_present"),
+        )
+    )
+    p0 = F.lit(k) / (F.col("ns") + F.lit(k) * F.col("v"))
+    return (
+        present.crossJoin(F.broadcast(slnq_all))
+        .select(
+            "source",
+            F.col("ns").cast("bigint").alias("n_tokens"),
+            F.col("n_present").cast("bigint").alias("n_distinct"),
+            F.round(
+                F.col("kl_present")
+                + p0
+                * (
+                    (F.col("v") - F.col("n_present")) * F.log(p0)
+                    - (F.col("slnq_vocab") - F.col("slnq_present"))
+                ),
+                6,
+            ).alias("kl"),
+        )
+    )

@@ -3434,6 +3434,50 @@ def q_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "source_kl_divergence",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest({_D_TOKS}) AS token FROM documents
+    ),
+    tk AS (SELECT source, token FROM toks WHERE token <> ''),
+    cst AS (SELECT source, token, COUNT(*) AS cst FROM tk GROUP BY 1, 2),
+    ct AS (SELECT token, SUM(cst) AS ct FROM cst GROUP BY 1),
+    ns AS (SELECT source, SUM(cst) AS ns FROM cst GROUP BY 1),
+    corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v,
+                      CAST(SUM(ct) AS DOUBLE) AS n FROM ct),
+    q AS (SELECT token, ln((ct + 0.5) / (n + 0.5 * v)) AS lnq
+          FROM ct, corpus),
+    sq AS (SELECT SUM(lnq) AS slnq_vocab FROM q),
+    pres AS (
+      SELECT c.source, ns.ns, corpus.v,
+             SUM(((c.cst + 0.5) / (ns.ns + 0.5 * corpus.v))
+                 * (ln((c.cst + 0.5) / (ns.ns + 0.5 * corpus.v)) - q.lnq))
+               AS kl_present,
+             SUM(q.lnq) AS slnq_present,
+             CAST(COUNT(*) AS DOUBLE) AS n_present
+      FROM cst c JOIN q USING (token) JOIN ns ON c.source = ns.source, corpus
+      GROUP BY 1, 2, 3
+    )
+    SELECT source, CAST(ns AS BIGINT) AS n_tokens,
+           CAST(n_present AS BIGINT) AS n_distinct,
+           round(kl_present + (0.5 / (ns + 0.5 * v))
+                 * ((v - n_present) * ln(0.5 / (ns + 0.5 * v))
+                    - (slnq_vocab - slnq_present)), 6) AS kl
+    FROM pres, sq
+    """,
+)
+def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-drift audit: add-k KL(source token distribution ‖ corpus
+    distribution) per source. Absent-vocab mass is folded in CLOSED FORM
+    (p₀·(|absent|·ln p₀ − Σ_absent ln q)) from two broadcast one-row
+    aggregates, so work stays O(present (source,token) pairs) instead of
+    |vocab|×|sources| — see textstats.source_kl_divergence."""
+    from ..operators.textstats import source_kl_divergence
+
+    return source_kl_divergence(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

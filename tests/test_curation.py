@@ -264,3 +264,31 @@ def test_epoch_upsample_multiplicity(spark):
     assert again == {(r.doc_id, r.epoch) for r in out}
     with pytest.raises(ValueError):
         curation.epoch_upsample(docs, 0)
+
+
+def test_source_kl_divergence_identical_source_near_zero(spark):
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.textstats import (
+        source_kl_divergence,
+    )
+
+    # KL is against the CORPUS MIXTURE: when every source shares one
+    # distribution the mixture equals it -> KL ~ 0 for all; adding a
+    # vocabulary-disjoint source pushes everyone away from the blend,
+    # the outlier hardest.
+    same = []
+    for i in range(30):
+        same.append((i, "the cat sat on the mat", "a"))
+        same.append((100 + i, "the cat sat on the mat", "b"))
+    df = spark.createDataFrame(same, "doc_id long, text string, source string")
+    got = {r.source: r for r in source_kl_divergence(df).collect()}
+    assert abs(got["a"].kl) < 0.05 and abs(got["b"].kl) < 0.05
+    assert got["a"].n_tokens == 30 * 6
+    assert got["a"].n_distinct == 5  # 'the' repeats
+
+    rows = same + [
+        (200 + i, "zq xw vv uu tt ss", "c") for i in range(30)
+    ]
+    df2 = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got2 = {r.source: r for r in source_kl_divergence(df2).collect()}
+    assert got2["c"].kl > got2["a"].kl > 0.05  # outlier diverges hardest
+    assert got2["c"].kl > 0.5

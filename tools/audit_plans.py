@@ -57,6 +57,9 @@ ALLOWED_BNLJ = {
     # benchmark_contamination_bloom: cross join against the broadcast 1-row
     # bloom bitmap (same pattern as bloom_prune_join)
     "benchmark_contamination_bloom",
+    # source_kl_divergence: cross joins against broadcast 1-row corpus
+    # vocab-size / log-mass aggregates
+    "source_kl_divergence",
 }
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
