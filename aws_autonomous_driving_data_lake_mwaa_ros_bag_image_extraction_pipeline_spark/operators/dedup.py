@@ -634,3 +634,73 @@ def semantic_dedup_survivors(
         .distinct()
     )
     return assign.join(dropped, id_col, "left_anti").select(id_col, "list_id")
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT directed containment pairs: ``|A∩B| / |A| >= threshold`` over
+    distinct character n-grams → (id_contained, id_container, containment).
+
+    Jaccard misses the quote/subset case — a paragraph lifted into a much
+    longer document scores low symmetric similarity but ~1.0 containment;
+    this is the dedup flavor that catches embedded copies and boilerplate
+    wrappers. Asymmetric prefix filter: only the CONTAINED side restricts
+    to its ``|A| − ⌈t·|A|⌉ + 1`` globally-rarest grams (if containment ≥ t
+    then B covers all but < that many of A's grams, so at least one prefix
+    gram is shared); the container side keeps full postings — no length
+    upper bound exists for containers, but the df-ascending prefix order
+    steers the join toward the SHORT posting lists. The only length prune
+    is ``|B| ≥ t·|A|``. Verify is one ``array_intersect`` per candidate
+    pair, exactly like ngram_jaccard_pairs.
+    """
+    from ..functions.text import char_ngrams
+
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(char_ngrams(F.col(text_col), n))).alias("g"),
+    )
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
+    gdf = grams.groupBy("g").agg(F.count("*").alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "g")
+    prefix = (
+        grams.join(gdf, "g")
+        .withColumn("__rn", F.row_number().over(w))
+        .join(sizes, id_col)
+        .filter(
+            F.col("__rn")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        )
+        .select(F.col(id_col).alias("id_a"), "g", F.col("sz").alias("sza"))
+    )
+    full_b = grams.join(sizes, id_col).select(
+        F.col(id_col).alias("id_b"), "g", F.col("sz").alias("szb")
+    )
+    cand = (
+        prefix.join(full_b, "g")
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("szb") >= F.lit(threshold) * F.col("sza"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    gram_tbl = grams.groupBy(id_col).agg(F.collect_set("g").alias("__gs"))
+    ga = gram_tbl.select(F.col(id_col).alias("id_a"), F.col("__gs").alias("__ga"))
+    gb = gram_tbl.select(F.col(id_col).alias("id_b"), F.col("__gs").alias("__gb"))
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            F.col("id_a").alias("id_contained"),
+            F.col("id_b").alias("id_container"),
+            H.quantize(
+                F.size(F.array_intersect("__ga", "__gb")) / F.size("__ga"), 4
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -3478,6 +3478,42 @@ def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_kl_divergence(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "ngram_containment_pairs",
+    """
+    WITH t AS (SELECT doc_id, lower(text) AS tx FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             unnest([substring(tx, i, 8)
+                     for i in range(1, greatest(length(tx) - 6, 1))]) AS g
+      FROM t
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_contained, b.doc_id AS id_container,
+             COUNT(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_contained, id_container,
+           floor(CAST(i AS DOUBLE) / sa.sz * 10000 + 0.5) / 10000.0
+             AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = id_contained
+    WHERE floor(CAST(i AS DOUBLE) / sa.sz * 10000 + 0.5) / 10000.0 >= 0.8
+    """,
+)
+def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment |A∩B|/|A| ≥ 0.8 over char 8-grams — the
+    quote/subset detector symmetric Jaccard misses (a paragraph embedded
+    in a longer doc scores ~1.0 here, low there). Asymmetric prefix
+    filter: contained side probes with its rarest grams, container side
+    keeps full postings; brute-force oracle independently validates that
+    the pruning is lossless."""
+    return dedup.ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8, n=8
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

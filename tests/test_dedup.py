@@ -175,3 +175,72 @@ def test_semantic_dedup_drops_within_cluster_twins(spark):
     survivors = {r.vec_id for r in out.collect()}
     assert 2 not in survivors and 4 not in survivors
     assert 1 in survivors and 3 in survivors
+
+
+def test_ngram_containment_catches_embedded_quote(spark):
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog again and again"
+    container = (
+        "opening remarks that pad this document considerably before "
+        + quote
+        + " followed by a long closing section with more unrelated filler "
+        "text to keep symmetric similarity low for this pair of documents"
+    )
+    rows = [(1, quote), (2, container), (3, "completely unrelated content here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r.id_contained, r.id_container): r.containment
+        for r in ngram_containment_pairs(df, threshold=0.8, n=8).collect()
+    }
+    assert got[(1, 2)] >= 0.99  # the quote is fully embedded
+    assert (2, 1) not in got    # containment is directed
+    assert not any(3 in p for p in got)
+    # symmetric Jaccard misses this pair entirely at the same threshold
+    jac = ngram_jaccard_pairs(df, threshold=0.8, n=8).collect()
+    assert not any({r.id_a, r.id_b} == {1, 2} for r in jac)
+
+
+def test_ngram_containment_matches_brute_force(spark):
+    from pyspark.sql import functions as F
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.functions.text import (
+        char_ngrams,
+    )
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    docs = []
+    base = "abcdefgh" * 6
+    for i in range(25):
+        s = "".join(rng.choice("abcd") for _ in range(rng.randint(10, 40)))
+        docs.append((i, s + base[: rng.randint(0, 30)]))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got = {
+        (r.id_contained, r.id_container)
+        for r in ngram_containment_pairs(df, threshold=0.7, n=4).collect()
+    }
+    g = df.select(
+        "doc_id",
+        F.explode(F.array_distinct(char_ngrams(F.col("text"), 4))).alias("g"),
+    )
+    sz = g.groupBy("doc_id").count()
+    brute = (
+        g.alias("a")
+        .join(g.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("i"))
+        .join(sz.withColumnRenamed("doc_id", "ia").withColumnRenamed("count", "sza"), "ia")
+        .filter(F.col("i") / F.col("sza") >= 0.7)
+    )
+    want = {(r.ia, r.ib) for r in brute.collect()}
+    assert got == want
