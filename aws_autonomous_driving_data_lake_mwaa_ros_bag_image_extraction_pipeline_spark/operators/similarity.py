@@ -629,3 +629,69 @@ def pq_topk(
         adc.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def lsh_multiprobe_topk(
+    emb: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_tables: int = 4,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv, Josephson, Wang, Charikar, Li:
+    "Multi-Probe LSH", VLDB 2007 — public literature): each QUERY also
+    probes the ``n_bits`` buckets at Hamming distance 1 from its own
+    (one sign bit flipped), trading n_bits+1× more candidate lookups for
+    the recall that would otherwise cost n_bits+1× more hash TABLES —
+    i.e. the same recall with ~1/(n_bits+1) of the corpus bucket state.
+
+    Only the query side fans out (corpus rows stay one row per table);
+    the flip is ``bucket XOR (1 << bit)`` — pure codegen, and the
+    candidate join stays an equi-join on (table, bucket).
+    """
+    bk = lsh_buckets(emb, dim, n_tables, n_bits, id_col, vec_col)
+    bk_q = bk
+    if queries is not None:
+        bk_q = bk.join(
+            F.broadcast(queries.select(F.col(id_col))), id_col, "left_semi"
+        )
+    probes = bk_q.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        "table",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << b))
+                    for b in range(n_bits)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    b = bk.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "table",
+        "bucket",
+    )
+    cands = (
+        probes.join(b, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(V.cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

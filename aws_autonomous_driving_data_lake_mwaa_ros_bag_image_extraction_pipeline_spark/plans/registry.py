@@ -3514,6 +3514,51 @@ def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lsh_multiprobe_topk",
+    f"""
+    WITH {_lsh_bucket_cte(64, 4, 8)},
+    probes AS (
+      SELECT vec_id AS query_id, tbl,
+             unnest([bucket,
+                     {", ".join(f"xor(bucket, {1 << b})" for b in range(8))}])
+               AS pbucket
+      FROM bk WHERE vec_id < 10
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, b.vec_id AS neighbor_id
+      FROM probes p JOIN bk b
+        ON p.tbl = b.tbl AND p.pbucket = b.bucket
+       AND p.query_id <> b.vec_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(n.embedding AS DOUBLE[])), 6) AS cosine
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings n ON n.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM scored) s
+    WHERE rnk <= 5
+    """,
+)
+def q_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH: each query also probes the n_bits buckets one sign
+    flip away — recall that would otherwise need n_bits+1× more hash
+    tables, at 1/(n_bits+1) of the corpus bucket state. Query side fans
+    out, corpus stays one row per table; flip = XOR, candidates remain an
+    equi-join. Same (4×8) params as lsh_topk for direct comparison."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_multiprobe_topk(
+        emb, dim=64, k=5, n_tables=4, n_bits=8,
+        queries=emb.filter(F.col("vec_id") < 10),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

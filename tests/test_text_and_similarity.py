@@ -310,3 +310,35 @@ def test_pq_topk_self_distance_zero_for_sampled_vectors(spark):
         dists = [r[1] for r in rows]
         assert dists == sorted(dists)
         assert all(d >= 0 for d in dists)
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    from pyspark.sql import functions as F
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, probes, k=5).collect()
+    }
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in S.lsh_topk(
+            emb, dim=64, k=5, n_tables=4, n_bits=8, queries=probes
+        ).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in S.lsh_multiprobe_topk(
+            emb, dim=64, k=5, n_tables=4, n_bits=8, queries=probes
+        ).collect()
+    }
+    r_single = len(single & exact) / len(exact)
+    r_multi = len(multi & exact) / len(exact)
+    # probing Hamming-1 buckets can only widen the candidate set
+    assert r_multi >= r_single
+    assert r_multi > 0
