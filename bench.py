@@ -210,28 +210,33 @@ def main() -> None:
             cond = F.col("user_id").between(100, 160) & F.col(
                 "value"
             ).between(10.0, 30.0)
-            # warm both paths, then time
+            # warm both paths, then min-of-2 each
             _agg(zonemap_pruned_read(spark, lake, ranges, zm)).write.format(
                 "noop"
             ).mode("overwrite").save()
             _agg(spark.read.parquet(lake).filter(cond)).write.format(
                 "noop"
             ).mode("overwrite").save()
-            t0 = time.time()
-            _agg(zonemap_pruned_read(spark, lake, ranges, zm)).write.format(
-                "noop"
-            ).mode("overwrite").save()
-            t_pruned = time.time() - t0
-            t0 = time.time()
-            _agg(spark.read.parquet(lake).filter(cond)).write.format(
-                "noop"
-            ).mode("overwrite").save()
-            t_full = time.time() - t0
+            t_pruned = t_full = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                _agg(
+                    zonemap_pruned_read(spark, lake, ranges, zm)
+                ).write.format("noop").mode("overwrite").save()
+                t_pruned = min(t_pruned, time.time() - t0)
+                t0 = time.time()
+                _agg(spark.read.parquet(lake).filter(cond)).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                t_full = min(t_full, time.time() - t0)
             out["layout"] = {
                 "files_total": 32,
                 "files_admitted": n_files,
                 "sec_pruned": round(t_pruned, 3),
                 "sec_full_scan": round(t_full, 3),
+                "note": "signal = files_admitted (the metadata/IO a real "
+                        "lake avoids opening); wall deltas on 32 tiny local "
+                        "files are footer-read noise",
             }
             zm.unpersist()
         finally:
