@@ -3559,6 +3559,49 @@ def q_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "nation_market_share",
+    f"""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE r.r_name = 'ASIA' AND o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+    """,
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table star join (TPC-H Q8/Q5 family): region→nation→supplier→
+    lineitem→orders→customer with selective dim filters. Written in an
+    arbitrary join order ON PURPOSE — Catalyst's cost-based reordering +
+    AQE pick the physical order, broadcast every dim under the 64 MB
+    threshold, and leave only the lineitem⋈orders shuffle; the point is
+    trusting the optimizer with the multi-join plan rather than
+    hand-scheduling it."""
+    t = lambda n: _t(spark, sf_dir, n)  # noqa: E731
+    df = (
+        t("lineitem")
+        .join(t("orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t("customer"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(t("supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t("nation"), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(t("region"), F.col("r_regionkey") == F.col("n_regionkey"))
+        .filter((F.col("r_name") == "ASIA") & (F.col("o_orderstatus") == "F"))
+    )
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return df.groupBy(F.col("n_name").alias("nation")).agg(
+        dsum(disc, "revenue"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------
