@@ -3602,6 +3602,30 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sequential_doc_ids",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+             AS seq_id
+    FROM documents
+    """,
+)
+def q_sequential_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense global sequential ids in (n_chars, doc_id) order WITHOUT the
+    single-reducer global window: range-partition on the order keys,
+    parallel per-partition row_numbers, broadcast partition offsets — see
+    operators/ids.assign_sequential_ids. The oracle is the naive global
+    row_number (fine at oracle scale; the whole point is that the Spark
+    plan never concentrates the window state)."""
+    from ..operators.ids import assign_sequential_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    return assign_sequential_ids(
+        docs.select("doc_id", "n_chars"), ["n_chars", "doc_id"]
+    ).select("doc_id", F.col("seq_id").cast("bigint"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

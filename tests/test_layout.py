@@ -174,3 +174,38 @@ def test_zonemap_null_column_file_skipped(spark, tmp_path):
     zm = zonemap_stats(spark, p, ["v"])
     # all-null file can never satisfy v BETWEEN 1 AND 5 -> pruned entirely
     assert zonemap_candidate_files(zm, {"v": (1, 5)}) == []
+
+
+def test_sequential_ids_match_global_row_number(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.ids import (
+        assign_sequential_ids,
+    )
+
+    rng = random.Random(3)
+    rows = [(i, rng.randint(0, 10_000)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = assign_sequential_ids(df, ["v", "k"], n_partitions=7)
+    # plan must contain NO global (un-partitioned) window over the data —
+    # the data window partitions by __pid; only the tiny offset table uses
+    # an unpartitioned window
+    collected = {(r.k, r.v): r.seq_id for r in got.collect()}
+    want = {
+        (k, v): i + 1
+        for i, (v, k) in enumerate(sorted((v, k) for k, v in rows))
+    }
+    assert collected == want
+    assert sorted(collected.values()) == list(range(1, 5001))  # dense 1..n
+
+
+def test_sequential_ids_start_offset(spark):
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.ids import (
+        assign_sequential_ids,
+    )
+
+    df = spark.createDataFrame([(3,), (1,), (2,)], "x long")
+    got = {r.x: r.seq_id for r in assign_sequential_ids(df, ["x"], start=100).collect()}
+    assert got == {1: 100, 2: 101, 3: 102}
