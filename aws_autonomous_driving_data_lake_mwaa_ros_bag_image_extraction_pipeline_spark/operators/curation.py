@@ -587,3 +587,60 @@ def epoch_upsample(
         .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
         .drop("__n")
     )
+
+
+def contrastive_negatives(
+    docs: DataFrame, id_col: str = "doc_id", k: int = 4
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training:
+    ``(anchor_id, neg_rank, negative_id)`` — k pseudo-random negatives per
+    document, uniform over the OTHER documents, no RNG, reproducible
+    across runs and engines (md5-derived draws).
+
+    Shape: dense 1..n positions from ids.assign_sequential_ids (no global
+    window), a broadcast one-row count, k-way explode, then ``hash mod
+    (n-1)`` remapped around the anchor's own position (draws land in
+    [1, n]\\{self} uniformly) and an equi-join back to ids on position.
+    Work is O(n·k) narrow rows + one join — no candidate scans, no
+    rejection loops. The position join is the only shuffle.
+    """
+    from .ids import assign_sequential_ids
+
+    seq = assign_sequential_ids(
+        docs.select(id_col), [id_col], id_name="__seq"
+    )
+    n_row = seq.agg(F.count(F.lit(1)).alias("__n"))
+    fan = (
+        seq.crossJoin(F.broadcast(n_row))
+        .select(
+            F.col(id_col).alias("anchor_id"),
+            "__seq",
+            "__n",
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("neg_rank"),
+        )
+    )
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("anchor_id").cast("string"),
+                    F.lit("#"),
+                    F.col("neg_rank").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    draw = F.pmod(hv, F.col("__n") - 1) + 1
+    pos = draw + F.when(draw >= F.col("__seq"), 1).otherwise(0)
+    lookup = seq.select(
+        F.col("__seq").alias("__pos"), F.col(id_col).alias("negative_id")
+    )
+    return (
+        fan.withColumn("__pos", pos)
+        .join(lookup, "__pos")
+        .select("anchor_id", "neg_rank", "negative_id")
+    )

@@ -3626,6 +3626,48 @@ def q_sequential_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("seq_id").cast("bigint"))
 
 
+@register(
+    "contrastive_negatives",
+    """
+    WITH seq AS (
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS s FROM documents
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM seq),
+    fan AS (
+      SELECT seq.doc_id AS anchor_id, seq.s, nn.n,
+             unnest(range(1, 5)) AS neg_rank
+      FROM seq, nn
+    ),
+    h AS (
+      SELECT anchor_id, s, n, neg_rank,
+             CAST('0x' || substr(md5(CAST(anchor_id AS VARCHAR) || '#'
+                                      || CAST(neg_rank AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS hv
+      FROM fan
+    ),
+    p AS (
+      SELECT anchor_id, neg_rank,
+             ((hv % (n - 1)) + 1)
+             + CASE WHEN ((hv % (n - 1)) + 1) >= s THEN 1 ELSE 0 END AS pos
+      FROM h
+    )
+    SELECT p.anchor_id, CAST(p.neg_rank AS INTEGER) AS neg_rank,
+           seq.doc_id AS negative_id
+    FROM p JOIN seq ON seq.s = p.pos
+    """,
+)
+def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: 4
+    md5-drawn negatives per anchor, uniform over the other documents with
+    the anchor's own position remapped away — no RNG, reproducible across
+    runs/engines/cluster sizes. Dense positions come from the scale-safe
+    sequential-id operator; draws resolve through one position equi-join
+    (curation.contrastive_negatives)."""
+    return curation.contrastive_negatives(
+        _t(spark, sf_dir, "documents"), id_col="doc_id", k=4
+    ).select("anchor_id", F.col("neg_rank").cast("int"), "negative_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

@@ -292,3 +292,32 @@ def test_source_kl_divergence_identical_source_near_zero(spark):
     got2 = {r.source: r for r in source_kl_divergence(df2).collect()}
     assert got2["c"].kl > got2["a"].kl > 0.05  # outlier diverges hardest
     assert got2["c"].kl > 0.5
+
+
+def test_contrastive_negatives_never_self_and_uniformish(spark):
+    from pyspark.sql import functions as F
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.curation import (
+        contrastive_negatives,
+    )
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    neg = contrastive_negatives(df, "doc_id", k=4)
+    rows = neg.collect()
+    assert len(rows) == 200 * 4
+    assert all(r.negative_id != r.anchor_id for r in rows)  # never self
+    assert all(0 <= r.negative_id < 200 for r in rows)
+    # per anchor: exactly ranks 1..4
+    per = neg.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array_sort(F.collect_list("neg_rank")).alias("rk"),
+    ).collect()
+    assert all(r.n == 4 and r.rk == [1, 2, 3, 4] for r in per)
+    # roughly uniform coverage: most docs appear as a negative at least once
+    distinct_negs = neg.select("negative_id").distinct().count()
+    assert distinct_negs > 190
+    # deterministic across invocations
+    again = {(r.anchor_id, r.neg_rank): r.negative_id
+             for r in contrastive_negatives(df, "doc_id", k=4).collect()}
+    first = {(r.anchor_id, r.neg_rank): r.negative_id for r in rows}
+    assert first == again

@@ -60,6 +60,9 @@ ALLOWED_BNLJ = {
     # source_kl_divergence: cross joins against broadcast 1-row corpus
     # vocab-size / log-mass aggregates
     "source_kl_divergence",
+    # contrastive_negatives: cross join against the broadcast 1-row corpus
+    # count (the modulus for the md5 draws)
+    "contrastive_negatives",
 }
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
