@@ -644,3 +644,87 @@ def contrastive_negatives(
         .join(lookup, "__pos")
         .select("anchor_id", "neg_rank", "negative_id")
     )
+
+
+def span_corruption(
+    docs: DataFrame,
+    rate_pct: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """T5-style span corruption as a pure relational transform:
+    ``(id, n_spans, input_text, target_text)`` — ~``rate_pct``% of tokens
+    masked, consecutive masked tokens merged into spans, span ``j``
+    replaced by ``<extra_id_j>`` in the input and emitted after
+    ``<extra_id_j>`` in the target, with the closing sentinel appended
+    (the denoising objective of Raffel et al., "Exploring the Limits of
+    Transfer Learning with a Unified Text-to-Text Transformer", JMLR 2020
+    — public literature).
+
+    Masking is an md5 draw per (doc, position) — no RNG, identical output
+    every run/engine/cluster size, which is what makes training-data
+    generation auditable (and lets the DuckDB oracle replay the exact
+    masks). Shape: posexplode → windowed gaps-and-islands span numbering →
+    one groupBy rebuilding both strings with an ordered string_agg — no
+    Python, one shuffle on the doc key.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(T.tokens(F.col(text_col))).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    hv = H.md5_long(
+        F.concat(
+            F.col(id_col).cast("string"), F.lit("#"), F.col("pos").cast("string")
+        )
+    )
+    m = toks.withColumn("masked", F.pmod(hv, F.lit(100)) < F.lit(rate_pct))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    m = m.withColumn(
+        "start",
+        F.col("masked")
+        & ~F.coalesce(F.lag("masked").over(w), F.lit(False)),
+    ).withColumn("span", F.sum(F.col("start").cast("int")).over(w))
+    sentinel = F.concat(
+        F.lit("<extra_id_"), (F.col("span") - 1).cast("string"), F.lit(">")
+    )
+    in_piece = F.when(~F.col("masked"), F.col("tok")).when(
+        F.col("start"), sentinel
+    )  # masked non-start -> NULL, dropped from the input
+    tgt_piece = F.when(
+        F.col("masked") & F.col("start"),
+        F.concat(sentinel, F.lit(" "), F.col("tok")),
+    ).when(F.col("masked"), F.col("tok"))
+    agg = m.groupBy(id_col).agg(
+        F.max("span").alias("n_spans"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", in_piece.alias("p")))
+                ),
+                lambda x: x["p"],
+            ),
+            " ",
+            None,
+        ).alias("__in"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", tgt_piece.alias("p")))
+                ),
+                lambda x: x["p"],
+            ),
+            " ",
+            None,
+        ).alias("__tgt"),
+    )
+    closing = F.concat(
+        F.lit("<extra_id_"), F.col("n_spans").cast("string"), F.lit(">")
+    )
+    return agg.select(
+        F.col(id_col),
+        "n_spans",
+        F.col("__in").alias("input_text"),
+        F.when(F.col("__tgt") == "", closing)
+        .otherwise(F.concat(F.col("__tgt"), F.lit(" "), closing))
+        .alias("target_text"),
+    )

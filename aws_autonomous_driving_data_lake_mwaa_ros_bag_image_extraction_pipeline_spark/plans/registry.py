@@ -3668,6 +3668,71 @@ def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("anchor_id", F.col("neg_rank").cast("int"), "negative_id")
 
 
+@register(
+    "span_corruption_pairs",
+    """
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, u.pos AS pos, u.tok AS tok
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk) + 1),
+                      i -> {'pos': i - 1, 'tok': tk[i]})) AS u
+        FROM base
+      ) WHERE u.tok <> ''
+    ),
+    m AS (
+      SELECT doc_id, pos, tok,
+             (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+                                      || CAST(pos AS VARCHAR)), 1, 15)
+                   AS BIGINT) % 100) < 15 AS masked
+      FROM flat
+    ),
+    sp AS (
+      SELECT doc_id, pos, tok, masked,
+             masked AND NOT coalesce(
+               lag(masked) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+               AS start
+      FROM m
+    ),
+    sp2 AS (
+      SELECT *, SUM(CASE WHEN start THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos) AS span
+      FROM sp
+    ),
+    pieces AS (
+      SELECT doc_id, pos, span, masked,
+             CASE WHEN NOT masked THEN tok
+                  WHEN start THEN '<extra_id_' || CAST(span - 1 AS VARCHAR) || '>'
+             END AS in_piece,
+             CASE WHEN masked AND start THEN
+                    '<extra_id_' || CAST(span - 1 AS VARCHAR) || '> ' || tok
+                  WHEN masked THEN tok
+             END AS tgt_piece
+      FROM sp2
+    )
+    SELECT doc_id, MAX(span) AS n_spans,
+           coalesce(string_agg(in_piece, ' ' ORDER BY pos), '') AS input_text,
+           CASE WHEN coalesce(string_agg(tgt_piece, ' ' ORDER BY pos), '') = ''
+                THEN '<extra_id_' || CAST(MAX(span) AS VARCHAR) || '>'
+                ELSE string_agg(tgt_piece, ' ' ORDER BY pos)
+                     || ' <extra_id_' || CAST(MAX(span) AS VARCHAR) || '>'
+           END AS target_text
+    FROM pieces GROUP BY doc_id
+    """,
+)
+def q_span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 denoising pairs as a query: deterministic md5 masks (~15% of
+    tokens), gaps-and-islands span numbering, sentinel rewrite of input
+    and target with the closing sentinel — training-example generation
+    that is auditable and replayable because there is no RNG anywhere
+    (curation.span_corruption). One shuffle on the doc key."""
+    return curation.span_corruption(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

@@ -321,3 +321,50 @@ def test_contrastive_negatives_never_self_and_uniformish(spark):
              for r in contrastive_negatives(df, "doc_id", k=4).collect()}
     first = {(r.anchor_id, r.neg_rank): r.negative_id for r in rows}
     assert first == again
+
+
+def test_span_corruption_roundtrip_and_sentinels(spark):
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.curation import (
+        span_corruption,
+    )
+
+    docs = _docs(
+        spark,
+        [(i, " ".join(f"w{j}" for j in range(40))) for i in range(10)],
+    )
+    got = {r.doc_id: r for r in span_corruption(docs, rate_pct=25).collect()}
+    for r in got.values():
+        inp, tgt = r.input_text.split(), r.target_text.split()
+        # input sentinels are exactly <extra_id_0..n_spans-1>, in order
+        in_sents = [t for t in inp if t.startswith("<extra_id_")]
+        assert in_sents == [f"<extra_id_{j}>" for j in range(r.n_spans)]
+        # target ends with the closing sentinel
+        assert tgt[-1] == f"<extra_id_{r.n_spans}>"
+        # reconstruction: substituting each target span back into the input
+        # at its sentinel reproduces the original token sequence
+        spans: dict[str, list[str]] = {}
+        cur = None
+        for t in tgt[:-1]:
+            if t.startswith("<extra_id_"):
+                cur = t
+                spans[cur] = []
+            else:
+                spans[cur].append(t)
+        rebuilt = []
+        for t in inp:
+            rebuilt.extend(spans[t] if t in spans else [t])
+        assert rebuilt == [f"w{j}" for j in range(40)]
+        # masking actually happened at this rate over 40 tokens
+        assert r.n_spans >= 1
+
+
+def test_span_corruption_no_masks_yields_identity_pair(spark):
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.curation import (
+        span_corruption,
+    )
+
+    docs = _docs(spark, [(1, "alpha beta gamma")])
+    r = span_corruption(docs, rate_pct=0).collect()[0]
+    assert r.n_spans == 0
+    assert r.input_text == "alpha beta gamma"
+    assert r.target_text == "<extra_id_0>"
