@@ -93,6 +93,7 @@ def main() -> None:
         "minhash_dedup_pairs", "simhash_near_pairs", "ngram_jaccard_pairs",
         "embedding_dup_pairs_lsh", "embedding_dup_pairs", "near_dup_clusters",
         "lsh_topk", "semantic_dedup_survivors", "edit_distance_pairs",
+        "pq_topk",
     ]
     if os.path.isdir(lo_dir) and os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
         import math
