@@ -496,12 +496,32 @@ def embedding_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # Norms are computed ONCE PER VECTOR on the join-back tables, not per
+    # candidate pair — cosine folds are the verify stage's whole cost, and
+    # each pair was paying 2 norm folds it shares with every other pair of
+    # the same vector. dot/(na·nb) is the IDENTICAL double arithmetic
+    # (norm per vector is deterministic), so oracle hashes don't move.
+    va = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        V.norm(F.col(vec_col)).alias("__na"),
+    )
+    vb = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        V.norm(F.col(vec_col)).alias("__nb"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", V.cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                V.dot(F.col("va"), F.col("vb"))
+                / (F.col("__na") * F.col("__nb"))
+            ).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -523,12 +543,20 @@ def embedding_dup_pairs_exact(
     """
     par = emb.sparkSession.sparkContext.defaultParallelism
     a = emb.repartition(par).select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        V.norm(F.col(vec_col)).alias("__na"),
     )
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        V.norm(F.col(vec_col)).alias("__nb"),
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return pairs.select(
-        "id_a", "id_b", V.cosine(F.col("va"), F.col("vb")).alias("cosine")
+        "id_a",
+        "id_b",
+        (
+            V.dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
+        ).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
 
 
@@ -608,28 +636,45 @@ def semantic_dedup_survivors(
     from ..functions import vectors as V
     from . import similarity as S
 
-    cents = S._ivf_centroids(emb, n_lists, id_col, vec_col)
-    scored = emb.select(F.col(id_col), F.col(vec_col)).join(F.broadcast(cents))
+    cents = S._ivf_centroids(emb, n_lists, id_col, vec_col).withColumn(
+        "__ncv", V.norm(F.col("cv"))
+    )
+    # vector/centroid norms fold once per ROW, not once per (vector,
+    # centroid) or per within-cluster pair — same double arithmetic as the
+    # per-pair form, so assignments, survivors, and oracle hashes are
+    # unchanged while the quadratic stages shed the repeated norm folds
+    embn = emb.select(
+        F.col(id_col), F.col(vec_col), V.norm(F.col(vec_col)).alias("__nv")
+    )
+    scored = embn.join(F.broadcast(cents))
     assign = (
         scored.select(
             F.col(id_col),
             F.col("cid"),
-            F.round(-V.cosine(F.col(vec_col), F.col("cv")), 6).alias("d"),
+            F.round(
+                -(V.dot(F.col(vec_col), F.col("cv"))
+                  / (F.col("__nv") * F.col("__ncv"))), 6
+            ).alias("d"),
         )
         .groupBy(id_col)
         .agg(F.min(F.struct("d", "cid"))["cid"].alias("list_id"))
-        .join(emb.select(F.col(id_col), F.col(vec_col)), id_col)
+        .join(embn, id_col)
     )
     a = assign.select(
-        F.col(id_col).alias("id_a"), F.col("list_id"), F.col(vec_col).alias("va")
+        F.col(id_col).alias("id_a"), F.col("list_id"),
+        F.col(vec_col).alias("va"), F.col("__nv").alias("__na"),
     )
     b = assign.select(
-        F.col(id_col).alias("id_b"), F.col("list_id"), F.col(vec_col).alias("vb")
+        F.col(id_col).alias("id_b"), F.col("list_id"),
+        F.col(vec_col).alias("vb"), F.col("__nv").alias("__nb"),
     )
     dropped = (
         a.join(b, "list_id")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(V.cosine(F.col("va"), F.col("vb")) >= threshold)
+        .filter(
+            V.dot(F.col("va"), F.col("vb"))
+            / (F.col("__na") * F.col("__nb")) >= threshold
+        )
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )

@@ -36,16 +36,29 @@ def brute_force_topk(
     the final per-query top-k shuffle, which carries only (query, k) rows
     after AQE's partial top-k pushdown via rank filter.
     """
+    # Per-vector norms ride each side (computed once per row, identical
+    # double arithmetic to the per-pair form) — the corpus norm would
+    # otherwise be re-folded once per QUERY.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        V.norm(F.col(vec_col)).alias("__nq"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        V.norm(F.col(vec_col)).alias("__nc"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(V.cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            F.round(
+                V.dot(F.col("qv"), F.col("cv"))
+                / (F.col("__nq") * F.col("__nc")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -166,22 +179,29 @@ def lsh_topk(
         )
     else:
         bk_q = bk
+    # Norms fold once per BUCKET ROW (n·n_tables), not once per candidate
+    # pair — same double arithmetic, so scores (and oracle hashes) are
+    # unchanged while the verify stage sheds its dominant cost.
     a = bk_q.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "table", "bucket"
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        V.norm(F.col(vec_col)).alias("__nq"), "table", "bucket"
     )
     b = bk.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "table", "bucket"
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        V.norm(F.col(vec_col)).alias("__nc"), "table", "bucket"
     )
     cands = (
         a.join(b, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qv", "cv")
+        .select("query_id", "neighbor_id", "qv", "cv", "__nq", "__nc")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cands.select(
         "query_id",
         "neighbor_id",
-        F.round(V.cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        F.round(
+            V.dot(F.col("qv"), F.col("cv")) / (F.col("__nq") * F.col("__nc")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -226,15 +246,23 @@ def refine_centroids(
     identically every run. Returns (cid, cv) like ``_ivf_centroids``.
     """
     cents = _ivf_centroids(emb, n_lists, id_col, vec_col)
+    embn = emb.select(
+        F.col(id_col), F.col(vec_col), V.norm(F.col(vec_col)).alias("__nv")
+    )
     for _ in range(iterations):
-        scored = emb.select(F.col(id_col), F.col(vec_col)).join(F.broadcast(cents))
+        scored = embn.join(
+            F.broadcast(cents.withColumn("__ncv", V.norm(F.col("cv"))))
+        )
         assign = (
             scored.select(
                 F.col(id_col),
                 F.col("cid"),
                 # rounded + struct-min: deterministic assignment under ties
                 # (same contract as ivf_assign)
-                F.round(-V.cosine(F.col(vec_col), F.col("cv")), 6).alias("d"),
+                F.round(
+                    -(V.dot(F.col(vec_col), F.col("cv"))
+                      / (F.col("__nv") * F.col("__ncv"))), 6
+                ).alias("d"),
             )
             .groupBy(id_col)
             .agg(F.min(F.struct("d", "cid"))["cid"].alias("cid"))
@@ -274,10 +302,18 @@ def ivf_assign(
     cents = centroids if centroids is not None else _ivf_centroids(
         emb, n_lists, id_col, vec_col
     )
-    scored = emb.select(F.col(id_col), F.col(vec_col)).join(F.broadcast(cents))
+    # norms fold once per vector / per centroid, not per (vector, centroid)
+    # — identical double arithmetic, so assignments don't move
+    centsn = cents.withColumn("__ncv", V.norm(F.col("cv")))
+    scored = emb.select(
+        F.col(id_col), F.col(vec_col), V.norm(F.col(vec_col)).alias("__nv")
+    ).join(F.broadcast(centsn))
     # max cosine = min distance; rounded + struct-min so the nearest-list
     # choice is deterministic (ties break on cid) and oracle-reproducible
-    dist = F.round(-V.cosine(F.col(vec_col), F.col("cv")), 6)
+    dist = F.round(
+        -(V.dot(F.col(vec_col), F.col("cv")) / (F.col("__nv") * F.col("__ncv"))),
+        6,
+    )
     assign = (
         scored.select(F.col(id_col), F.col("cid"), dist.alias("d"))
         .groupBy(id_col)
@@ -308,14 +344,21 @@ def ivf_topk(
         emb, n_lists, id_col, vec_col
     )
     corpus = ivf_assign(emb, n_lists, id_col, vec_col, centroids=cents).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "list_id"
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        V.norm(F.col(vec_col)).alias("__nc"), "list_id"
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        V.norm(F.col(vec_col)).alias("__nq"),
+    )
     probes = (
-        q.join(F.broadcast(cents))
+        q.join(F.broadcast(cents.withColumn("__ncv", V.norm(F.col("cv")))))
         .select(
-            "query_id", "qv", F.col("cid").alias("list_id"),
-            F.round(-V.cosine(F.col("qv"), F.col("cv")), 6).alias("d"),
+            "query_id", "qv", "__nq", F.col("cid").alias("list_id"),
+            F.round(
+                -(V.dot(F.col("qv"), F.col("cv"))
+                  / (F.col("__nq") * F.col("__ncv"))), 6
+            ).alias("d"),
         )
         .withColumn(
             "__pr",
@@ -324,7 +367,7 @@ def ivf_topk(
             ),
         )
         .filter(F.col("__pr") <= n_probe)
-        .select("query_id", "qv", "list_id")
+        .select("query_id", "qv", "__nq", "list_id")
     )
     scored = (
         corpus.join(probes, "list_id")
@@ -332,7 +375,10 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(V.cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            F.round(
+                V.dot(F.col("qv"), F.col("cv"))
+                / (F.col("__nq") * F.col("__nc")), 6
+            ).alias("cosine"),
         )
     )
     wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -441,16 +487,25 @@ def search_ivf_index(
     tests via the plan's dynamicpruning subquery). Same ranking contract as
     ``ivf_topk``: cosine rounded to 6, ties on neighbor_id.
     """
-    cents = spark.read.parquet(f"{path}/centroids")
-    lists = spark.read.parquet(f"{path}/lists").select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "list_id"
+    cents = spark.read.parquet(f"{path}/centroids").withColumn(
+        "__ncv", V.norm(F.col("cv"))
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    lists = spark.read.parquet(f"{path}/lists").select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        V.norm(F.col(vec_col)).alias("__nc"), "list_id"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        V.norm(F.col(vec_col)).alias("__nq"),
+    )
     probes = (
         q.join(F.broadcast(cents))
         .select(
-            "query_id", "qv", F.col("cid").alias("list_id"),
-            F.round(-V.cosine(F.col("qv"), F.col("cv")), 6).alias("d"),
+            "query_id", "qv", "__nq", F.col("cid").alias("list_id"),
+            F.round(
+                -(V.dot(F.col("qv"), F.col("cv"))
+                  / (F.col("__nq") * F.col("__ncv"))), 6
+            ).alias("d"),
         )
         .withColumn(
             "__pr",
@@ -459,7 +514,7 @@ def search_ivf_index(
             ),
         )
         .filter(F.col("__pr") <= n_probe)
-        .select("query_id", "qv", "list_id")
+        .select("query_id", "qv", "__nq", "list_id")
     )
     scored = (
         lists.join(F.broadcast(probes), "list_id")
@@ -467,7 +522,10 @@ def search_ivf_index(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(V.cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            F.round(
+                V.dot(F.col("qv"), F.col("cv"))
+                / (F.col("__nq") * F.col("__nc")), 6
+            ).alias("cosine"),
         )
     )
     wr = Window.partitionBy("query_id").orderBy(
@@ -661,6 +719,7 @@ def lsh_multiprobe_topk(
     probes = bk_q.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        V.norm(F.col(vec_col)).alias("__nq"),
         "table",
         F.explode(
             F.array(
@@ -675,19 +734,22 @@ def lsh_multiprobe_topk(
     b = bk.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        V.norm(F.col(vec_col)).alias("__nc"),
         "table",
         "bucket",
     )
     cands = (
         probes.join(b, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qv", "cv")
+        .select("query_id", "neighbor_id", "qv", "cv", "__nq", "__nc")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cands.select(
         "query_id",
         "neighbor_id",
-        F.round(V.cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        F.round(
+            V.dot(F.col("qv"), F.col("cv")) / (F.col("__nq") * F.col("__nc")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
