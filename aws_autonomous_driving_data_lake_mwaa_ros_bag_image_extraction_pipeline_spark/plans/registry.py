@@ -3733,6 +3733,35 @@ def q_span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.span_corruption(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "variant_props_stats",
+    """
+    SELECT event_type,
+           COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads through Spark 4's VARIANT type:
+    ``parse_json`` once at the scan, ``variant_get`` path extraction in
+    the aggregate — the open-schema form of the S9/P4 JSON flatten (no
+    declared schema, binary-encoded variant instead of per-query string
+    re-parsing; at scale parse once, persist the variant column, and
+    every downstream path read skips the JSON text entirely)."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------
