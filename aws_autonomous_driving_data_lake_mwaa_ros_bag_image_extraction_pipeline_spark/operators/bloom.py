@@ -140,3 +140,44 @@ def bloom_semi_join(
     if big_key == small_key:
         return pruned.join(small, big_key)
     return pruned.join(small, pruned[big_key] == small[small_key], "inner")
+
+
+def write_bloom(
+    keys: DataFrame,
+    key_col: str,
+    path: str,
+    m_bits: int = 1 << 23,
+    n_hashes: int = 5,
+) -> None:
+    """Persist the bitmap (with its parameters) as a one-row parquet — the
+    reusable artifact the module docstring promises: build once when the
+    dimension/manifest changes, prune any number of later queries without
+    rescanning the keys. Readers MUST probe with the stored parameters;
+    ``read_bloom`` returns them alongside the bitmap row."""
+    bf = bloom_bitmap(keys, key_col, m_bits, n_hashes).select(
+        "bloom",
+        F.lit(m_bits).alias("m_bits"),
+        F.lit(n_hashes).alias("n_hashes"),
+    )
+    bf.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def read_bloom(spark, path: str):
+    """(one-row bitmap DataFrame, m_bits, n_hashes) from ``write_bloom``."""
+    df = spark.read.parquet(path)
+    row = df.select("m_bits", "n_hashes").first()
+    return df.select("bloom"), int(row.m_bits), int(row.n_hashes)
+
+
+def bloom_prune_with(
+    big: DataFrame,
+    bloom_df: DataFrame,
+    big_key: str,
+    m_bits: int,
+    n_hashes: int,
+) -> DataFrame:
+    """``bloom_prune`` against an already-built (e.g. persisted) bitmap."""
+    pruned = big.crossJoin(F.broadcast(bloom_df)).filter(
+        _member(F.col(big_key), m_bits, n_hashes)
+    )
+    return pruned.drop("bloom")

@@ -57,3 +57,28 @@ def test_bitmap_is_one_bounded_row(spark):
     words = rows[0].bloom
     assert len(words) == (1 << 16) // 64  # dense: exactly m/64 packed words
     assert any(w != 0 for w in words)
+
+
+def test_persisted_bloom_roundtrip(spark, tmp_path):
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.bloom import (
+        bloom_prune,
+        bloom_prune_with,
+        read_bloom,
+        write_bloom,
+    )
+
+    p = str(tmp_path / "bf")
+    small = spark.range(0, 10000, 37).withColumnRenamed("id", "k")
+    big = spark.range(0, 10000).withColumnRenamed("id", "k")
+    write_bloom(small, "k", p, m_bits=1 << 18, n_hashes=4)
+    bf, m, h = read_bloom(spark, p)
+    assert (m, h) == (1 << 18, 4)
+    from_disk = set(
+        r.k for r in bloom_prune_with(big, bf, "k", m, h).collect()
+    )
+    fresh = set(
+        r.k
+        for r in bloom_prune(big, small, "k", m_bits=1 << 18, n_hashes=4).collect()
+    )
+    assert from_disk == fresh  # persisted bitmap == freshly built bitmap
+    assert set(range(0, 10000, 37)) <= from_disk
