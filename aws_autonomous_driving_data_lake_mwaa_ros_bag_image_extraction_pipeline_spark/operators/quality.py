@@ -258,3 +258,43 @@ def group_linear_trend(
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Keyed snapshot diff: one row per key present in either version,
+    classified ``added`` / ``removed`` / ``changed`` / ``unchanged`` - the
+    audit between two versions of a dataset (yesterday's lake vs today's,
+    a manifest generation vs the next) that answers "what did this
+    pipeline run actually do?".
+
+    One full-outer join on the key; change detection compares md5 over the
+    concatenated compare columns (computed per side BEFORE the join, so
+    wide rows never cross the shuffle - only key + 32-byte digest do).
+    Aggregate with ``groupBy("status").count()`` for the one-line summary.
+    """
+
+    def _fp(df: DataFrame, out: str) -> DataFrame:
+        return df.select(
+            F.col(key_col),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(c).cast("string") for c in compare_cols]
+                )
+            ).alias(out),
+        )
+
+    o = _fp(old, "__old_fp")
+    n = _fp(new, "__new_fp")
+    joined = o.join(n, key_col, "full_outer")
+    status = (
+        F.when(F.col("__old_fp").isNull(), F.lit("added"))
+        .when(F.col("__new_fp").isNull(), F.lit("removed"))
+        .when(F.col("__old_fp") != F.col("__new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(F.col(key_col), status.alias("status"))

@@ -3762,6 +3762,53 @@ def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "snapshot_diff_documents",
+    """
+    WITH old AS (
+      SELECT doc_id, md5(CAST(text AS VARCHAR)) AS fp
+      FROM documents WHERE doc_id % 10 <> 0
+    ),
+    new_v AS (
+      SELECT doc_id,
+             md5(CAST(CASE WHEN doc_id % 7 = 0
+                           THEN text || ' (edited)' ELSE text END AS VARCHAR))
+               AS fp
+      FROM documents WHERE doc_id % 10 <> 1
+    ),
+    d AS (
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.fp IS NULL THEN 'added'
+                  WHEN n.fp IS NULL THEN 'removed'
+                  WHEN o.fp <> n.fp THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM old o FULL OUTER JOIN new_v n ON o.doc_id = n.doc_id
+    )
+    SELECT status, COUNT(*) AS n FROM d GROUP BY status
+    """,
+)
+def q_snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version audit (quality.table_diff): classify every key
+    across two snapshots as added/removed/changed/unchanged via one
+    full-outer join of per-side md5 digests — wide rows never cross the
+    shuffle, only key + 32-byte fingerprint. The two versions here are
+    deterministic derivations of the documents table (drop doc_id%10==0
+    from 'old', drop %10==1 from 'new', edit %7==0), so the oracle
+    replays the same diff."""
+    from ..operators.quality import table_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new_v = docs.filter(F.col("doc_id") % 10 != 1).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" (edited)"))
+        ).otherwise(F.col("text")),
+    )
+    diff = table_diff(old, new_v, "doc_id", ["text"])
+    return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

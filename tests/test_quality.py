@@ -136,3 +136,18 @@ def test_group_linear_trend_exact_line(spark):
     assert got["b"].slope is None and got["b"].r2 is None
     assert got["c"].slope is None
     assert got["a"].n == 6 and got["b"].n == 2 and got["c"].n == 1
+
+
+def test_table_diff_classification(spark):
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.quality import (
+        table_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "k long, s string, v double"
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 2.0), (3, "C", 3.0), (4, "d", 4.0)], "k long, s string, v double"
+    )
+    got = {r.k: r.status for r in table_diff(old, new, "k", ["s", "v"]).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
