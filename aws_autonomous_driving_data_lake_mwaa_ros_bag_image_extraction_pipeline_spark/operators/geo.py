@@ -1,0 +1,126 @@
+"""Geospatial operators for GPS-bearing topic streams.
+
+An AV data lake's bags carry GPS/odometry topics (SURVEY §1.2's typed topic
+tables); the queries a fleet team runs over them are spatial: "every frame
+within 50 m of this intersection", "pairs of drives that passed the same
+spot". The naive form is an all-pairs haversine filter — O(n·q) trig.
+
+Scale shape — the same bucket-block-verify pattern as the dedup family:
+points key into fixed-degree grid CELLS (pure arithmetic, no trig, no
+geo library); each query probes its own cell plus the 8 neighbors at a
+resolution chosen so the radius cannot span more than one cell step;
+candidates come from an equi-join on the cell id and only THEY pay the
+haversine. Everything is whole-stage codegen and DuckDB-replayable.
+
+Longitude degrees shrink with latitude (cos(lat)), so the lossless cell
+resolution must come from the WORST latitude the data can reach —
+``max_abs_lat`` (default 60°, cos = 0.5). Polar data (|lat| beyond the
+bound) would need a coarser grid. The ring does NOT wrap the antimeridian:
+pairs straddling lon ±180 need a pre-shift (rotate longitudes) or a second
+pass — documented limitation, matching fleet data that stays continental.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0088
+KM_PER_DEG_LAT = 111.19492664455873  # pi * R / 180
+
+
+def haversine_km(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance in km (double trig — identical formula in the
+    DuckDB oracle; both engines' libm agree far beyond the rounded
+    output precision)."""
+    rl1 = F.radians(lat1)
+    rl2 = F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(rl1) * F.cos(rl2) * F.sin(dlon) * F.sin(dlon)
+    )
+    return 2 * F.lit(EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def geo_cell(lat: Column, lon: Column, cell_deg: float) -> Column:
+    """Integer grid-cell id for a ``cell_deg``-degree lat/lon grid — one
+    BIGINT join key (row-major over the 360/cell_deg-wide grid). Pure
+    floor arithmetic: bit-identical across engines, no trig."""
+    rows_per_band = int(math.ceil(360.0 / cell_deg))
+    cy = F.floor((lat + F.lit(90.0)) / F.lit(cell_deg))
+    cx = F.floor((lon + F.lit(180.0)) / F.lit(cell_deg))
+    return (cy * F.lit(rows_per_band) + cx).cast("bigint")
+
+
+def radius_cell_deg(radius_km: float, max_abs_lat: float = 60.0) -> float:
+    """Smallest safe cell size (degrees) such that any two points within
+    ``radius_km`` are in the same or an adjacent cell, for data with
+    |lat| <= max_abs_lat."""
+    deg_lat = radius_km / KM_PER_DEG_LAT
+    deg_lon = radius_km / (
+        KM_PER_DEG_LAT * math.cos(math.radians(max_abs_lat))
+    )
+    return max(deg_lat, deg_lon)
+
+
+def geo_radius_join(
+    points: DataFrame,
+    queries: DataFrame,
+    radius_km: float,
+    point_id: str = "point_id",
+    query_id: str = "query_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_abs_lat: float = 60.0,
+) -> DataFrame:
+    """All (query, point) pairs within ``radius_km`` →
+    ``(query_id, point_id, dist_km)`` — cell-blocked, never all-pairs.
+
+    Points emit ONE row each (their cell); queries emit 9 (their cell and
+    its ring), so the candidate equi-join fans out on the SMALL side. The
+    ring guarantee needs the cell to be at least the radius in both axes
+    at the worst latitude — see ``radius_cell_deg``.
+    """
+    cell_deg = radius_cell_deg(radius_km, max_abs_lat)
+    rows_per_band = int(math.ceil(360.0 / cell_deg))
+    p = points.select(
+        F.col(point_id).alias("__pid"),
+        F.col(lat_col).alias("__plat"),
+        F.col(lon_col).alias("__plon"),
+        geo_cell(F.col(lat_col), F.col(lon_col), cell_deg).alias("__cell"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(lat_col).alias("__qlat"),
+        F.col(lon_col).alias("__qlon"),
+        geo_cell(F.col(lat_col), F.col(lon_col), cell_deg).alias("__c0"),
+    )
+    ring = [
+        dy * rows_per_band + dx for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+    ]
+    q = q.select(
+        "__qid",
+        "__qlat",
+        "__qlon",
+        F.explode(
+            F.array(*[F.col("__c0") + F.lit(d) for d in ring])
+        ).alias("__cell"),
+    )
+    dist = haversine_km(
+        F.col("__qlat"), F.col("__qlon"), F.col("__plat"), F.col("__plon")
+    )
+    return (
+        p.join(q, "__cell")
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__pid").alias(point_id),
+            dist.alias("dist_km"),
+        )
+        .filter(F.col("dist_km") <= F.lit(radius_km))
+    )

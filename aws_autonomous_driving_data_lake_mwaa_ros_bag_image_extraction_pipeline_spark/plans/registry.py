@@ -3809,6 +3809,58 @@ def q_snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
 
 
+_GEO_PTS = """
+      SELECT event_id AS pid,
+             CAST(user_id % 1200 AS DOUBLE) / 10 - 60 AS lat,
+             CAST(event_id % 3400 AS DOUBLE) / 10 - 170 AS lon
+      FROM events
+"""
+
+
+@register(
+    "geo_radius_pairs",
+    f"""
+    WITH pts AS ({_GEO_PTS}),
+    q AS (SELECT * FROM pts WHERE pid < 10),
+    d AS (
+      SELECT q.pid AS qid, p.pid AS pid2,
+             2 * 6371.0088 * asin(sqrt(
+               sin(radians(p.lat - q.lat) / 2) * sin(radians(p.lat - q.lat) / 2)
+               + cos(radians(q.lat)) * cos(radians(p.lat))
+                 * sin(radians(p.lon - q.lon) / 2)
+                 * sin(radians(p.lon - q.lon) / 2)
+             )) AS dist
+      FROM q, pts p
+    )
+    SELECT qid AS query_id, pid2 AS point_id,
+           floor(dist * 10000 + 0.5) / 10000.0 AS dist_km
+    FROM d WHERE dist <= 50
+    """,
+)
+def q_geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join over GPS-shaped coordinates (the fleet query
+    "frames within 50 km of these sites"): grid-cell blocking + 9-cell
+    probe ring + haversine verify on candidates only — never all-pairs
+    (operators/geo.geo_radius_join). Coordinates derive deterministically
+    from event ids (the GPS topic stand-in); the oracle is the BRUTE-FORCE
+    haversine join, independently proving the cell blocking lossless."""
+    from ..operators import geo
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_id").alias("point_id"),
+        (F.pmod(F.col("user_id"), F.lit(1200)).cast("double") / 10 - 60).alias("lat"),
+        (F.pmod(F.col("event_id"), F.lit(3400)).cast("double") / 10 - 170).alias("lon"),
+    )
+    qs = pts.filter(F.col("point_id") < 10).withColumnRenamed(
+        "point_id", "query_id"
+    )
+    out = geo.geo_radius_join(pts, qs, radius_km=50.0)
+    return out.select(
+        "query_id", "point_id", H.quantize(F.col("dist_km"), 4).alias("dist_km")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------
