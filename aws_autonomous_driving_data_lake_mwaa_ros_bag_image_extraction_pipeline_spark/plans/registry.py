@@ -3861,6 +3861,69 @@ def q_geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "track_path_lengths",
+    f"""
+    WITH pts AS (
+      SELECT user_id, ts, event_id,
+             CAST(user_id % 1200 AS DOUBLE) / 10 - 60 AS lat,
+             CAST(event_id % 3400 AS DOUBLE) / 10 - 170 AS lon
+      FROM events
+    ),
+    legs AS (
+      SELECT user_id, lat, lon,
+             lag(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plat,
+             lag(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plon
+      FROM pts
+    ),
+    d AS (
+      SELECT user_id,
+             2 * 6371.0088 * asin(sqrt(
+               sin(radians(lat - plat) / 2) * sin(radians(lat - plat) / 2)
+               + cos(radians(plat)) * cos(radians(lat))
+                 * sin(radians(lon - plon) / 2) * sin(radians(lon - plon) / 2)
+             )) AS leg
+      FROM legs WHERE plat IS NOT NULL
+    )
+    SELECT user_id, COUNT(*) AS n_legs,
+           floor(SUM(leg) * 10000 + 0.5) / 10000.0 AS path_km,
+           floor(MAX(leg) * 10000 + 0.5) / 10000.0 AS max_leg_km
+    FROM d GROUP BY user_id
+    ORDER BY path_km DESC, user_id LIMIT 20
+    """,
+)
+def q_track_path_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-drive trajectory summary (GPS-topic shape): total path length
+    and longest leg from consecutive fixes — one lag window per track +
+    haversine per leg, the odometry audit that flags GPS jumps (max leg
+    way above the sensor's plausible speed). Top-20 heaviest tracks via
+    TakeOrderedAndProject; coordinates derive from event ids as in
+    geo_radius_pairs."""
+    from ..operators.geo import haversine_km
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id", "ts", "event_id",
+        (F.pmod(F.col("user_id"), F.lit(1200)).cast("double") / 10 - 60).alias("lat"),
+        (F.pmod(F.col("event_id"), F.lit(3400)).cast("double") / 10 - 170).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    legs = pts.select(
+        "user_id", "lat", "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    ).filter(F.col("plat").isNotNull())
+    leg = haversine_km(
+        F.col("plat"), F.col("plon"), F.col("lat"), F.col("lon")
+    )
+    agg = legs.select("user_id", leg.alias("leg")).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_legs"),
+        H.quantize(F.sum("leg"), 4).alias("path_km"),
+        H.quantize(F.max("leg"), 4).alias("max_leg_km"),
+    )
+    return agg.orderBy(F.desc("path_km"), "user_id").limit(20)
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------
