@@ -124,3 +124,93 @@ def geo_radius_join(
         )
         .filter(F.col("dist_km") <= F.lit(radius_km))
     )
+
+
+def colocation_pairs(
+    fixes: DataFrame,
+    radius_km: float,
+    max_dt_s: int,
+    track_col: str = "user_id",
+    fix_id: str = "event_id",
+    ts_col: str = "ts",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_abs_lat: float = 60.0,
+) -> DataFrame:
+    """Spatiotemporal co-location: pairs of TRACKS that were within
+    ``radius_km`` of each other within ``max_dt_s`` seconds →
+    ``(track_a, track_b, n_encounters, first_ms)`` with ``track_a <
+    track_b`` — the "which drives passed the same spot at the same time"
+    query (encounter mining over fleet GPS).
+
+    Blocking extends the radius join into TIME: one side keys each fix by
+    (cell, time-bucket); the other probes its 9-cell ring x 3 adjacent
+    buckets (27 keys per fix, constant fan-out), with cell size from the
+    worst latitude and bucket width = ``max_dt_s`` — so any qualifying
+    fix-pair shares a key. Candidates equi-join, haversine + |dt| verify,
+    fix-pair dedup (a pair can collide under several keys), then one
+    aggregation per track pair. Same antimeridian caveat as
+    ``geo_radius_join``.
+    """
+    cell_deg = radius_cell_deg(radius_km, max_abs_lat)
+    rows_per_band = int(math.ceil(360.0 / cell_deg))
+    ms = F.unix_millis(F.col(ts_col))
+    base = fixes.select(
+        F.col(track_col).alias("__trk"),
+        F.col(fix_id).alias("__fid"),
+        ms.alias("__ms"),
+        F.col(lat_col).alias("__lat"),
+        F.col(lon_col).alias("__lon"),
+        geo_cell(F.col(lat_col), F.col(lon_col), cell_deg).alias("__c0"),
+        F.floor(ms / F.lit(max_dt_s * 1000)).alias("__b0"),
+    )
+    idx = base.select(
+        F.col("__trk").alias("trk_a"),
+        F.col("__fid").alias("fid_a"),
+        F.col("__ms").alias("ms_a"),
+        F.col("__lat").alias("lat_a"),
+        F.col("__lon").alias("lon_a"),
+        F.col("__c0").alias("__cell"),
+        F.col("__b0").alias("__bkt"),
+    )
+    ring = [dy * rows_per_band + dx for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    probe = base.select(
+        F.col("__trk").alias("trk_b"),
+        F.col("__fid").alias("fid_b"),
+        F.col("__ms").alias("ms_b"),
+        F.col("__lat").alias("lat_b"),
+        F.col("__lon").alias("lon_b"),
+        F.explode(
+            F.array(*[F.col("__c0") + F.lit(d) for d in ring])
+        ).alias("__cell"),
+        "__b0",
+    ).select(
+        "trk_b", "fid_b", "ms_b", "lat_b", "lon_b", "__cell",
+        F.explode(
+            F.array(
+                F.col("__b0") - 1, F.col("__b0"), F.col("__b0") + 1
+            )
+        ).alias("__bkt"),
+    )
+    cands = (
+        idx.join(probe, ["__cell", "__bkt"])
+        .filter(F.col("trk_a") < F.col("trk_b"))
+        .filter(
+            F.abs(F.col("ms_a") - F.col("ms_b")) <= F.lit(max_dt_s * 1000)
+        )
+        .filter(
+            haversine_km(
+                F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
+            )
+            <= F.lit(radius_km)
+        )
+        .select("trk_a", "trk_b", "fid_a", "fid_b", "ms_a", "ms_b")
+        .dropDuplicates(["trk_a", "trk_b", "fid_a", "fid_b"])
+    )
+    return cands.groupBy(
+        F.col("trk_a").alias(f"{track_col}_a"),
+        F.col("trk_b").alias(f"{track_col}_b"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_encounters"),
+        F.min(F.least("ms_a", "ms_b")).alias("first_ms"),
+    )

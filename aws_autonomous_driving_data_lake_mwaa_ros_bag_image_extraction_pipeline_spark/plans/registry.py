@@ -3924,6 +3924,56 @@ def q_track_path_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy(F.desc("path_km"), "user_id").limit(20)
 
 
+@register(
+    "colocation_pairs",
+    """
+    WITH pts AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ms,
+             user_id % 1200 AS latk,
+             CAST(user_id % 1200 AS DOUBLE) / 10 - 60 AS lat,
+             CAST(event_id % 3400 AS DOUBLE) / 10 - 170 AS lon
+      FROM events
+    ),
+    cand AS (
+      SELECT a.user_id AS ua, b.user_id AS ub, a.ms AS ma, b.ms AS mb,
+             a.lat AS la, a.lon AS loa, b.lat AS lb, b.lon AS lob
+      FROM pts a JOIN pts b
+        ON a.user_id < b.user_id
+       AND abs(a.latk - b.latk) <= 5
+       AND abs(a.ms - b.ms) <= 3600000
+    ),
+    v AS (
+      SELECT ua, ub, ma, mb FROM cand
+      WHERE 2 * 6371.0088 * asin(sqrt(
+              sin(radians(lb - la) / 2) * sin(radians(lb - la) / 2)
+              + cos(radians(la)) * cos(radians(lb))
+                * sin(radians(lob - loa) / 2) * sin(radians(lob - loa) / 2)
+            )) <= 50
+    )
+    SELECT ua AS user_id_a, ub AS user_id_b, COUNT(*) AS n_encounters,
+           MIN(least(ma, mb)) AS first_ms
+    FROM v GROUP BY 1, 2
+    """,
+)
+def q_colocation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatiotemporal encounter mining: pairs of tracks within 50 km of
+    each other within an hour (operators/geo.colocation_pairs) — blocking
+    on (grid cell, time bucket) with a 27-key probe ring so candidates
+    equi-join; haversine + |dt| verify on candidates only. The oracle is
+    the brute-force formulation (with a provably lossless integer
+    lat-band prefilter to keep it tractable), independently confirming
+    the spatiotemporal blocking drops no pairs."""
+    from ..operators import geo
+
+    ev = _t(spark, sf_dir, "events")
+    fixes = ev.select(
+        "user_id", "event_id", "ts",
+        (F.pmod(F.col("user_id"), F.lit(1200)).cast("double") / 10 - 60).alias("lat"),
+        (F.pmod(F.col("event_id"), F.lit(3400)).cast("double") / 10 - 170).alias("lon"),
+    )
+    return geo.colocation_pairs(fixes, radius_km=50.0, max_dt_s=3600)
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

@@ -80,3 +80,64 @@ def test_haversine_known_distance(spark):
         .d
     )
     assert 342 < d < 345
+
+
+def test_colocation_matches_brute_force(spark):
+    import datetime as dt
+    import random
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.geo import (
+        colocation_pairs,
+        haversine_km,
+    )
+
+    rng = random.Random(5)
+    t0 = dt.datetime(2024, 6, 1)
+    rows = []
+    fid = 0
+    # 12 tracks wandering around two hubs over a day
+    for trk in range(12):
+        lat0, lon0 = rng.choice([(48.1, 11.5), (48.6, 12.0)])
+        for step in range(25):
+            rows.append(
+                (
+                    trk,
+                    fid,
+                    t0 + dt.timedelta(minutes=step * 30 + trk),
+                    lat0 + rng.uniform(-0.3, 0.3),
+                    lon0 + rng.uniform(-0.3, 0.3),
+                )
+            )
+            fid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, lat double, lon double"
+    )
+    got = {
+        (r.user_id_a, r.user_id_b): (r.n_encounters, r.first_ms)
+        for r in colocation_pairs(df, radius_km=20.0, max_dt_s=1800).collect()
+    }
+    a = df.selectExpr(
+        "user_id AS ua", "event_id AS fa", "unix_millis(ts) AS ma",
+        "lat AS la", "lon AS loa",
+    )
+    b = df.selectExpr(
+        "user_id AS ub", "event_id AS fb", "unix_millis(ts) AS mb",
+        "lat AS lb", "lon AS lob",
+    )
+    brute = (
+        a.crossJoin(b)
+        .filter("ua < ub AND abs(ma - mb) <= 1800000")
+        .filter(
+            haversine_km(
+                F.col("la"), F.col("loa"), F.col("lb"), F.col("lob")
+            )
+            <= 20.0
+        )
+        .groupBy("ua", "ub")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.least("ma", "mb")).alias("fm"),
+        )
+    )
+    want = {(r.ua, r.ub): (r.n, r.fm) for r in brute.collect()}
+    assert got == want and len(want) > 5
