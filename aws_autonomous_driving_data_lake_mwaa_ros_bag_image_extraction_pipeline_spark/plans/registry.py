@@ -3974,6 +3974,70 @@ def q_colocation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo.colocation_pairs(fixes, radius_km=50.0, max_dt_s=3600)
 
 
+@register(
+    "od_matrix_daily",
+    """
+    WITH pts AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ms, CAST(ts AS DATE) AS d,
+             CAST(floor((CAST(user_id % 1200 AS DOUBLE) / 10 - 60 + 90) / 1.0)
+                  * 360 +
+                  floor((CAST(event_id % 3400 AS DOUBLE) / 10 - 170 + 180) / 1.0)
+               AS BIGINT) AS cell
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, d, cell,
+             row_number() OVER (PARTITION BY user_id, d
+                                ORDER BY ms, event_id) AS rn_first,
+             row_number() OVER (PARTITION BY user_id, d
+                                ORDER BY ms DESC, event_id DESC) AS rn_last
+      FROM pts
+    )
+    SELECT o.cell AS origin_cell, t.cell AS dest_cell, COUNT(*) AS n_trips
+    FROM (SELECT user_id, d, cell FROM r WHERE rn_first = 1) o
+    JOIN (SELECT user_id, d, cell FROM r WHERE rn_last = 1) t
+      USING (user_id, d)
+    GROUP BY 1, 2
+    """,
+)
+def q_od_matrix_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin→destination matrix: each track-day's first and last fix
+    snapped to a 1° grid cell (operators/geo.geo_cell), counted per
+    (origin, destination) — the fleet-utilization rollup. Two windows
+    over one partitioning + a per-day self-join on the tiny
+    (user, day) key; the cell snap is pure floor arithmetic, so the
+    oracle replays it exactly."""
+    from ..operators.geo import geo_cell
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id", "event_id",
+        F.unix_millis("ts").alias("ms"),
+        F.to_date("ts").alias("d"),
+        geo_cell(
+            F.pmod(F.col("user_id"), F.lit(1200)).cast("double") / 10 - 60,
+            F.pmod(F.col("event_id"), F.lit(3400)).cast("double") / 10 - 170,
+            1.0,
+        ).alias("cell"),
+    )
+    w_first = Window.partitionBy("user_id", "d").orderBy("ms", "event_id")
+    w_last = Window.partitionBy("user_id", "d").orderBy(
+        F.desc("ms"), F.desc("event_id")
+    )
+    r = pts.select(
+        "user_id", "d", "cell",
+        F.row_number().over(w_first).alias("rn_first"),
+        F.row_number().over(w_last).alias("rn_last"),
+    )
+    o = r.filter(F.col("rn_first") == 1).select("user_id", "d", F.col("cell").alias("origin_cell"))
+    t = r.filter(F.col("rn_last") == 1).select("user_id", "d", F.col("cell").alias("dest_cell"))
+    return (
+        o.join(t, ["user_id", "d"])
+        .groupBy("origin_cell", "dest_cell")
+        .agg(F.count(F.lit(1)).alias("n_trips"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------
