@@ -177,3 +177,124 @@ def resize_frames(
         "frame_time", "width", "height", "content",
     ]
     return frames.select(*cols).mapInPandas(_resize, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Audio (PCM16 waveform columns)
+# ---------------------------------------------------------------------------
+
+def audio_windows(
+    clips: DataFrame,
+    sample_rate: int,
+    win_ms: int = 25,
+    hop_ms: int = 10,
+    id_col: str = "clip_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Opaque PCM16-LE audio blobs → framed analysis windows:
+    ``(id, win_idx, t0_ms, n_samples, samples: binary)``.
+
+    Unlike images, raw PCM needs NO codec library — ``np.frombuffer`` IS
+    the decoder — so this path is fully real. One Arrow batch in, the
+    windowed rows out; windows never leave the executor as anything wider
+    than their own bytes, and downstream feature extraction keys on
+    (id, win_idx) so per-clip work parallelizes across the cluster.
+    Short trailing remainders (< one window) are dropped, the standard
+    framing convention.
+    """
+    import numpy as np
+
+    win = int(sample_rate * win_ms / 1000)
+    hop = int(sample_rate * hop_ms / 1000)
+
+    def _frame(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"__id": [], "win_idx": [], "t0_ms": [], "n_samples": [], "samples": []}
+            for cid, blob in zip(pdf[id_col], pdf[content_col]):
+                x = np.frombuffer(blob, dtype="<i2")
+                n_wins = 0 if len(x) < win else (len(x) - win) // hop + 1
+                for w in range(n_wins):
+                    seg = x[w * hop: w * hop + win]
+                    out["__id"].append(cid)
+                    out["win_idx"].append(w)
+                    out["t0_ms"].append(int(w * hop * 1000 / sample_rate))
+                    out["n_samples"].append(win)
+                    out["samples"].append(seg.tobytes())
+            yield pd.DataFrame(out).rename(columns={"__id": id_col})
+
+    dtypes = dict(clips.dtypes)
+    schema = (
+        f"{id_col} {dtypes[id_col]}, win_idx int, t0_ms int, "
+        "n_samples int, samples binary"
+    )
+    par = clips.sparkSession.sparkContext.defaultParallelism
+    return (
+        clips.select(id_col, content_col)
+        .repartition(par)
+        .mapInPandas(_frame, schema=schema)
+    )
+
+
+def audio_features(
+    windows: DataFrame,
+    id_col: str = "clip_id",
+) -> DataFrame:
+    """Per-window waveform features — RMS energy (normalized to [0,1]),
+    zero-crossing rate, and peak amplitude — the VAD/quality signals an
+    audio curation pipeline filters on. Vectorized numpy per Arrow batch;
+    output is narrow numeric columns, the binary stays behind."""
+    import numpy as np
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rms, zcr, peak = [], [], []
+            for blob in pdf["samples"]:
+                x = np.frombuffer(blob, dtype="<i2").astype("float64") / 32768.0
+                rms.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+                zcr.append(
+                    float(np.mean(np.abs(np.diff(np.signbit(x).astype("i1")))))
+                    if len(x) > 1
+                    else 0.0
+                )
+                peak.append(float(np.max(np.abs(x))) if len(x) else 0.0)
+            out = pdf[[id_col, "win_idx", "t0_ms"]].copy()
+            out["rms"], out["zcr"], out["peak"] = rms, zcr, peak
+            yield out
+
+    dtypes = dict(windows.dtypes)
+    schema = (
+        f"{id_col} {dtypes[id_col]}, win_idx int, t0_ms int, "
+        "rms double, zcr double, peak double"
+    )
+    return windows.mapInPandas(_feat, schema=schema)
+
+
+def active_segments(
+    feats: DataFrame,
+    rms_threshold: float = 0.02,
+    id_col: str = "clip_id",
+) -> DataFrame:
+    """Energy-gate VAD: maximal runs of consecutive active windows
+    (rms >= threshold) → ``(id, seg_idx, start_ms, end_ms, n_windows)``.
+    Gaps-and-islands over the window index — JVM-side after the numpy
+    features, one shuffle on the clip key."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy("win_idx")
+    active = feats.filter(F.col("rms") >= F.lit(rms_threshold))
+    runs = active.withColumn(
+        "__grp", F.col("win_idx") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy(id_col, "__grp")
+        .agg(
+            F.min("t0_ms").alias("start_ms"),
+            F.max("t0_ms").alias("end_ms"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .withColumn(
+            "seg_idx",
+            F.row_number().over(W.partitionBy(id_col).orderBy("start_ms")) - 1,
+        )
+        .select(id_col, "seg_idx", "start_ms", "end_ms", "n_windows")
+    )

@@ -96,3 +96,62 @@ def test_resize_real_pixels(spark, frames_df):
         # nearest-neighbor: every resized pixel exists in the source image
         src_arr = png.decode(bytes(src[(r.camera, r.frame_index)]))
         assert (arr == src_arr[::2, ::2]).all()  # 32x24 → 16x12 is stride-2
+
+
+def _pcm_clip(sr, segments):
+    """PCM16-LE bytes: list of (duration_s, freq_or_None) segments."""
+    import math
+    import struct
+
+    samples = []
+    for dur, freq in segments:
+        n = int(sr * dur)
+        for i in range(n):
+            v = 0 if freq is None else int(
+                20000 * math.sin(2 * math.pi * freq * i / sr)
+            )
+            samples.append(v)
+    return struct.pack(f"<{len(samples)}h", *samples)
+
+
+def test_audio_windows_and_features(spark):
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.multimodal import (
+        audio_features,
+        audio_windows,
+    )
+
+    sr = 8000
+    # 100ms of 400 Hz tone, 100ms silence, 100ms tone
+    blob = _pcm_clip(sr, [(0.1, 400), (0.1, None), (0.1, 400)])
+    clips = spark.createDataFrame([(1, bytearray(blob))], "clip_id long, content binary")
+    wins = audio_windows(clips, sample_rate=sr, win_ms=25, hop_ms=25)
+    rows = wins.collect()
+    assert len(rows) == 12  # 300ms / 25ms hop (no partial tail)
+    assert all(r.n_samples == sr * 25 // 1000 for r in rows)
+
+    feats = {r.win_idx: r for r in audio_features(wins).collect()}
+    # tone windows: loud, ZCR ~ 2*f/sr = 0.1; silence: zero energy
+    assert feats[0].rms > 0.3 and feats[0].zcr > 0.05
+    assert feats[5].rms == 0.0 and feats[5].peak == 0.0
+    assert feats[9].rms > 0.3
+
+
+def test_active_segments_vad(spark):
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.multimodal import (
+        active_segments,
+        audio_features,
+        audio_windows,
+    )
+
+    sr = 8000
+    blob = _pcm_clip(sr, [(0.1, 300), (0.1, None), (0.15, 500)])
+    clips = spark.createDataFrame([(7, bytearray(blob))], "clip_id long, content binary")
+    feats = audio_features(audio_windows(clips, sr, win_ms=25, hop_ms=25))
+    segs = sorted(
+        active_segments(feats, rms_threshold=0.02).collect(),
+        key=lambda r: r.seg_idx,
+    )
+    # two tone bursts -> two segments split by the silence
+    assert len(segs) == 2
+    assert segs[0].start_ms == 0 and segs[0].n_windows == 4
+    assert segs[1].start_ms == 200 and segs[1].n_windows == 6
