@@ -749,3 +749,49 @@ def ngram_containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def hash_near_pairs(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """Generic integer-signature Hamming near-dup pairs — the banding core
+    of ``simhash_near_pairs`` exposed for ANY precomputed ``bits``-wide
+    hash column (SimHash, image dHash/pHash, audio fingerprints):
+    pigeonhole on ``bands`` slices (any pair within Hamming ``bands-1``
+    matches ≥1 slice exactly), candidates from the band-bucket equi-join,
+    ``bit_count(xor)`` verify. O(collisions), never all-pairs."""
+    if max_hamming is None:
+        max_hamming = bands - 1
+    width = bits // bands
+    mask = (1 << width) - 1
+    buckets = F.array(
+        *[
+            F.lit(b * (1 << width))
+            + F.shiftright(F.col(hash_col), b * width).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    long = df.select(
+        F.col(id_col), F.col(hash_col).alias("__sig"), F.explode(buckets).alias("__bkt")
+    )
+    a = long.select(
+        F.col(id_col).alias("id_a"), F.col("__sig").alias("sig_a"), "__bkt"
+    )
+    b = long.select(
+        F.col(id_col).alias("id_b"), F.col("__sig").alias("sig_b"), "__bkt"
+    )
+    cands = (
+        a.join(b, ["__bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+    return cands.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

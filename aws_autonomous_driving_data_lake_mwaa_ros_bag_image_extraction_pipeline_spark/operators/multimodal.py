@@ -298,3 +298,66 @@ def active_segments(
         )
         .select(id_col, "seg_idx", "start_ms", "end_ms", "n_windows")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (real pixels via functions/png)
+# ---------------------------------------------------------------------------
+
+def dhash_frames(
+    frames: DataFrame,
+    id_col: str = "key",
+    content_col: str = "content",
+    hash_w: int = 9,
+    hash_h: int = 8,
+) -> DataFrame:
+    """Difference-hash (dHash) per image → ``(id, dhash: bigint)`` — the
+    standard perceptual fingerprint for NEAR-duplicate image detection
+    (a recompressed/slightly-edited frame keeps ~the same hash; a crop or
+    different scene flips many bits).
+
+    Real pixels end to end: functions/png.decode → grayscale (ITU-R 601
+    luma) → nearest-neighbor downsample to ``hash_w × hash_h`` → 64 bits
+    of "is the left pixel brighter than its right neighbor". All numpy
+    per Arrow batch; output is one BIGINT per image, so downstream
+    near-dup mining is integer-keyed (see dedup.hash_near_pairs) and the
+    image bytes never travel again.
+    """
+    import numpy as np
+
+    from ..functions import png
+
+    def _dh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for blob in pdf[content_col]:
+                arr = png.decode(bytes(blob)).astype("float64")
+                if arr.ndim == 3:
+                    gray = (
+                        0.299 * arr[:, :, 0]
+                        + 0.587 * arr[:, :, 1]
+                        + 0.114 * arr[:, :, 2]
+                    )
+                else:
+                    gray = arr
+                h, w = gray.shape
+                ys = (np.arange(hash_h) * h // hash_h).clip(0, h - 1)
+                xs = (np.arange(hash_w) * w // hash_w).clip(0, w - 1)
+                small = gray[np.ix_(ys, xs)]
+                bits = (small[:, :-1] > small[:, 1:]).reshape(-1)
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                hashes.append(val - (1 << 63) if val >= (1 << 63) else val)
+            out = pdf[[id_col]].copy()
+            out["dhash"] = hashes
+            yield out
+
+    dtypes = dict(frames.dtypes)
+    schema = f"{id_col} {dtypes[id_col]}, dhash bigint"
+    par = frames.sparkSession.sparkContext.defaultParallelism
+    return (
+        frames.select(id_col, content_col)
+        .repartition(par)
+        .mapInPandas(_dh, schema=schema)
+    )

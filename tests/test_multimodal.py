@@ -155,3 +155,46 @@ def test_active_segments_vad(spark):
     assert len(segs) == 2
     assert segs[0].start_ms == 0 and segs[0].n_windows == 4
     assert segs[1].start_ms == 200 and segs[1].n_windows == 6
+
+
+def test_dhash_near_dup_images(spark):
+    import numpy as np
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.functions import (
+        png,
+    )
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.dedup import (
+        hash_near_pairs,
+    )
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.multimodal import (
+        dhash_frames,
+    )
+
+    rng = np.random.RandomState(9)
+    base = rng.randint(0, 255, (48, 64, 3), dtype=np.uint8)
+    near = base.copy()
+    near[10:13, 20:23] = 255  # tiny edit: a 3x3 blob
+    other = rng.randint(0, 255, (48, 64, 3), dtype=np.uint8)
+    frames = spark.createDataFrame(
+        [
+            (1, bytearray(png.encode(base))),
+            (2, bytearray(png.encode(near))),
+            (3, bytearray(png.encode(other))),
+        ],
+        "key long, content binary",
+    )
+    hashes = {r.key: r.dhash for r in dhash_frames(frames, "key").collect()}
+    assert hashes[1] == hashes[2] or bin(
+        (hashes[1] ^ hashes[2]) & ((1 << 64) - 1)
+    ).count("1") <= 3  # tiny edit barely moves the hash
+    assert bin((hashes[1] ^ hashes[3]) & ((1 << 64) - 1)).count("1") > 10
+
+    hdf = spark.createDataFrame(
+        [(k, v) for k, v in hashes.items()], "doc_id long, dhash long"
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in hash_near_pairs(hdf, "dhash", bits=64, bands=4).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
