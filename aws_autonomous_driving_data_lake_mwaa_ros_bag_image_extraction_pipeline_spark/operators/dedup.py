@@ -432,33 +432,10 @@ def simhash_near_pairs(
     (The exact-signature grouping in ``simhash_dup_groups`` is the distance-0
     special case; this is the real near-dup pass.)
     """
-    if max_hamming is None:
-        max_hamming = bands - 1
-    width = bits // bands
-    mask = (1 << width) - 1
     sig = simhash(docs, id_col, text_col, bits, repartition_to)
-    # bucket id = band_idx * 2^width + band_value — a single bigint join key
-    buckets = F.array(
-        *[
-            F.lit(b * (1 << width))
-            + F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
-            for b in range(bands)
-        ]
-    )
-    long = sig.select(
-        F.col(id_col), F.col("simhash"), F.explode(buckets).alias("bucket")
-    )
-    a = long.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "bucket")
-    b = long.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "bucket")
-    cands = (
-        a.join(b, ["bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
-    return cands.select("id_a", "id_b", ham.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+    return hash_near_pairs(
+        sig, "simhash", id_col=id_col, bits=bits, bands=bands,
+        max_hamming=max_hamming,
     )
 
 
