@@ -4038,6 +4038,51 @@ def q_od_matrix_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "frequent_event_trigrams",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    , c AS (
+      SELECT event_type AS e1, e2, e3, COUNT(*) AS n
+      FROM s WHERE e3 IS NOT NULL
+      GROUP BY 1, 2, 3
+    )
+    SELECT e1, e2, e3, n, CAST(rnk AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY n DESC, e1, e2, e3) AS rnk
+          FROM c)
+    WHERE rnk <= 15
+    """,
+)
+def q_frequent_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining, the frequency counterpart of the CEP
+    regex matcher (`event_pattern_users`): the corpus's most common
+    3-step behavior sequences, from per-user lead-window trigrams +
+    one count aggregation + a top-15 rank over the count table. The
+    trigram window rides the per-user partitioning; the shuffle after
+    the map-side combine carries one row per DISTINCT trigram (bounded
+    by |types|³, here ≤125), so the final single-partition rank window
+    sorts a dimension-sized table, never the events."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    counts = s.groupBy("e1", "e2", "e3").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.orderBy(F.desc("n"), "e1", "e2", "e3")
+    return (
+        counts.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 15)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------
