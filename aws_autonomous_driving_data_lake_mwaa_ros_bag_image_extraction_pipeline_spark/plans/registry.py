@@ -4084,6 +4084,288 @@ def q_frequent_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Classic warehouse query shapes, round-4 batch 2 (TPC-H Q7/Q11/Q18/Q21/Q22
+# forms adapted to the driver tables — each exercises a distinct join/agg
+# pattern a reference user would run on frame/run metadata at fleet scale)
+# ---------------------------------------------------------------------------
+
+@register(
+    "volume_shipping",
+    """
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           {rev} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN supplier ON l_suppkey  = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """.format(
+        rev=SQL_DSUM.format(
+            x="CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
+        )
+    ),
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): a five-way
+    join where every dimension side — orders→customer→nation and
+    supplier→nation — is broadcast-sized relative to lineitem, so the
+    only shuffle Catalyst needs is the lineitem↔orders equi-join (AQE
+    broadcasts orders at small SF; at 100 TB both fact sides shuffle on
+    orderkey while nation/supplier stay broadcast). The nation-pair
+    predicate prunes at the dimension BEFORE the fact join: Catalyst
+    pushes the filter through the join so only matching suppliers /
+    customers reach the probe side."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    cn = na.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = na.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(pair_ok)
+        .withColumn("yr", F.year("o_orderdate"))
+        .groupBy("supp_nation", "cust_nation", "yr")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "important_parts",
+    """
+    WITH pv AS (
+      SELECT l_partkey, {val} AS value
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, value
+    FROM pv
+    WHERE value > 0.0008 * (
+      SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) FROM pv
+    )
+    """.format(
+        val=SQL_DSUM.format(
+            x="CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
+        )
+    ),
+)
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (parts above a global value-share threshold): the
+    per-part value aggregate is computed ONCE and reused for both the
+    rows and the global total — `pv` is a single shuffle on partkey, the
+    total is a 1-row re-aggregate of pv joined back by broadcast cross
+    join (scalar-subquery pattern, same as bm25's corpus stats). At
+    100 TB the per-part table is |parts| rows, millions not billions, so
+    the 1-row broadcast never grows with the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    pv = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(rev).cast("double").alias("value"))
+    )
+    total = pv.agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("_total")
+    )
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.col("value") > 0.0008 * F.col("_total"))
+        .select("l_partkey", "value")
+    )
+
+
+@register(
+    "large_orders",
+    """
+    WITH oq AS (
+      SELECT l_orderkey, {sq} AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING {sq} > 300.0
+    )
+    SELECT c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM oq
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    """.format(sq=SQL_DSUM.format(x="l_quantity")),
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): aggregate-then-join — the
+    HAVING filter runs on the aggregated per-order table BEFORE the
+    joins, so only the few surviving orderkeys (46 at sf0.01) reach the
+    orders/customer joins; AQE sees the tiny post-agg side and broadcasts
+    it against orders, turning a fact↔fact join into a broadcast probe.
+    The anti-pattern (join first, filter later) would shuffle all of
+    lineitem×orders — ordering the plan this way is the whole point."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    oq = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity"), "sum_qty"))
+        .filter(F.col("sum_qty") > 300.0)
+    )
+    return (
+        oq.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
+@register(
+    "sole_supplier_orders",
+    """
+    WITH ol AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n_lines,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             MIN(l_suppkey) AS the_supp
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT s_suppkey, s_name, COUNT(*) AS n_sole_orders
+    FROM ol JOIN supplier ON the_supp = s_suppkey
+    WHERE n_lines >= 2 AND n_supp = 1
+    GROUP BY 1, 2
+    """,
+)
+def q_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's correlated EXISTS/NOT-EXISTS semantics re-expressed as
+    one aggregation: "orders where supplier X participated and no other
+    supplier did" is exactly `count(distinct l_suppkey) = 1` per order —
+    a single shuffle on orderkey replaces two correlated self-joins of
+    lineitem (the literal Q21 plan shuffles lineitem three times). MIN
+    over the single distinct supplier IS that supplier; the supplier
+    dimension joins by broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    ol = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.min("l_suppkey").alias("the_supp"),
+    )
+    return (
+        ol.filter((F.col("n_lines") >= 2) & (F.col("n_supp") == 1))
+        .join(F.broadcast(su), F.col("the_supp") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_sole_orders"))
+    )
+
+
+@register(
+    "idle_rich_customers",
+    """
+    SELECT c_nationkey, COUNT(*) AS n_cust, {bal} AS total_bal
+    FROM customer
+    WHERE c_acctbal > (
+      SELECT {avg_bal} FROM customer WHERE c_acctbal > 0.0
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    GROUP BY c_nationkey
+    """.format(
+        bal=SQL_DSUM.format(x="c_acctbal"),
+        avg_bal=SQL_DAVG.format(x="c_acctbal"),
+    ),
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (above-average-balance customers with no urgent
+    orders): the scalar-average threshold is a 1-row broadcast, the
+    NOT EXISTS is a left-anti join against the urgent-order custkeys —
+    Spark's native anti join needs only the DISTINCT custkey projection
+    of the filtered orders (priority filter pushed to the scan), so the
+    anti side is |customers-with-urgent-orders| keys, not all orders."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    thresh = cu.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg_bal")
+    )
+    urgent = od.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey")
+    )
+    return (
+        cu.join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum(F.col("c_acctbal"), "total_bal"),
+        )
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END
+              + CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END
+              AS INTEGER) AS gid,
+           {rev} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """.format(
+        rev=SQL_DSUM.format(
+            x="CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
+        )
+    ),
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with an explicit grouping id — the generalization of
+    the rollup/cube queries: three aggregation grains in ONE pass (Spark
+    expands the sets map-side, so lineitem is scanned once and partial
+    aggs combine before the single shuffle). The grain id is derived
+    from NULL-ness rather than grouping_id() so both engines compute it
+    identically regardless of their internal bit ordering; the driver
+    tables have no real NULLs in these columns, making NULL an
+    unambiguous 'aggregated-away' marker."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    grouped = li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    gid = (
+        F.when(F.col("l_returnflag").isNull(), 2).otherwise(0)
+        + F.when(F.col("l_linestatus").isNull(), 1).otherwise(0)
+    ).cast("int")
+    return grouped.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+        gid.alias("gid"),
+        "revenue",
+        "n_lines",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------
 

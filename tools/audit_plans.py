@@ -57,6 +57,12 @@ ALLOWED_BNLJ = {
     # benchmark_contamination_bloom: cross join against the broadcast 1-row
     # bloom bitmap (same pattern as bloom_prune_join)
     "benchmark_contamination_bloom",
+    # important_parts: cross join against a broadcast 1-row total-value agg
+    # (TPC-H Q11 scalar subquery)
+    "important_parts",
+    # idle_rich_customers: cross join against a broadcast 1-row avg-balance
+    # agg (TPC-H Q22 scalar subquery)
+    "idle_rich_customers",
     # source_kl_divergence: cross joins against broadcast 1-row corpus
     # vocab-size / log-mass aggregates
     "source_kl_divergence",
