@@ -202,6 +202,51 @@ def rolling_zscore_anomalies(
     )
 
 
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-group robust outlier summary via median absolute deviation:
+    for each group, the exact median, the MAD (median of |v − median|),
+    and how many rows fall outside ``median ± k·MAD``. Unlike the z-score
+    variant above, MAD is insensitive to the outliers it is hunting —
+    the standard robust alternative when a fat tail would drag the mean.
+
+    Three aggregation passes over the fact table (medians are holistic —
+    no single-pass identity exists, and the outlier test needs the MAD
+    before it can count), but ALL are per-group shuffles on the same key,
+    and each pass joins the previous |groups|-row result by broadcast —
+    the fact table never joins the fact table. Exact linear-interpolated
+    percentiles (``percentile``, not the t-digest approx) keep the result
+    engine-portable.
+    """
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "__adev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.first("med").alias("med"),
+        F.expr("percentile(__adev, 0.5)").alias("mad"),
+    )
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum((F.col("__adev") > F.lit(k) * F.col("mad")).cast("int")).alias(
+                "n_outliers"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 def group_linear_trend(
     df: DataFrame,
     group_col: str,

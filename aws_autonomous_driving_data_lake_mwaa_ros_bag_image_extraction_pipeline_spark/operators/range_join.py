@@ -59,3 +59,68 @@ def range_join(
         <= F.lit(tolerance_ms)
     )
     return joined.filter(in_range).drop("__lb", "__rb")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_ms: int,
+    extra_cond=None,
+) -> DataFrame:
+    """All (left, right) interval pairs that OVERLAP:
+    ``l_start <= r_end AND r_start <= l_end`` (closed intervals) — the
+    third temporal-alignment primitive beside as-of and tolerance joins
+    (Flink's interval join, DuckDB/Trino's inequality join).
+
+    The naive condition-only join is a nested loop. Scale formulation:
+    each interval is exploded into every ``bucket_ms``-wide time bucket it
+    covers, the join becomes an equi-join on the bucket — shuffleable,
+    AQE-skew-splittable — and each true pair is kept EXACTLY ONCE without
+    a distinct: the pair is admitted only in the bucket containing
+    ``greatest(l_start, r_start)``, which every overlapping pair covers on
+    both sides (overlap means max(start) <= min(end)) and which is unique
+    per pair. Cost is O(Σ buckets-per-interval + candidates), so pick
+    ``bucket_ms`` near the typical interval length: long intervals explode
+    into more copies, short buckets collide less.
+
+    Right columns colliding with left's are suffixed ``_r``.
+    ``extra_cond`` (a Column over the joined row) is applied WITH the
+    bucket equality, before the exact overlap predicate — pass the
+    equi-key here (e.g. same day, different user) so it prunes in the
+    join itself.
+    """
+    rename = {c: f"{c}_r" for c in right.columns if c in left.columns}
+    r = right
+    for old, new in rename.items():
+        r = r.withColumnRenamed(old, new)
+    r_start = rename.get(right_start, right_start)
+    r_end = rename.get(right_end, right_end)
+
+    def _buckets(start: str, end: str):
+        lo = F.floor(F.unix_micros(F.col(start)) / (bucket_ms * 1000))
+        hi = F.floor(F.unix_micros(F.col(end)) / (bucket_ms * 1000))
+        return F.explode(F.sequence(lo, hi))
+
+    l_b = left.withColumn("__lb", _buckets(left_start, left_end))
+    r_b = r.withColumn("__rb", _buckets(r_start, r_end))
+    cond = F.col("__lb") == F.col("__rb")
+    if extra_cond is not None:
+        cond = cond & extra_cond
+    anchor = F.floor(
+        F.greatest(
+            F.unix_micros(F.col(left_start)), F.unix_micros(F.col(r_start))
+        )
+        / (bucket_ms * 1000)
+    )
+    overlap = (
+        F.unix_micros(F.col(left_start)) <= F.unix_micros(F.col(r_end))
+    ) & (F.unix_micros(F.col(r_start)) <= F.unix_micros(F.col(left_end)))
+    return (
+        l_b.join(r_b, cond)
+        .filter((F.col("__lb") == anchor) & overlap)
+        .drop("__lb", "__rb")
+    )

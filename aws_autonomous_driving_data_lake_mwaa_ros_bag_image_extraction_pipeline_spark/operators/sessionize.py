@@ -63,6 +63,76 @@ def tumbling_window_agg(
     )
 
 
+def session_window_stats(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "6 hours",
+) -> DataFrame:
+    """Per-key session aggregates via Spark's NATIVE ``session_window`` —
+    the built-in twin of the lag/cumsum ``sessionize`` above, and the only
+    form that also runs unchanged under Structured Streaming (where the
+    gap-and-island window trick is impossible because lag over an unbounded
+    stream never closes).
+
+    Semantics (verified against the islands formulation): an event extends
+    the current session iff ``ts <= prev_ts + gap`` — a break requires a
+    STRICTLY greater gap, exactly the ``> gap`` break rule in
+    ``sessionize``. ``window.start`` is the session's min ts.
+
+    One shuffle on (key, merged-window); Spark merges overlapping session
+    candidates inside the aggregation, so state per key is the open
+    sessions only — the same bounded state the streaming engine keeps.
+    """
+    return (
+        events.groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            "last_ts",
+            "n_events",
+        )
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of event types: for each
+    observed (from_type → to_type) consecutive pair (per key, time order),
+    the count and the row-normalized transition probability.
+
+    The lead window rides the per-key partitioning (one shuffle); the
+    count aggregation map-side combines down to ≤|types|² rows, and the
+    row normalization is a window over that dimension-sized table — the
+    probability pass never touches the event-sized data again. At 100 TB
+    the output is still |types|² rows.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_total = F.sum("n").over(Window.partitionBy("from_type"))
+    return counts.withColumn(
+        "p", F.round(F.col("n") / row_total, 6)
+    )
+
+
 def event_pattern_match(
     events: DataFrame,
     pattern: str,

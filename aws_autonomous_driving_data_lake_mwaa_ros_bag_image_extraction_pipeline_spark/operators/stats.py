@@ -1,0 +1,222 @@
+"""Distribution statistics over fact tables: histograms, correlation,
+independence tests, entropy, RFM scoring.
+
+The analytics layer a fleet operator runs over frame/run metadata (the
+reference's frame_stats table — operators/frame_stats.py — holds exactly
+this kind of per-class count/confidence data; these operators are the
+corpus-wide summaries computed FROM such tables).
+
+Every operator here is one or two hash aggregations with map-side combine —
+no windows over the fact table, no joins wider than a broadcast dimension —
+so each survives a 1000-executor scale-up with a single shuffle whose width
+is the group count, not the row count. All real-valued outputs accumulate
+through DECIMAL (order-independent) or are sums of logs of exact integers,
+so a SQL oracle reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fixed_width_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 20,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Equi-width histogram of ``value_col`` (optionally per group): bin
+    edges span the GLOBAL [min, max] so bins are comparable across groups.
+
+    Two passes: a 1-row min/max aggregate broadcast back, then one count
+    aggregation on (group, bin) — the histogram shuffle carries
+    n_bins × |groups| rows. The max value is clamped into the last bin
+    (half-open bins, closed top), the standard convention.
+    """
+    bounds = df.agg(
+        F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(n_bins)
+    bin_id = F.least(
+        F.floor((F.col(value_col) - F.col("_lo")) / width).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    keys = ([group_col] if group_col else []) + ["bin"]
+    return (
+        df.join(F.broadcast(bounds))
+        .withColumn("bin", bin_id)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def pearson_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Pearson r from the sum/sum-of-squares identity, accumulated as
+    DECIMAL so the result is independent of partition order (float
+    addition isn't associative; decimal addition is). One aggregation.
+
+    r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+    """
+    x, y = F.col(x_col), F.col(y_col)
+    d = lambda c: F.sum(c.cast("decimal(28,10)")).cast("double")  # noqa: E731
+    keys = [group_col] if group_col else []
+    agg = (df.groupBy(*keys) if keys else df.groupBy()).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        d(x).alias("sx"),
+        d(y).alias("sy"),
+        d(x * x).alias("sxx"),
+        d(y * y).alias("syy"),
+        d(x * y).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        F.round(num / den, 6).alias("r"),
+    )
+
+
+def chi2_independence(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Chi-square statistic for independence of two categorical columns,
+    with per-cell contributions: observed vs expected = row_total ×
+    col_total / grand_total.
+
+    One count aggregation on (a, b); marginals derive from the cell table
+    (|a|×|b| rows), so the fact table is touched once. Returns one row per
+    observed cell: (a, b, observed, expected, chi2_term) — the full-table
+    statistic is the sum of chi2_term (plus the structural-zero terms,
+    which are expected² / expected = expected; callers summing to a single
+    statistic should add marginal products for unobserved cells — at the
+    usual use here, both columns are low-cardinality and all cells occur).
+    """
+    cells = df.groupBy(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).agg(F.count(F.lit(1)).alias("observed"))
+    row_t = cells.groupBy("a").agg(F.sum("observed").alias("ra"))
+    col_t = cells.groupBy("b").agg(F.sum("observed").alias("cb"))
+    grand = cells.agg(F.sum("observed").cast("double").alias("gt"))
+    ex = F.col("ra") * F.col("cb") / F.col("gt")
+    return (
+        cells.join(F.broadcast(row_t), "a")
+        .join(F.broadcast(col_t), "b")
+        .join(F.broadcast(grand))
+        .select(
+            "a",
+            "b",
+            "observed",
+            F.round(ex, 6).alias("expected"),
+            F.round(
+                (F.col("observed") - ex) * (F.col("observed") - ex) / ex, 6
+            ).alias("chi2_term"),
+        )
+    )
+
+
+def token_entropy_by_group(
+    docs: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Shannon entropy (nats) of each group's token distribution —
+    H = ln(N) − (Σ c·ln c)/N over per-token counts c. Low entropy flags a
+    degenerate source (boilerplate, spam loops); the single-distribution
+    sibling of source_kl_divergence.
+
+    The identity avoids materializing probabilities: one explode + count
+    on (group, token), then a group-level fold of c·ln c — Σ of logs of
+    exact integers, engine-portable without decimal tricks.
+    """
+    from ..functions import text as T
+
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(T.tokens(F.lower(F.col(text_col)))).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("grp")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("c") * F.log("c")).alias("_clnc"),
+        )
+        .select(
+            "grp",
+            "n_tokens",
+            "n_distinct",
+            F.round(
+                F.log("n_tokens") - F.col("_clnc") / F.col("n_tokens"), 6
+            ).alias("entropy_nats"),
+        )
+    )
+
+
+def rfm_scores(
+    orders: DataFrame,
+    key_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_tiles: int = 5,
+) -> DataFrame:
+    """Recency/Frequency/Monetary quintile scores per customer — the
+    classic behavioral segmentation. Recency = days since the customer's
+    last order relative to the corpus max date (so the result is a pure
+    function of the data, reproducible); F/M are order count and
+    decimal-exact spend. Scores are 1–5, 5 best (recent / frequent /
+    high-spend).
+
+    Scale posture: scoring is by comparison against the exact quantile
+    BOUNDARIES (a 1-row broadcast), not ntile — an unpartitioned ntile
+    would funnel every customer through one sort task, while the
+    threshold form is one per-customer aggregation plus a broadcast
+    probe. Boundary semantics: ties share a score (the meaningful RFM
+    behavior) instead of being split arbitrarily by sort order."""
+    qs = [i / n_tiles for i in range(1, n_tiles)]
+    qarr = "array(" + ", ".join(str(q) for q in qs) + ")"
+    corpus_max = orders.agg(F.max(ts_col).alias("_maxd"))
+    per = (
+        orders.join(F.broadcast(corpus_max))
+        .groupBy(key_col)
+        .agg(
+            F.datediff(F.first("_maxd"), F.max(ts_col)).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col(amount_col).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    bounds = per.agg(
+        F.expr(f"percentile(recency_days, {qarr})").alias("rq"),
+        F.expr(f"percentile(frequency, {qarr})").alias("fq"),
+        F.expr(f"percentile(monetary, {qarr})").alias("mq"),
+    )
+
+    def band(col: str, bound: str) -> F.Column:
+        """1 + #boundaries strictly below the value → ascending 1..n."""
+        hits = F.filter(F.col(bound), lambda q: F.col(col) > q)
+        return (F.lit(1) + F.size(hits)).cast("int")
+
+    return per.join(F.broadcast(bounds)).select(
+        key_col,
+        "recency_days",
+        "frequency",
+        "monetary",
+        # recency: smaller is better → invert the ascending band
+        (F.lit(n_tiles + 1) - band("recency_days", "rq")).cast("int").alias("r_score"),
+        band("frequency", "fq").alias("f_score"),
+        band("monetary", "mq").alias("m_score"),
+    )

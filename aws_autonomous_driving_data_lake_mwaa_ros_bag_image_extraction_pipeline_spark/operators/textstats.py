@@ -372,6 +372,80 @@ def lm_fluency_scores(
     )
 
 
+def bigram_pmi(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus collocations: pointwise mutual information of adjacent word
+    pairs — PMI = ln(p(ab) / (p(a)·p(b))) over bigram/unigram frequencies.
+    High-PMI pairs are multiword expressions ("machine learning"); the
+    standard phrase-mining signal for tokenizer/vocab construction.
+
+    Plan: ONE tokenize pass feeds both the bigram and unigram counts (the
+    exploded token table is reused); both aggregations map-side combine to
+    vocabulary-sized tables, so the only event-scale work is the explode.
+    The unigram side joins the bigram table twice — both broadcast
+    (|vocab| rows), as are the two 1-row totals. PMI is computed as a sum
+    of logs of exact integer counts (not a ratio of products), so it can't
+    overflow at corpus scale and both engines evaluate the identical fp
+    expression; rounded to 6 digits.
+    """
+    toks = docs.select(T.tokens(F.lower(F.col(text_col))).alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("nw"))
+    )
+    n_uni = uni.agg(F.sum("nw").alias("nu"))
+
+    def _pairs(t):
+        k = F.size(t) - F.lit(1)
+        idx = F.when(k >= 1, F.sequence(F.lit(0), k - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(t, i + 1).alias("w1"),
+                F.element_at(t, i + 2).alias("w2"),
+            ),
+        )
+
+    bi = (
+        toks.select(F.explode(T.bind(F.col("t"), _pairs)).alias("p"))
+        .select("p.w1", "p.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    total_bi = (
+        toks.select((F.greatest(F.size("t") - 1, F.lit(0))).alias("k"))
+        .agg(F.sum("k").alias("nb"))
+    )
+    pmi = (
+        F.log("n_ab")
+        + F.lit(2.0) * F.log("nu")
+        - F.log("nb")
+        - F.log("na")
+        - F.log("nb2")
+    )
+    return (
+        bi.join(F.broadcast(uni.withColumnRenamed("nw", "na")), F.col("w1") == F.col("w"))
+        .drop("w")
+        .join(
+            F.broadcast(uni.withColumnRenamed("nw", "nb2")),
+            F.col("w2") == F.col("w"),
+        )
+        .drop("w")
+        .join(F.broadcast(n_uni))
+        .join(F.broadcast(total_bi))
+        .select("w1", "w2", "n_ab", F.round(pmi, 6).alias("pmi"))
+    )
+
+
 def source_kl_divergence(
     docs: DataFrame,
     source_col: str = "source",

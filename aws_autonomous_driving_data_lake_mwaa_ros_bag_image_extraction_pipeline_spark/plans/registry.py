@@ -4366,6 +4366,228 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Behavioral / time-series batch (round-4 batch 3): native session windows,
+# Markov transitions, robust outliers, SCD2 history, collocations, interval
+# overlap join
+# ---------------------------------------------------------------------------
+
+@register(
+    "session_window_stats",
+    """
+    WITH s AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), g AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_ts,
+           COUNT(*) AS n_events
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window (6-hour gap) vs the islands replica:
+    the same merge rule as `sessionize_stats` (break iff gap STRICTLY
+    exceeds the threshold, verified at exact-gap spacing) but expressed as
+    the built-in windowing that also runs under Structured Streaming.
+    One shuffle; Spark merges session candidates inside the agg."""
+    return sessionize.session_window_stats(
+        _t(spark, sf_dir, "events"), gap="6 hours"
+    )
+
+
+@register(
+    "markov_transitions",
+    """
+    WITH s AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS to_type
+      FROM events
+    ), c AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6)
+             AS p
+    FROM c
+    """,
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior — the
+    probabilistic counterpart of `frequent_event_trigrams`. The lead
+    window rides the per-user partition; normalization is a window over
+    the ≤|types|² count table, never the events."""
+    return sessionize.transition_matrix(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "mad_anomalies",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY 1
+    ), dev AS (
+      SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+      FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           ROUND(ANY_VALUE(d.med), 6) AS med,
+           ROUND(ANY_VALUE(ma.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3.0 * ma.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           COUNT(*) AS n_rows
+    FROM dev d JOIN mad ma USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def q_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier summary per event type — the
+    fat-tail-safe twin of `zscore_anomalies` (quality.mad_outliers).
+    Exact interpolated medians keep both engines bit-aligned; the value
+    distribution is continuous, so the >3·MAD cut is ulp-stable."""
+    from ..operators import quality as Q
+
+    out = Q.mad_outliers(_t(spark, sf_dir, "events"), "event_type", "value", k=3.0)
+    return out.select(
+        "event_type",
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        "n_outliers",
+        "n_rows",
+    )
+
+
+@register(
+    "scd2_intervals",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR event_type <> lag(event_type) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), r AS (
+      SELECT user_id, ts, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run
+      FROM s
+    ), iv AS (
+      SELECT user_id, run, ANY_VALUE(event_type) AS event_type,
+             MIN(ts) AS valid_from
+      FROM r GROUP BY 1, 2
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER wv AS valid_to,
+           CAST(run AS INTEGER) AS version,
+           (lead(valid_from) OVER wv IS NULL) AS is_current
+    FROM iv
+    WINDOW wv AS (PARTITION BY user_id ORDER BY run)
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals of each user's event_type runs
+    (operators/scd.change_intervals): the full-history counterpart of the
+    manifest's last-writer-wins state — "what was the state at T" becomes
+    an interval lookup. Gaps-and-islands + one run-level lead window."""
+    from ..operators import scd
+
+    return scd.change_intervals(
+        _t(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        attr_col="event_type",
+        tie_col="event_id",
+    )
+
+
+@register(
+    "bigram_pmi",
+    f"""
+    WITH tok AS (SELECT {_D_TOKS} AS t FROM documents),
+    uni AS (
+      SELECT w, COUNT(*) AS nw
+      FROM (SELECT unnest(t) AS w FROM tok) WHERE w <> '' GROUP BY 1
+    ),
+    nu AS (SELECT SUM(nw) AS nu FROM uni),
+    bi AS (
+      SELECT t[i+1] AS w1, t[i+2] AS w2
+      FROM (SELECT t, unnest(range(0, len(t) - 1)) AS i FROM tok)
+    ),
+    bc AS (
+      SELECT w1, w2, COUNT(*) AS n_ab
+      FROM bi WHERE w1 <> '' AND w2 <> ''
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    ),
+    nb AS (SELECT SUM(greatest(len(t) - 1, 0)) AS nb FROM tok)
+    SELECT w1, w2, n_ab,
+           ROUND(ln(n_ab) + 2.0 * ln(nu) - ln(nb) - ln(na) - ln(nb2), 6)
+             AS pmi
+    FROM bc
+    JOIN (SELECT w AS w1u, nw AS na FROM uni) u1 ON w1 = w1u
+    JOIN (SELECT w AS w2u, nw AS nb2 FROM uni) u2 ON w2 = w2u, nu, nb
+    """,
+)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (textstats.bigram_pmi): PMI of adjacent word
+    pairs — the phrase signal for tokenizer/vocab construction. One
+    tokenize pass; vocabulary-sized joins, all broadcast."""
+    return textstats.bigram_pmi(_t(spark, sf_dir, "documents"), min_count=5)
+
+
+@register(
+    "co_active_user_pairs",
+    """
+    WITH s AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             MIN(ts) AS s_ts, MAX(ts) AS e_ts
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.day, COUNT(*) AS n_pairs
+    FROM s a JOIN s b
+      ON a.day = b.day AND a.user_id < b.user_id
+     AND a.s_ts <= b.e_ts AND b.s_ts <= a.e_ts
+    GROUP BY 1
+    """,
+)
+def q_co_active_user_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval OVERLAP join (range_join.interval_overlap_join): pairs of
+    users whose daily activity spans [first event, last event] overlap,
+    counted per day. The bucketed formulation turns DuckDB's inequality
+    join into an equi-join on 6-hour time buckets with an anchor-bucket
+    rule that admits each overlapping pair exactly once — no distinct,
+    no nested loop; candidates are bucket-local."""
+    from ..operators.range_join import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    spans = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.min("ts").alias("s_ts"), F.max("ts").alias("e_ts"))
+    pairs = interval_overlap_join(
+        spans,
+        spans,
+        "s_ts",
+        "e_ts",
+        "s_ts",
+        "e_ts",
+        bucket_ms=6 * 3600 * 1000,
+        extra_cond=(F.col("day") == F.col("day_r"))
+        & (F.col("user_id") < F.col("user_id_r")),
+    )
+    return pairs.groupBy("day").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------
 

@@ -63,6 +63,8 @@ ALLOWED_BNLJ = {
     # idle_rich_customers: cross join against a broadcast 1-row avg-balance
     # agg (TPC-H Q22 scalar subquery)
     "idle_rich_customers",
+    # bigram_pmi: cross joins against broadcast 1-row unigram/bigram totals
+    "bigram_pmi",
     # source_kl_divergence: cross joins against broadcast 1-row corpus
     # vocab-size / log-mass aggregates
     "source_kl_divergence",
