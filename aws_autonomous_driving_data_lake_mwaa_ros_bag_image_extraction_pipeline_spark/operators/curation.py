@@ -556,6 +556,47 @@ def token_budget_mix(
     )
 
 
+def nucleus_keep(
+    docs: DataFrame,
+    p: float = 0.9,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Top-p ("nucleus") selection per source: rank documents by size
+    descending and keep the head until ``p`` of the source's total mass is
+    covered — the row crossing the line is included, so coverage is met,
+    never undershot. The dual of ``token_budget_mix``: that caps by an
+    ABSOLUTE budget, this by a RELATIVE share (drop the long tail of tiny
+    fragments while provably keeping ≥p of the corpus mass).
+
+    One per-source window cumsum + a broadcast join of the |sources|-row
+    totals; ties broken by id so the cut is deterministic. Returns the
+    kept rows with their cumulative share.
+    """
+    sized = docs.select(
+        F.col(id_col), F.col(source_col), F.col(size_col).alias("sz")
+    )
+    totals = sized.groupBy(source_col).agg(F.sum("sz").alias("_tot"))
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col("sz").desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("sz").over(w)
+    return (
+        sized.join(F.broadcast(totals), source_col)
+        .withColumn("cum_sz", cum)
+        .filter((F.col("cum_sz") - F.col("sz")) < F.lit(p) * F.col("_tot"))
+        .select(
+            id_col,
+            source_col,
+            F.col("sz").alias(size_col),
+            "cum_sz",
+        )
+    )
+
+
 def epoch_upsample(
     docs: DataFrame,
     factor: float,

@@ -137,8 +137,10 @@ def token_entropy_by_group(
     sibling of source_kl_divergence.
 
     The identity avoids materializing probabilities: one explode + count
-    on (group, token), then a group-level fold of c·ln c — Σ of logs of
-    exact integers, engine-portable without decimal tricks.
+    on (group, token), then a group-level fold of c·ln c. Each c·ln c term
+    is a pure function of an exact integer (identical in any engine); the
+    SUM accumulates those terms as DECIMAL so partition order can't
+    perturb the result.
     """
     from ..functions import text as T
 
@@ -152,7 +154,9 @@ def token_entropy_by_group(
         .agg(
             F.sum("c").alias("n_tokens"),
             F.count(F.lit(1)).alias("n_distinct"),
-            F.sum(F.col("c") * F.log("c")).alias("_clnc"),
+            F.sum((F.col("c") * F.log("c")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("_clnc"),
         )
         .select(
             "grp",

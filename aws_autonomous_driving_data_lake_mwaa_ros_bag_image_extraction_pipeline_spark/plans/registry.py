@@ -4588,6 +4588,227 @@ def q_co_active_user_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Distribution-statistics batch (round-4 batch 4): histograms, correlation,
+# independence, entropy, RFM segmentation, nucleus selection, gap analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "value_histogram",
+    """
+    WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+    SELECT event_type,
+           CAST(LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 20)) AS INTEGER),
+                      19) AS INTEGER) AS bin,
+           COUNT(*) AS n
+    FROM events, b
+    GROUP BY 1, 2
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram on the GLOBAL [min,max] per event type
+    (stats.fixed_width_histogram): a 1-row bounds broadcast + one count
+    aggregation whose shuffle carries n_bins×|types| rows. The max value
+    is clamped into the last bin (half-open bins, closed top)."""
+    from ..operators import stats
+
+    return stats.fixed_width_histogram(
+        _t(spark, sf_dir, "events"), "value", n_bins=20, group_col="event_type"
+    )
+
+
+@register(
+    "quantity_price_correlation",
+    """
+    WITH a AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r
+    FROM a
+    """,
+)
+def q_quantity_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group from the sum/sum-of-squares identity
+    (stats.pearson_correlation) — ONE aggregation pass, decimal-
+    accumulated so partition order can't perturb the moments. (Spark's
+    built-in corr() is a float accumulator — portable only to ~1e-7;
+    the identity form is exact.)"""
+    from ..operators import stats
+
+    return stats.pearson_correlation(
+        _t(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        "l_extendedprice",
+        group_col="l_returnflag",
+    )
+
+
+@register(
+    "chi2_lang_source",
+    """
+    WITH cells AS (
+      SELECT lang AS a, source AS b, COUNT(*) AS observed
+      FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT a, SUM(observed) AS ra FROM cells GROUP BY a),
+    ct AS (SELECT b, SUM(observed) AS cb FROM cells GROUP BY b),
+    g  AS (SELECT CAST(SUM(observed) AS DOUBLE) AS gt FROM cells)
+    SELECT a, b, observed,
+           ROUND(ra * cb / gt, 6) AS expected,
+           ROUND((observed - ra * cb / gt) * (observed - ra * cb / gt)
+                 / (ra * cb / gt), 6) AS chi2_term
+    FROM cells JOIN rt USING (a) JOIN ct USING (b), g
+    """,
+)
+def q_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cells for lang × source
+    (stats.chi2_independence): is the language mix uniform across
+    sources? One count aggregation; marginals derive from the
+    |lang|×|source| cell table, never re-touching the corpus."""
+    from ..operators import stats
+
+    return stats.chi2_independence(_t(spark, sf_dir, "documents"), "lang", "source")
+
+
+@register(
+    "source_token_entropy",
+    f"""
+    WITH toks AS (
+      SELECT source AS grp, unnest({_D_TOKS}) AS token FROM documents
+    ),
+    counts AS (
+      SELECT grp, token, COUNT(*) AS c
+      FROM toks WHERE token <> '' GROUP BY 1, 2
+    )
+    SELECT grp, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+           ROUND(ln(SUM(c))
+                 - CAST(SUM(CAST(c * ln(c) AS DECIMAL(28,12))) AS DOUBLE)
+                   / SUM(c), 6) AS entropy_nats
+    FROM counts GROUP BY grp
+    """,
+)
+def q_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's token distribution
+    (stats.token_entropy_by_group) — the degenerate-source detector
+    (boilerplate/spam loops score low). H = ln N − (Σ c·ln c)/N; each
+    term is a pure function of an exact count and the sum accumulates as
+    DECIMAL, so the statistic is engine- and partition-order-exact."""
+    from ..operators import stats
+
+    return stats.token_entropy_by_group(_t(spark, sf_dir, "documents"), "source")
+
+
+@register(
+    "rfm_scores",
+    """
+    WITH mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+    per AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate), ANY_VALUE(maxd)) AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+      FROM orders, mx GROUP BY o_custkey
+    ),
+    b AS (
+      SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rq,
+             quantile_cont(frequency,    [0.2, 0.4, 0.6, 0.8]) AS fq,
+             quantile_cont(monetary,     [0.2, 0.4, 0.6, 0.8]) AS mq
+      FROM per
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           CAST(6 - (1 + len(list_filter(rq, q -> recency_days > q)))
+                AS INTEGER) AS r_score,
+           CAST(1 + len(list_filter(fq, q -> frequency > q)) AS INTEGER) AS f_score,
+           CAST(1 + len(list_filter(mq, q -> monetary  > q)) AS INTEGER) AS m_score
+    FROM per, b
+    """,
+)
+def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation (stats.rfm_scores): scores assigned by
+    comparison against exact quantile boundaries (1-row broadcast), NOT
+    an unpartitioned ntile — every customer through one sort task is the
+    anti-pattern; the threshold form is a per-customer aggregation plus a
+    broadcast probe, and ties share a score (the meaningful behavior)."""
+    from ..operators import stats
+
+    return stats.rfm_scores(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "nucleus_docs",
+    """
+    WITH sized AS (
+      SELECT doc_id, source, n_chars AS sz FROM documents
+    ),
+    tot AS (SELECT source, SUM(sz) AS t FROM sized GROUP BY source),
+    c AS (
+      SELECT doc_id, sized.source, sz,
+             SUM(sz) OVER (PARTITION BY sized.source
+                           ORDER BY sz DESC, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum_sz,
+             t
+      FROM sized JOIN tot ON sized.source = tot.source
+    )
+    SELECT doc_id, source, sz AS n_chars, cum_sz
+    FROM c WHERE cum_sz - sz < 0.9 * t
+    """,
+)
+def q_nucleus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (nucleus) selection per source (curation.nucleus_keep): keep
+    the largest documents until 90% of each source's character mass is
+    covered — drop the fragment tail with a provable coverage bound. One
+    per-source window cumsum; the boundary row is included so coverage
+    is met, never undershot."""
+    return curation.nucleus_keep(_t(spark, sf_dir, "documents"), p=0.9)
+
+
+@register(
+    "inter_purchase_gaps",
+    """
+    WITH p AS (
+      SELECT user_id, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(FLOOR((epoch_us(nxt) - epoch_us(ts)) / 3600000000.0) AS BIGINT)
+             AS gap_hours,
+           COUNT(*) AS n
+    FROM p WHERE nxt IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_inter_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of time between consecutive purchases per user — the
+    repeat-behavior profile (hour-bucketed histogram). The type filter
+    pushes to the scan; the lead window rides the per-user partition;
+    the count shuffle carries one row per distinct gap bucket."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            F.col("ts"), F.lead("ts").over(w).alias("nxt")
+        )
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            F.floor(
+                (F.unix_micros("nxt") - F.unix_micros("ts")) / 3600000000.0
+            )
+            .cast("bigint")
+            .alias("gap_hours")
+        )
+    )
+    return gaps.groupBy("gap_hours").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------
 

@@ -65,6 +65,13 @@ ALLOWED_BNLJ = {
     "idle_rich_customers",
     # bigram_pmi: cross joins against broadcast 1-row unigram/bigram totals
     "bigram_pmi",
+    # value_histogram: cross join against a broadcast 1-row global min/max agg
+    "value_histogram",
+    # chi2_lang_source: cross join against a broadcast 1-row grand-total agg
+    "chi2_lang_source",
+    # rfm_scores: cross joins against broadcast 1-row max-date / quantile-
+    # boundary aggregates
+    "rfm_scores",
     # source_kl_divergence: cross joins against broadcast 1-row corpus
     # vocab-size / log-mass aggregates
     "source_kl_divergence",
