@@ -22,11 +22,22 @@ def asof_join(
     right_ts: str,
     right_vals: list[str],
     tolerance_ms: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row: values of the latest right row with
-    ``right.ts <= left.ts`` (same key). Nulls when no prior right row, or
-    the match is older than ``tolerance_ms``.
+    """For each left row: values of the nearest right row on the same key —
+    ``direction="backward"`` (default) takes the latest right row with
+    ``right.ts <= left.ts``; ``direction="forward"`` the earliest right row
+    with ``right.ts >= left.ts`` (pandas merge_asof's direction flag).
+    Nulls when no such right row, or the match is farther than
+    ``tolerance_ms``.
+
+    Both directions are the same single sort-shuffle union plan — forward
+    just flips the same-ts tiebreak and the window frame (first following
+    non-null instead of last preceding).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    forward = direction == "forward"
     l_tag = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__ts"),
@@ -43,25 +54,36 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in right_vals],
         F.col(right_ts).alias("__rts"),
     )
-    # Right rows sort before left rows at the same ts → "at or before".
-    w = (
-        Window.partitionBy("__k")
-        .orderBy("__ts", "__is_left")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if forward:
+        # Left rows sort before right rows at the same ts → "at or after";
+        # pick the FIRST following right value.
+        w = (
+            Window.partitionBy("__k")
+            .orderBy("__ts", F.col("__is_left").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        # Right rows sort before left rows at the same ts → "at or before".
+        w = (
+            Window.partitionBy("__k")
+            .orderBy("__ts", "__is_left")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
     filled = l_tag.unionByName(r_tag).select(
         "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in right_vals
-        ],
-        F.last("__rts", ignorenulls=True).over(w).alias("__f_rts"),
+        *[pick(f"__r_{c}").alias(f"__f_{c}") for c in right_vals],
+        pick("__rts").alias("__f_rts"),
     )
     out = filled.filter(F.col("__is_left") == 1)
     if tolerance_ms is not None:
-        in_tol = (
-            F.unix_millis(F.col("__ts")) - F.unix_millis(F.col("__f_rts"))
-        ) <= F.lit(tolerance_ms)
+        signed_gap = (
+            F.unix_millis(F.col("__f_rts")) - F.unix_millis(F.col("__ts"))
+            if forward
+            else F.unix_millis(F.col("__ts")) - F.unix_millis(F.col("__f_rts"))
+        )
+        in_tol = signed_gap <= F.lit(tolerance_ms)
         sel_vals = [
             F.when(in_tol, F.col(f"__f_{c}")).alias(c) for c in right_vals
         ]

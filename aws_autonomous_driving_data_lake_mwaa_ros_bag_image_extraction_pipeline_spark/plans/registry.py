@@ -4808,6 +4808,111 @@ def q_inter_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gaps.groupBy("gap_hours").agg(F.count(F.lit(1)).alias("n"))
 
 
+@register(
+    "purchase_next_error",
+    """
+    SELECT p.user_id, p.event_id, p.ts, MIN(e.ts) AS next_error_ts
+    FROM (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT user_id, ts FROM events
+               WHERE event_type = 'error') e
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+     AND epoch_ms(e.ts) - epoch_ms(p.ts) <= 259200000
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_purchase_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (asof.asof_join direction='forward'): for each
+    purchase, the user's next error within 72 h — the
+    "failure-after-action" attribution. Same single sort-shuffle union
+    plan as the backward as-of, with the same-ts tiebreak and window
+    frame flipped; the oracle's inequality join + MIN is the semantic
+    spec, not the plan."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("err_ts")
+    )
+    return asof_op.asof_join(
+        purchases,
+        errors,
+        on="user_id",
+        left_ts="ts",
+        right_ts="err_ts",
+        right_vals=["err_ts"],
+        tolerance_ms=72 * 3600 * 1000,
+        direction="forward",
+    ).select(
+        "user_id", "event_id", "ts", F.col("err_ts").alias("next_error_ts")
+    )
+
+
+@register(
+    "sliding_window_counts",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+             - k * INTERVAL '1 hour' AS window_start,
+           event_type, COUNT(*) AS n_events
+    FROM events, (SELECT unnest(range(0, 6)) AS k)
+    GROUP BY 1, 2
+    """,
+)
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING windows (6-hour window, 1-hour slide) per event type — the
+    overlapping-window sibling of `window_tumbling`: every event lands in
+    exactly window/slide = 6 epoch-aligned windows, which Spark's
+    F.window expands map-side before ONE count aggregation (shuffle width
+    = |windows|×|types|, a dimension table). The oracle replays the
+    expansion as an explicit 0..5 hour-offset unnest."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "6 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+
+
+@register(
+    "approx_quantile_check",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95_exact,
+           TRUE AS within_1pct
+    FROM events GROUP BY event_type
+    """,
+)
+def q_approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile accuracy gate (same oracle pattern as
+    `hll_distinct_users`): the query computes BOTH Spark's mergeable
+    Greenwald-Khanna sketch percentile (approx_percentile, the 100 TB
+    path — sketches shuffle, not values) and the exact interpolated p95,
+    and emits a within-1% verdict the oracle asserts TRUE — a broken
+    sketch path fails the hash gate even though DuckDB can't replay the
+    sketch itself."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.95)").alias("_exact"),
+            F.expr("approx_percentile(value, 0.95, 10000)").alias("_approx"),
+        )
+        .select(
+            "event_type",
+            F.round("_exact", 6).alias("p95_exact"),
+            (
+                F.abs(F.col("_approx") - F.col("_exact"))
+                <= F.lit(0.01) * F.abs(F.col("_exact"))
+            ).alias("within_1pct"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

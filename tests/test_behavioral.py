@@ -216,3 +216,51 @@ def test_interval_overlap_join_self_join_dedup(spark):
         extra_cond=F.col("iid") < F.col("iid_r"),
     ).collect()
     assert sorted((r.iid, r.iid_r) for r in out) == [(1, 2)]
+
+
+# ------------------------------------------------------------ forward as-of
+
+
+def test_asof_join_forward_direction(spark):
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.asof import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, _ts(10)), (1, _ts(20)), (2, _ts(10))],
+        "user_id long, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), "same"), (1, _ts(15), "later"), (2, _ts(5), "past")],
+        "user_id long, rts timestamp, val string",
+    )
+    got = {
+        (r.user_id, r.lts): r.val
+        for r in asof_join(
+            left, right, "user_id", "lts", "rts", ["val"], direction="forward"
+        ).collect()
+    }
+    assert got[(1, _ts(10))] == "same"   # at-or-after includes same ts
+    assert got[(1, _ts(20))] is None     # nothing after 20
+    assert got[(2, _ts(10))] is None     # only past rows
+
+
+def test_asof_join_forward_tolerance(spark):
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.asof import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame([(1, _ts(0))], "user_id long, lts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(100), "far")], "user_id long, rts timestamp, val string"
+    )
+    near = asof_join(
+        left, right, "user_id", "lts", "rts", ["val"],
+        tolerance_ms=200_000, direction="forward",
+    ).collect()[0]
+    far = asof_join(
+        left, right, "user_id", "lts", "rts", ["val"],
+        tolerance_ms=50_000, direction="forward",
+    ).collect()[0]
+    assert near.val == "far"
+    assert far.val is None
