@@ -179,3 +179,104 @@ def resample_ffill(
             F.col("__f").alias(value_col),
         )
     )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Per key: the same grid as ``resample_ffill`` but with LINEAR
+    interpolation between the surrounding observations — the standard
+    sensor-fusion resampler when a zero-order hold (ffill) is too coarse
+    (e.g. pose/velocity channels between frame timestamps).
+
+    Grid points strictly between two observations get
+    ``v0 + (v1-v0)·(t-t0)/(t1-t0)``; points at an exact observation time
+    get that observation; points before the first or after the last
+    observation get NULL (no extrapolation — same leading-NULL contract
+    as ffill, symmetric at the tail).
+
+    Same single sort-shuffle as ffill: grid and events union once, and
+    BOTH neighbors come from the one sorted pass (last-non-null looking
+    back, first-non-null looking forward) — not a join against the
+    events per grid point. Returns (key_col, grid_ts, value_col).
+    """
+    step = int(step_seconds)
+    bounds = df.groupBy(key_col).agg(
+        F.timestamp_seconds(
+            F.floor(F.unix_seconds(F.min(ts_col)) / step) * step
+        ).alias("__g0"),
+        F.max(ts_col).alias("__g1"),
+    )
+    grid = bounds.select(
+        F.col(key_col),
+        F.explode(
+            F.sequence("__g0", "__g1", F.expr(f"INTERVAL {step} SECONDS"))
+        ).alias("__t"),
+    )
+    vtype = df.schema[value_col].dataType
+    tie = (
+        F.col(tie_col).cast("long")
+        if tie_col is not None
+        else F.lit(None).cast("long")
+    )
+    g_tag = grid.select(
+        key_col,
+        "__t",
+        F.lit(1).alias("__is_grid"),
+        F.lit(None).cast(vtype).alias("__v"),
+        F.lit(None).cast("long").alias("__tus"),
+        F.lit(None).cast("long").alias("__tie"),
+    )
+    e_tag = df.select(
+        F.col(key_col),
+        F.col(ts_col).alias("__t"),
+        F.lit(0).alias("__is_grid"),
+        F.col(value_col).alias("__v"),
+        F.unix_micros(F.col(ts_col)).alias("__tus"),
+        tie.alias("__tie"),
+    )
+    order = [F.col("__t"), F.col("__is_grid"), F.col("__tie").asc_nulls_first()]
+    wp = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    u = g_tag.unionByName(e_tag).select(
+        key_col,
+        "__t",
+        "__is_grid",
+        F.last("__v", ignorenulls=True).over(wp).alias("__v0"),
+        F.last("__tus", ignorenulls=True).over(wp).alias("__t0"),
+        F.first("__v", ignorenulls=True).over(wn).alias("__v1"),
+        F.first("__tus", ignorenulls=True).over(wn).alias("__t1"),
+    )
+    t = F.unix_micros(F.col("__t"))
+    interp = (
+        F.when(F.col("__t0").isNull(), F.lit(None).cast("double"))
+        .when(F.col("__t0") == t, F.col("__v0").cast("double"))
+        .when(F.col("__t1").isNull(), F.lit(None).cast("double"))
+        .otherwise(
+            F.col("__v0")
+            + (F.col("__v1") - F.col("__v0"))
+            * (t - F.col("__t0"))
+            / (F.col("__t1") - F.col("__t0"))
+        )
+    )
+    return (
+        u.filter(F.col("__is_grid") == 1)
+        .select(
+            F.col(key_col),
+            F.col("__t").alias("grid_ts"),
+            interp.alias(value_col),
+        )
+    )

@@ -224,3 +224,34 @@ def rfm_scores(
         band("frequency", "fq").alias("f_score"),
         band("monetary", "mq").alias("m_score"),
     )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Equi-DEPTH histogram: bin edges are the global quantiles of the
+    value (so bins hold ~equal mass — the form query optimizers and
+    drift monitors keep, where equi-width wastes resolution on sparse
+    tails). Same plan shape as rfm_scores' banding: one exact-quantile
+    aggregate (1 row, broadcast) and one count aggregation — no sort of
+    the fact table, no ntile. Bin b holds values in (q_b, q_{b+1}];
+    values at or below the first boundary land in bin 0. Ties heavier
+    than a bin width simply make that bin heavier — the honest behavior
+    for skewed data.
+    """
+    qs = [i / n_bins for i in range(1, n_bins)]
+    qarr = "array(" + ", ".join(str(q) for q in qs) + ")"
+    bounds = df.agg(F.expr(f"percentile({value_col}, {qarr})").alias("qs"))
+    bin_id = F.size(
+        F.filter(F.col("qs"), lambda q: F.col(value_col) > q)
+    ).cast("int")
+    keys = ([group_col] if group_col else []) + ["bin"]
+    return (
+        df.join(F.broadcast(bounds))
+        .withColumn("bin", bin_id)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -4110,6 +4110,7 @@ def q_frequent_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             x="CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
         )
     ),
+    headline=True,
 )
 def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape (volume shipping between two nations): a five-way
@@ -4169,17 +4170,21 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (parts above a global value-share threshold): the
-    per-part value aggregate is computed ONCE and reused for both the
-    rows and the global total — `pv` is a single shuffle on partkey, the
-    total is a 1-row re-aggregate of pv joined back by broadcast cross
-    join (scalar-subquery pattern, same as bm25's corpus stats). At
-    100 TB the per-part table is |parts| rows, millions not billions, so
-    the 1-row broadcast never grows with the fact table."""
+    per-part value aggregate is computed ONCE — `pv` is a single shuffle
+    on partkey, PERSISTED (|parts| rows, megabytes at any scale) because
+    both the global total and the output rows consume it and Catalyst's
+    ReuseExchange does not fire across the broadcast boundary under AQE
+    (verified: the unpersisted form scans + shuffles lineitem twice).
+    The total is a 1-row re-aggregate of the cached pv joined back by
+    broadcast cross join (scalar-subquery pattern, same as bm25's corpus
+    stats); Spark's CacheManager dedupes repeated constructions by
+    canonical plan, so re-running the query reuses the same entry."""
     li = _t(spark, sf_dir, "lineitem")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
     pv = (
         li.groupBy("l_partkey")
         .agg(F.sum(rev).cast("double").alias("value"))
+        .persist()
     )
     total = pv.agg(
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("_total")
@@ -4332,6 +4337,7 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             x="CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
         )
     ),
+    headline=True,
 )
 def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS with an explicit grouping id — the generalization of
@@ -4391,6 +4397,7 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events
     FROM g GROUP BY user_id, sid
     """,
+    headline=True,
 )
 def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's NATIVE session_window (6-hour gap) vs the islands replica:
@@ -4559,6 +4566,7 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND a.s_ts <= b.e_ts AND b.s_ts <= a.e_ts
     GROUP BY 1
     """,
+    headline=True,
 )
 def q_co_active_user_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval OVERLAP join (range_join.interval_overlap_join): pairs of
@@ -4910,6 +4918,135 @@ def q_approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= F.lit(0.01) * F.abs(F.col("_exact"))
             ).alias("within_1pct"),
         )
+    )
+
+
+@register(
+    "resample_interp_6h",
+    """
+    WITH bounds AS (
+      SELECT user_id,
+             make_timestamp(CAST(floor(epoch(min(ts)) / 21600) * 21600 AS BIGINT) * 1000000) AS g0,
+             max(ts) AS g1
+      FROM events GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(g0, g1, INTERVAL 21600 SECOND)) AS t
+      FROM bounds
+    ),
+    u AS (
+      SELECT user_id, t, 1 AS is_grid,
+             CAST(NULL AS DOUBLE) AS v, CAST(NULL AS BIGINT) AS tus,
+             CAST(NULL AS BIGINT) AS tie
+      FROM grid
+      UNION ALL
+      SELECT user_id, ts, 0, value, epoch_us(ts), event_id FROM events
+    ),
+    f AS (
+      SELECT user_id, t, is_grid,
+             last_value(v IGNORE NULLS) OVER wp AS v0,
+             last_value(tus IGNORE NULLS) OVER wp AS t0,
+             first_value(v IGNORE NULLS) OVER wn AS v1,
+             first_value(tus IGNORE NULLS) OVER wn AS t1
+      FROM u
+      WINDOW wp AS (PARTITION BY user_id ORDER BY t, is_grid, tie NULLS FIRST
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY t, is_grid, tie NULLS FIRST
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, t AS grid_ts,
+           ROUND(CASE WHEN t0 IS NULL THEN NULL
+                      WHEN t0 = epoch_us(t) THEN v0
+                      WHEN t1 IS NULL THEN NULL
+                      ELSE v0 + (v1 - v0) * (epoch_us(t) - t0) / (t1 - t0)
+                 END, 6) AS value
+    FROM f WHERE is_grid = 1
+    """,
+)
+def q_resample_interp_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling onto the 6-hour grid
+    (resample.resample_interpolate) — the first-order hold beside
+    `resample_ffill_6h`'s zero-order hold (pose/velocity channels between
+    frame timestamps, reference frame clock processing.py:192). BOTH
+    neighbors come from the one sorted union pass (no per-grid-point
+    join); same single sort-shuffle as ffill."""
+    from ..operators import resample as RS
+
+    out = RS.resample_interpolate(
+        _t(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        step_seconds=21600,
+        tie_col="event_id",
+    )
+    return out.select("user_id", "grid_ts", F.round("value", 6).alias("value"))
+
+
+@register(
+    "equi_depth_price_histogram",
+    """
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+      FROM orders
+    )
+    SELECT CAST(len(list_filter(qs, q -> o_totalprice > q)) AS INTEGER) AS bin,
+           COUNT(*) AS n
+    FROM orders, b
+    GROUP BY 1
+    """,
+)
+def q_equi_depth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of order prices (stats.equi_depth_histogram):
+    bin edges at the exact global deciles (1-row broadcast), one count
+    aggregation — the optimizer-statistics form of the histogram family,
+    no sort or ntile over the fact table."""
+    from ..operators import stats
+
+    return stats.equi_depth_histogram(
+        _t(spark, sf_dir, "orders"), "o_totalprice", n_bins=10
+    )
+
+
+def _source_overlap_sql() -> str:
+    """Composed oracle: the registered MinHash pair oracle joined back to
+    each side's source — the cross-source contamination matrix."""
+    return f"""
+    WITH pairs AS ({_d_minhash_sql()})
+    SELECT da.source AS source_a, db.source AS source_b, COUNT(*) AS n_pairs
+    FROM pairs
+    JOIN documents da ON pairs.id_a = da.doc_id
+    JOIN documents db ON pairs.id_b = db.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@register("source_overlap_matrix", _source_overlap_sql())
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate matrix: which SOURCES copy from each
+    other — the provenance rollup of `minhash_dedup_pairs` (operator
+    composition: the pair table is id-only, so the join back to the
+    |docs|-row source map is two key joins, and the matrix is
+    |sources|²-bounded). The contamination audit run before mixing a new
+    source into a training blend."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs,
+        threshold=0.8,
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
+    src = docs.select("doc_id", "source")
+    return (
+        pairs.select("id_a", "id_b")
+        .join(src.withColumnRenamed("source", "source_a"),
+              F.col("id_a") == F.col("doc_id"))
+        .drop("doc_id")
+        .join(src.withColumnRenamed("source", "source_b"),
+              F.col("id_b") == F.col("doc_id"))
+        .drop("doc_id")
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
 
 

@@ -135,3 +135,36 @@ def test_lm_fluency_ranks_salad_below_fluent(spark):
     out = {r.doc_id: r.mean_logp for r in textstats.lm_fluency_scores(docs).collect()}
     assert out[4] < out[1]
     assert out[1] == out[2] == out[3]
+
+
+def test_resample_interpolate_linear_and_nulls(spark):
+    import datetime as dt
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.resample import (
+        resample_interpolate,
+    )
+
+    t0 = dt.datetime(2021, 1, 1, 0, 0, 30)  # grid floors to :00
+    ev = spark.createDataFrame(
+        [
+            (1, t0, 0.0, 1),
+            (1, t0 + dt.timedelta(seconds=40), 100.0, 2),
+        ],
+        "user_id long, ts timestamp, value double, event_id long",
+    )
+    out = {
+        r.grid_ts: r.value
+        for r in resample_interpolate(
+            ev, "user_id", "ts", "value", step_seconds=10, tie_col="event_id"
+        ).collect()
+    }
+    g = dt.datetime(2021, 1, 1, 0, 0, 30)
+    # grid: :30 (event, =0), :40 (interp 25), :50 (50), :60 (75), :70 (event 100)
+    assert out[g] == 0.0
+    assert out[g + dt.timedelta(seconds=10)] == 25.0
+    assert out[g + dt.timedelta(seconds=20)] == 50.0
+    assert out[g + dt.timedelta(seconds=30)] == 75.0
+    assert out[g + dt.timedelta(seconds=40)] == 100.0
+    # no extrapolation: leading grid point before the first event is NULL
+    lead = dt.datetime(2021, 1, 1, 0, 0, 20)
+    assert lead not in out or out[lead] is None

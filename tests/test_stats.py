@@ -95,3 +95,16 @@ def test_nucleus_keep_coverage_bound(spark):
     assert ids == [1, 2, 3]
     # coverage met, never undershot
     assert sum(r.n_chars for r in kept) >= 90
+
+
+def test_equi_depth_histogram_balanced(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.stats import (
+        equi_depth_histogram,
+    )
+
+    out = {r.bin: r.n for r in equi_depth_histogram(df, "v", n_bins=10).collect()}
+    assert len(out) == 10
+    # uniform data → each decile bin holds ~10 rows
+    assert all(9 <= n <= 11 for n in out.values())
+    assert sum(out.values()) == 100

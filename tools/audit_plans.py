@@ -67,6 +67,9 @@ ALLOWED_BNLJ = {
     "bigram_pmi",
     # value_histogram: cross join against a broadcast 1-row global min/max agg
     "value_histogram",
+    # equi_depth_price_histogram: cross join against a broadcast 1-row
+    # decile-boundary agg
+    "equi_depth_price_histogram",
     # chi2_lang_source: cross join against a broadcast 1-row grand-total agg
     "chi2_lang_source",
     # rfm_scores: cross joins against broadcast 1-row max-date / quantile-
