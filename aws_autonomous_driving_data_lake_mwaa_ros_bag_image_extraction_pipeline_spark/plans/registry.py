@@ -5050,6 +5050,178 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "weekly_growth",
+    """
+    WITH wk AS (
+      SELECT event_type,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, week_start, n,
+           ROUND(CAST(n AS DOUBLE) / lag(n) OVER
+                   (PARTITION BY event_type ORDER BY week_start) - 1.0, 6)
+             AS wow_growth
+    FROM wk
+    """,
+)
+def q_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type: one count aggregation to the
+    |types|×|weeks| table, then a lag window over THAT (dimension-sized,
+    never the events). NULL growth on each type's first week."""
+    ev = _t(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        "event_type", F.date_trunc("week", "ts").alias("week_start")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("week_start")
+    return wk.withColumn(
+        "wow_growth",
+        F.round(F.col("n") / F.lag("n").over(w) - 1.0, 6),
+    )
+
+
+@register(
+    "cumulative_adoption",
+    """
+    WITH first_day AS (
+      SELECT user_id,
+             CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT day, COUNT(*) AS new_users FROM first_day GROUP BY day
+    )
+    SELECT day, new_users,
+           SUM(new_users) OVER (ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS total_users
+    FROM daily
+    """,
+)
+def q_cumulative_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative adoption curve: each user's first-seen day (one groupBy
+    on user), daily new-user counts, and the running total — computed as
+    a window over the |days|-row table, so the only unpartitioned window
+    in the plan sorts ~30 rows, not users or events."""
+    ev = _t(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day")
+    )
+    daily = first_day.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.withColumn("total_users", F.sum("new_users").over(w))
+
+
+@register(
+    "view_to_purchase_latency",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_buy
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(FLOOR((epoch_us(first_buy) - epoch_us(first_view))
+                      / 3600000000.0) AS BIGINT) AS latency_hours,
+           COUNT(*) AS n_users
+    FROM firsts
+    WHERE first_view IS NOT NULL AND first_buy IS NOT NULL
+      AND first_buy >= first_view
+    GROUP BY 1
+    """,
+)
+def q_view_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency histogram: hours from first view to first
+    purchase per user — ONE conditional aggregation (no self-join of
+    events with events; the CASE-inside-MIN trick collapses both firsts
+    into the same per-user pass), then an hour-bucket count."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_buy"
+        ),
+    )
+    return (
+        firsts.filter(
+            F.col("first_view").isNotNull()
+            & F.col("first_buy").isNotNull()
+            & (F.col("first_buy") >= F.col("first_view"))
+        )
+        .select(
+            F.floor(
+                (F.unix_micros("first_buy") - F.unix_micros("first_view"))
+                / 3600000000.0
+            )
+            .cast("bigint")
+            .alias("latency_hours")
+        )
+        .groupBy("latency_hours")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "customer_spend_gini",
+    """
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT spend,
+             row_number() OVER (ORDER BY spend, o_custkey) AS i,
+             COUNT(*) OVER () AS n
+      FROM per
+    )
+    SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n_customers,
+           ROUND(2.0 * SUM(CAST(i * spend AS DECIMAL(28,8)))
+                   / (ANY_VALUE(n) * SUM(CAST(spend AS DECIMAL(28,8))))
+                 - (ANY_VALUE(n) + 1.0) / ANY_VALUE(n), 6) AS gini
+    FROM ranked
+    """,
+)
+def q_customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend concentration —
+    G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n over rank-ordered spend. The rank is
+    inherently a total order, so the window runs over the PER-CUSTOMER
+    aggregate (dimension-sized, like value_ranks), never the orders; both
+    Σ terms accumulate as DECIMAL for engine-exactness."""
+    od = _t(spark, sf_dir, "orders")
+    per = od.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("spend")
+    )
+    w = Window.orderBy("spend", "o_custkey")
+    ranked = per.select(
+        "spend",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    return ranked.agg(
+        F.first("n").alias("n_customers"),
+        F.round(
+            2.0
+            * F.sum((F.col("i") * F.col("spend")).cast("decimal(28,8)"))
+            .cast("double")
+            / (
+                F.first("n")
+                * F.sum(F.col("spend").cast("decimal(28,8)")).cast("double")
+            )
+            - (F.first("n") + 1.0) / F.first("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------
