@@ -5222,6 +5222,150 @@ def q_customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "part_basket_lift",
+    """
+    WITH norders AS (SELECT CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) AS n
+                     FROM orders),
+    items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pcnt AS (SELECT l_partkey, COUNT(*) AS np FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT part_a, part_b, n_ab,
+           ROUND(n_ab * n / (pa.np * pb.np), 6) AS lift
+    FROM pairs
+    JOIN pcnt pa ON part_a = pa.l_partkey
+    JOIN pcnt pb ON part_b = pb.l_partkey, norders
+    """,
+)
+def q_part_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: lift of part co-occurrence within
+    orders — lift = P(a,b)/(P(a)·P(b)) = n_ab·N/(n_a·n_b). The pair
+    generation is a SELF-JOIN ON THE ORDER KEY, which is bounded (≤7
+    lines/order → ≤21 pairs), so candidates grow linearly with orders,
+    never |parts|²; the part-frequency joins are broadcast
+    (|parts| rows) and the order count a 1-row broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    n_orders = od.agg(
+        F.countDistinct("o_orderkey").cast("double").alias("n")
+    )
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    pcnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("np"))
+    a = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("l_orderkey") == F.col("ok_b"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    pa = pcnt.select(F.col("l_partkey").alias("ka"), F.col("np").alias("na"))
+    pb = pcnt.select(F.col("l_partkey").alias("kb"), F.col("np").alias("nb"))
+    return (
+        pairs.join(F.broadcast(pa), F.col("part_a") == F.col("ka"))
+        .join(F.broadcast(pb), F.col("part_b") == F.col("kb"))
+        .join(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab") * F.col("n") / (F.col("na") * F.col("nb")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "session_length_quantiles",
+    """
+    WITH s AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), g AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    ), sess AS (
+      SELECT user_id, sid,
+             (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 60000000.0 AS dur_min,
+             COUNT(*) AS n_events
+      FROM g GROUP BY 1, 2
+    )
+    SELECT COUNT(*) AS n_sessions,
+           ROUND(quantile_cont(dur_min, 0.50), 6) AS p50_minutes,
+           ROUND(quantile_cont(dur_min, 0.90), 6) AS p90_minutes,
+           ROUND(AVG(CAST(n_events AS DOUBLE)), 6) AS avg_events
+    FROM sess WHERE n_events > 1
+    """,
+)
+def q_session_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-duration distribution: exact p50/p90 of multi-event session
+    lengths — the dwell-time summary over `session_window_stats`' output
+    (sessions computed by the native session_window, durations in
+    minutes, quantiles over the |sessions|-row aggregate)."""
+    sess = sessionize.session_window_stats(
+        _t(spark, sf_dir, "events"), gap="6 hours"
+    )
+    dur = (
+        (F.unix_micros("last_ts") - F.unix_micros("session_start"))
+        / 60000000.0
+    ).alias("dur_min")
+    multi = sess.filter(F.col("n_events") > 1).select(
+        dur, F.col("n_events")
+    )
+    return multi.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.expr("percentile(dur_min, 0.50)"), 6).alias("p50_minutes"),
+        F.round(F.expr("percentile(dur_min, 0.90)"), 6).alias("p90_minutes"),
+        F.round(
+            F.sum(F.col("n_events").cast("double")) / F.count(F.lit(1)), 6
+        ).alias("avg_events"),
+    )
+
+
+@register(
+    "dow_hour_heatmap",
+    """
+    SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+           CAST(hour(ts) AS INTEGER) AS hod,
+           COUNT(*) AS n,
+           {val} AS total_value
+    FROM events GROUP BY 1, 2
+    """.format(val=SQL_DSUM.format(x="value")),
+)
+def q_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap — the operational load
+    profile (when do drives/uploads happen?). One aggregation to a
+    7×24-row table; Spark's dayofweek is 1=Sunday while DuckDB's is
+    0=Sunday — the oracle shifts by one."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value"), "total_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

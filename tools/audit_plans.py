@@ -75,6 +75,8 @@ ALLOWED_BNLJ = {
     # rfm_scores: cross joins against broadcast 1-row max-date / quantile-
     # boundary aggregates
     "rfm_scores",
+    # part_basket_lift: cross join against a broadcast 1-row order-count agg
+    "part_basket_lift",
     # source_kl_divergence: cross joins against broadcast 1-row corpus
     # vocab-size / log-mass aggregates
     "source_kl_divergence",
