@@ -145,6 +145,70 @@ def running_counters(
     )
 
 
+def streaming_transition_counts(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of ``sessionize.transition_matrix``'s pair stage:
+    per-key (from_type → to_type) consecutive-pair counts that keep
+    accumulating ACROSS micro-batches — state is each key's last event
+    (ts, tie, type), so the first event of a new batch pairs with the last
+    event of the previous one, exactly as the batch lead-window would.
+
+    Emits the pairs observed in each batch (append mode); a downstream
+    `groupBy(from_type, to_type).count()` — or the persisted-rollup fold
+    in pipeline.py — turns them into the running matrix. State per key is
+    ONE row forever; within a batch rows are sorted by (ts, tie) inside
+    the group, the same determinism contract as the quota operator.
+    """
+    dt = dict(events.dtypes)
+    out_schema = (
+        f"{key_col} {dt[key_col]}, from_type {dt[type_col]}, "
+        f"to_type {dt[type_col]}"
+    )
+    state_schema = "last_us long, last_tie long, last_type string"
+
+    def _pairs(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values([ts_col, tie_col], kind="mergesort")
+        types = rows[type_col].tolist()
+        prev_type = state.get[2] if state.exists else None
+        froms, tos = [], []
+        for t in types:
+            if prev_type is not None:
+                froms.append(prev_type)
+                tos.append(t)
+            prev_type = t
+        last = rows.iloc[-1]
+        state.update(
+            (
+                int(last[ts_col].value // 1000),
+                int(last[tie_col]),
+                str(last[type_col]),
+            )
+        )
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(froms),
+                "from_type": froms,
+                "to_type": tos,
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        _pairs,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_group_quota(
     events: DataFrame,
     quota: int,

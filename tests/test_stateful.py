@@ -214,3 +214,139 @@ def test_streaming_resample_ffill_integral_dtype(spark, tmp_path):
     got = {((r.grid_ts - t0).total_seconds(), r.value) for r in sink}
     assert got == {(0.0, None), (60.0, 7)}
     assert all(r.value is None or isinstance(r.value, int) for r in sink)
+
+
+def test_streaming_transition_counts_across_triggers(spark, tmp_path):
+    """Cross-batch pairing: the first event of batch 2 pairs with the last
+    event of batch 1 via restored state, matching the batch lead-window."""
+    src = str(tmp_path / "tr_ev")
+    ck = str(tmp_path / "tr_ck")
+    os.makedirs(src)
+
+    def _w(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for uid, eid, ts, et in rows:
+                f.write(
+                    json.dumps(
+                        {
+                            "user_id": uid,
+                            "event_id": eid,
+                            "ts": ts,
+                            "event_type": et,
+                        }
+                    )
+                    + "\n"
+                )
+
+    def _tick_tr(sink):
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_id long, ts timestamp, event_type string"
+            ).json(src)
+        )
+        out = stateful.streaming_transition_counts(stream)
+
+        def _collect(df, _eid):
+            sink.extend(df.collect())
+
+        q = (
+            out.writeStream.foreachBatch(_collect)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _w("b1.json", [
+        (1, 1, "2024-01-01T00:00:00", "a"),
+        (1, 2, "2024-01-01T00:01:00", "b"),
+        (2, 1, "2024-01-01T00:00:00", "a"),
+    ])
+    s1: list = []
+    _tick_tr(s1)
+    assert sorted((r.user_id, r.from_type, r.to_type) for r in s1) == [
+        (1, "a", "b"),
+    ]
+
+    # batch 2: user 1's first event pairs with the restored 'b'; user 2's
+    # with the restored 'a'
+    _w("b2.json", [
+        (1, 3, "2024-01-01T00:02:00", "c"),
+        (2, 2, "2024-01-01T00:03:00", "b"),
+        (2, 3, "2024-01-01T00:04:00", "a"),
+    ])
+    s2: list = []
+    _tick_tr(s2)
+    assert sorted((r.user_id, r.from_type, r.to_type) for r in s2) == [
+        (1, "b", "c"),
+        (2, "a", "b"),
+        (2, "b", "a"),
+    ]
+
+
+def test_streaming_transition_counts_match_batch_twin(spark, tmp_path):
+    """Two streamed ticks aggregate to exactly the batch transition_matrix
+    counts on the same (in-order) data."""
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        sessionize,
+    )
+
+    rows = [
+        (1, 1, "2024-01-01T00:00:00", "a"),
+        (1, 2, "2024-01-01T00:01:00", "b"),
+        (1, 3, "2024-01-01T00:02:00", "a"),
+        (2, 1, "2024-01-01T00:00:30", "c"),
+        (2, 2, "2024-01-01T00:01:30", "c"),
+    ]
+    src = str(tmp_path / "tw_ev")
+    ck = str(tmp_path / "tw_ck")
+    os.makedirs(src)
+
+    def _w(name, batch):
+        with open(os.path.join(src, name), "w") as f:
+            for uid, eid, ts, et in batch:
+                f.write(json.dumps({
+                    "user_id": uid, "event_id": eid, "ts": ts,
+                    "event_type": et,
+                }) + "\n")
+
+    sink: list = []
+
+    def _tick_tr():
+        stream = spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp, event_type string"
+        ).json(src)
+        out = stateful.streaming_transition_counts(stream)
+
+        def _collect(df, _eid):
+            sink.extend(df.collect())
+
+        q = (
+            out.writeStream.foreachBatch(_collect)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _w("b1.json", rows[:3])
+    _tick_tr()
+    _w("b2.json", rows[3:])
+    _tick_tr()
+
+    from collections import Counter
+
+    streamed = Counter((r.from_type, r.to_type) for r in sink)
+
+    batch_df = spark.createDataFrame(
+        [(u, e, __import__("datetime").datetime.fromisoformat(t), et)
+         for u, e, t, et in rows],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    batch = {
+        (r.from_type, r.to_type): r.n
+        for r in sessionize.transition_matrix(batch_df).collect()
+    }
+    assert dict(streamed) == batch
