@@ -769,3 +769,36 @@ def span_corruption(
         .otherwise(F.concat(F.col("__tgt"), F.lit(" "), closing))
         .alias("target_text"),
     )
+
+
+def stratified_exact_split(
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    fractions: tuple[float, float] = (0.8, 0.9),
+) -> DataFrame:
+    """Deterministic EXACT-proportion train/val/test assignment per
+    stratum: within each stratum documents are ordered by md5(id) (a
+    stable shuffle decoupled from ingestion order) and split at
+    ``fractions`` of the stratum count — so every stratum lands within
+    one document of 80/10/10, unlike the hash-rate split
+    (``shuffle_assignment``) whose per-stratum proportions only converge
+    in expectation.
+
+    One window pass partitioned BY STRATUM (rank + stratum count ride the
+    same sort), so scale is per-stratum parallel; the output keeps the
+    assignment per document.
+    """
+    h = H.md5_long(F.col(id_col).cast("string"))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col))
+    wn = Window.partitionBy(stratum_col)
+    rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(wn)
+    split = (
+        F.when(rn <= F.lit(fractions[0]) * n, "train")
+        .when(rn <= F.lit(fractions[1]) * n, "val")
+        .otherwise("test")
+    )
+    return docs.select(
+        F.col(id_col), F.col(stratum_col), split.alias("split")
+    )

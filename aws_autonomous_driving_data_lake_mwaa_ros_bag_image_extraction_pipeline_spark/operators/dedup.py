@@ -772,3 +772,45 @@ def hash_near_pairs(
     return cands.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def ngram_novelty_scores(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document NOVELTY: the fraction of the doc's distinct word
+    n-grams that appear in NO other document — the corpus-diversity
+    signal (a distribution collapsing toward 0 means the corpus is
+    recombining the same phrases; the self-BLEU-style audit run before
+    accepting synthetic data into a mix).
+
+    One explode to distinct (doc, shingle) pairs, one count-by-shingle
+    with map-side combine, one join back on the shingle key, one
+    per-doc aggregate — all shuffles keyed and partitionable; nothing
+    is pairwise. Docs with < n tokens have no shingles → novelty NULL.
+    """
+    from ..functions import text as T
+
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(T.word_ngrams(F.col(text_col), n))
+        ).alias("sh"),
+    )
+    counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("ndocs"))
+    per = (
+        sh.join(counts, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("ndocs") == 1).cast("long")).alias("n_unique"),
+        )
+    )
+    return docs.select(id_col).join(per, id_col, "left").select(
+        id_col,
+        F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+        F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+        F.round(F.col("n_unique") / F.col("n_shingles"), 6).alias("novelty"),
+    )

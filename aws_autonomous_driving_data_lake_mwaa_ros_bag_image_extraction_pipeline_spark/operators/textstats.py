@@ -446,6 +446,57 @@ def bigram_pmi(
     )
 
 
+def bpe_pair_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """The inner loop of BPE tokenizer training, relationally: adjacent
+    SYMBOL-pair frequencies weighted by word frequency — the table whose
+    argmax is the next merge. (One iteration; a full trainer reruns this
+    over the re-segmented vocab, each round a job over the
+    vocabulary-sized table, never the corpus.)
+
+    Corpus-scale shape: the corpus is touched ONCE (tokenize + word
+    count); everything after runs on the |vocab|-row word-frequency
+    table — char-pair explosion is |vocab|·avg_len rows, and the final
+    rank window sorts the ≤|alphabet|² pair table.
+    """
+    words = (
+        docs.select(F.explode(T.tokens(F.lower(F.col(text_col)))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+    def _char_pairs(w):
+        k = F.length(w) - F.lit(1)
+        idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.substring(w, i, 1).alias("c1"),
+                F.substring(w, i + 1, 1).alias("c2"),
+            ),
+        )
+
+    pairs = (
+        words.select("freq", F.explode(_char_pairs(F.col("w"))).alias("p"))
+        .select("freq", "p.c1", "p.c2")
+        .groupBy("c1", "c2")
+        .agg(F.sum("freq").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    wr = Window.orderBy(F.desc("n"), "c1", "c2")
+    return (
+        pairs.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
 def source_kl_divergence(
     docs: DataFrame,
     source_col: str = "source",

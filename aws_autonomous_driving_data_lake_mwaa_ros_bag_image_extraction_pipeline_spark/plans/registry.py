@@ -5366,6 +5366,96 @@ def q_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bpe_pair_counts",
+    f"""
+    WITH words AS (
+      SELECT w, COUNT(*) AS freq
+      FROM (SELECT unnest({_D_TOKS}) AS w FROM documents)
+      WHERE w <> '' GROUP BY 1
+    ),
+    pairs AS (
+      SELECT substr(w, i, 1) AS c1, substr(w, i + 1, 1) AS c2,
+             SUM(freq) AS n
+      FROM (SELECT w, freq, unnest(range(1, len(w))) AS i FROM words)
+      GROUP BY 1, 2
+    )
+    SELECT c1, c2, n, CAST(rnk AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY n DESC, c1, c2) AS rnk
+          FROM pairs)
+    WHERE rnk <= 20
+    """,
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner loop of BPE tokenizer training
+    (textstats.bpe_pair_counts): adjacent symbol-pair frequencies
+    weighted by word frequency — the table whose argmax is the next
+    merge. The corpus is touched once (word count); the pair explosion
+    runs over the |vocab|-row table and the rank window sorts
+    ≤|alphabet|² rows."""
+    return textstats.bpe_pair_counts(_t(spark, sf_dir, "documents"), top_k=20)
+
+
+@register(
+    "ngram_novelty_scores",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_D_SHINGLES}) AS sh
+      FROM (SELECT doc_id, {_D_TOKS} AS t FROM documents)
+    ),
+    counts AS (SELECT sh, COUNT(*) AS ndocs FROM sh GROUP BY 1),
+    per AS (
+      SELECT doc_id, COUNT(*) AS n_shingles,
+             SUM(CASE WHEN ndocs = 1 THEN 1 ELSE 0 END) AS n_unique
+      FROM sh JOIN counts USING (sh) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_shingles, 0) AS n_shingles,
+           CAST(COALESCE(n_unique, 0) AS BIGINT) AS n_unique,
+           ROUND(CAST(n_unique AS DOUBLE) / n_shingles, 6) AS novelty
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """,
+)
+def q_ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-diversity audit (dedup.ngram_novelty_scores): per-doc share
+    of word 3-grams appearing in no other document — the self-BLEU-style
+    signal run before accepting synthetic data. Explode → shingle count →
+    key-join back; nothing pairwise."""
+    return dedup.ngram_novelty_scores(_t(spark, sf_dir, "documents"), n=3)
+
+
+@register(
+    "stratified_split_assignment",
+    """
+    WITH h AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM documents
+    ), r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM h
+    )
+    SELECT doc_id, lang,
+           CASE WHEN rn <= 0.8 * n THEN 'train'
+                WHEN rn <= 0.9 * n THEN 'val'
+                ELSE 'test' END AS split
+    FROM r
+    """,
+)
+def q_stratified_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-proportion train/val/test split per language stratum
+    (curation.stratified_exact_split): hash-ordered rank within stratum →
+    every stratum is within one document of 80/10/10, the guarantee the
+    Bernoulli `shuffle_assignment` only reaches in expectation. One
+    stratum-partitioned window pass."""
+    return curation.stratified_exact_split(
+        _t(spark, sf_dir, "documents"), stratum_col="lang"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

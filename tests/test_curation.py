@@ -368,3 +368,28 @@ def test_span_corruption_no_masks_yields_identity_pair(spark):
     assert r.n_spans == 0
     assert r.input_text == "alpha beta gamma"
     assert r.target_text == "<extra_id_0>"
+
+
+def test_stratified_exact_split_proportions(spark):
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.curation import (
+        stratified_exact_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    out = stratified_exact_split(docs, stratum_col="lang")
+    counts = {
+        (r.lang, r.split): r.n
+        for r in out.groupBy("lang", "split").count().withColumnRenamed("count", "n").collect()
+    }
+    # each stratum has 50 docs → exactly 40/5/5
+    for lang in ("en", "fr"):
+        assert counts[(lang, "train")] == 40
+        assert counts[(lang, "val")] == 5
+        assert counts[(lang, "test")] == 5
+    # deterministic: same input → same assignment
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {r.doc_id: r.split for r in stratified_exact_split(docs, stratum_col="lang").collect()}
+    assert a == b

@@ -244,3 +244,23 @@ def test_ngram_containment_matches_brute_force(spark):
     )
     want = {(r.ia, r.ib) for r in brute.collect()}
     assert got == want
+
+
+def test_ngram_novelty_scores(spark):
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.dedup import (
+        ngram_novelty_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),        # shares 'a b c' 'b c d' 'c d e' with 2
+            (2, "a b c d e"),        # exact copy → novelty 0 for both
+            (3, "x y z w"),          # fully unique → novelty 1
+            (4, "q r"),              # < 3 tokens → no shingles
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ngram_novelty_scores(docs, n=3).collect()}
+    assert out[1].novelty == 0.0 and out[2].novelty == 0.0
+    assert out[3].novelty == 1.0 and out[3].n_shingles == 2
+    assert out[4].n_shingles == 0 and out[4].novelty is None

@@ -342,3 +342,20 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     # probing Hamming-1 buckets can only widen the candidate set
     assert r_multi >= r_single
     assert r_multi > 0
+
+
+def test_bpe_pair_counts_weighted(spark):
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.textstats import (
+        bpe_pair_counts,
+    )
+
+    # 'ab' appears in both words of a doc repeated 3x -> ('a','b') dominates
+    docs = spark.createDataFrame(
+        [(i, "abc abd") for i in range(3)], "doc_id long, text string"
+    )
+    rows = bpe_pair_counts(docs, top_k=10).collect()
+    by_rank = sorted(rows, key=lambda r: r.rank)
+    assert (by_rank[0].c1, by_rank[0].c2) == ("a", "b")
+    assert by_rank[0].n == 6  # 2 words x 3 docs
+    # single-char words contribute nothing; ranks are dense from 1
+    assert [r.rank for r in by_rank] == list(range(1, len(rows) + 1))
