@@ -5456,6 +5456,152 @@ def q_stratified_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "user_presence_reconciliation",
+    """
+    WITH ec AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1),
+    oc AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1)
+    SELECT CASE WHEN user_id IS NOT NULL AND o_custkey IS NOT NULL THEN 'both'
+                WHEN user_id IS NOT NULL THEN 'events_only'
+                ELSE 'orders_only' END AS presence,
+           COUNT(*) AS n_keys,
+           CAST(SUM(COALESCE(n_events, 0)) AS BIGINT) AS total_events,
+           CAST(SUM(COALESCE(n_orders, 0)) AS BIGINT) AS total_orders
+    FROM ec FULL OUTER JOIN oc ON ec.user_id = oc.o_custkey
+    GROUP BY 1
+    """,
+)
+def q_user_presence_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation of two key domains (event users vs order
+    customers) — the dataset-merge audit: which keys exist on each side,
+    with per-side volumes. Both inputs pre-aggregate to key-level tables
+    BEFORE the full join, so the outer join is dimension×dimension, and
+    the presence classification is a post-join projection."""
+    ev = _t(spark, sf_dir, "events")
+    od = _t(spark, sf_dir, "orders")
+    ec = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    oc = od.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    j = ec.join(oc, F.col("user_id") == F.col("o_custkey"), "full_outer")
+    presence = (
+        F.when(
+            F.col("user_id").isNotNull() & F.col("o_custkey").isNotNull(),
+            "both",
+        )
+        .when(F.col("user_id").isNotNull(), "events_only")
+        .otherwise("orders_only")
+    )
+    return j.groupBy(presence.alias("presence")).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.coalesce("n_events", F.lit(0))).alias("total_events"),
+        F.sum(F.coalesce("n_orders", F.lit(0))).alias("total_orders"),
+    )
+
+
+@register(
+    "order_window_profile",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             COUNT(*) OVER wc AS n_orders,
+             first_value(o_totalprice) OVER wo AS first_price,
+             last_value(o_totalprice) OVER wof AS last_price,
+             nth_value(o_totalprice, 2) OVER wof AS second_price,
+             ROUND(percent_rank() OVER wp, 6) AS price_pct_rank,
+             ROUND(cume_dist() OVER wp, 6) AS price_cume_dist
+      FROM orders
+      WINDOW wc AS (PARTITION BY o_custkey),
+             wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             wof AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING),
+             wp AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    )
+    SELECT * FROM r WHERE n_orders >= 12
+    """,
+)
+def q_order_window_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-window completeness query: first_value / last_value /
+    nth_value / percent_rank / cume_dist in one per-customer pass —
+    Catalyst evaluates all five frames over ONE sort of each customer
+    partition (same partitioning key → no extra shuffles). Filtered to
+    customers with ≥12 orders to keep the gated output focused."""
+    od = _t(spark, sf_dir, "orders")
+    wc = Window.partitionBy("o_custkey")
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wof = wo.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wp = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    r = od.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(wc).alias("n_orders"),
+        F.first("o_totalprice").over(wo).alias("first_price"),
+        F.last("o_totalprice").over(wof).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(wof).alias("second_price"),
+        F.round(F.percent_rank().over(wp), 6).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(wp), 6).alias("price_cume_dist"),
+    )
+    return r.filter(F.col("n_orders") >= 12)
+
+
+@register(
+    "cosine_similarity_histogram",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding
+      FROM embeddings
+      ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                    AS BIGINT), vec_id
+      LIMIT 128
+    )
+    SELECT LEAST(CAST(FLOOR(
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6)
+             / 0.05) AS INTEGER), 19) AS bin,
+           COUNT(*) AS n_pairs
+    FROM s a JOIN s b ON a.vec_id < b.vec_id
+    GROUP BY 1
+    """,
+)
+def q_cosine_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled pairwise-cosine distribution: the corpus-geometry diagnostic
+    (a healthy embedding space is spread; a spike near 1.0 signals
+    collapse/duplication). ALL-PAIRS IS THE POINT here, so it runs on a
+    deterministic md5-ordered sample of 128 vectors — 8128 pairs,
+    bounded regardless of corpus size; the sample is tiny enough to
+    broadcast, making the pair join a broadcast nested loop over 128
+    rows, not a shuffle. Histogram over 0.05-wide cosine bins."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sample = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            H.md5_long(F.col("vec_id").cast("string")).alias("__h"),
+        )
+        .orderBy("__h", "vec_id")
+        .limit(128)
+    )
+    a = sample.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = sample.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    cos = F.round(V.cosine(F.col("ea"), F.col("eb")), 6)
+    return (
+        pairs.select(
+            F.least(F.floor(cos / F.lit(0.05)).cast("int"), F.lit(19)).alias(
+                "bin"
+            )
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

@@ -77,6 +77,9 @@ ALLOWED_BNLJ = {
     "rfm_scores",
     # part_basket_lift: cross join against a broadcast 1-row order-count agg
     "part_basket_lift",
+    # cosine_similarity_histogram: deliberate bounded all-pairs over a
+    # broadcast 128-row hash sample (8128 pairs regardless of corpus size)
+    "cosine_similarity_histogram",
     # source_kl_divergence: cross joins against broadcast 1-row corpus
     # vocab-size / log-mass aggregates
     "source_kl_divergence",
