@@ -4261,11 +4261,15 @@ def q_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     su = _t(spark, sf_dir, "supplier")
     ol = li.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.countDistinct("l_suppkey").alias("n_supp"),
         F.min("l_suppkey").alias("the_supp"),
+        F.max("l_suppkey").alias("max_supp"),
     )
+    # exactly-one-distinct ⟺ min == max: avoids count(distinct)'s Expand
+    # (which doubles the pre-shuffle rows) — one plain hash aggregate
     return (
-        ol.filter((F.col("n_lines") >= 2) & (F.col("n_supp") == 1))
+        ol.filter(
+            (F.col("n_lines") >= 2) & (F.col("the_supp") == F.col("max_supp"))
+        )
         .join(F.broadcast(su), F.col("the_supp") == F.col("s_suppkey"))
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("n_sole_orders"))
@@ -4578,9 +4582,14 @@ def q_co_active_user_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.range_join import interval_overlap_join
 
     ev = _t(spark, sf_dir, "events")
-    spans = ev.groupBy(
-        "user_id", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.min("ts").alias("s_ts"), F.max("ts").alias("e_ts"))
+    # persisted: the spans table feeds BOTH join sides, and ReuseExchange
+    # does not fire across the self-join under AQE (same rationale as
+    # important_parts) — unpersisted, events would scan+aggregate twice
+    spans = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.min("ts").alias("s_ts"), F.max("ts").alias("e_ts"))
+        .persist()
+    )
     pairs = interval_overlap_join(
         spans,
         spans,
@@ -5599,6 +5608,160 @@ def q_cosine_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "session_conversion_rate",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS c,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), g AS (
+      SELECT user_id, ts, event_id, c,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    ), seqs AS (
+      SELECT user_id, sid,
+             string_agg(c, '' ORDER BY ts, event_id) AS seq
+      FROM g GROUP BY 1, 2
+    )
+    SELECT COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN regexp_matches(seq, 'v.*p') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converting,
+           ROUND(CAST(SUM(CASE WHEN regexp_matches(seq, 'v.*p')
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS conversion_rate
+    FROM seqs
+    """,
+)
+def q_session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-session funnel: share of sessions containing a view followed
+    (later in the same session) by a purchase — sessionization composed
+    with the CEP regex matcher, per (user, session) keys. One window pass
+    to assign sessions, one groupBy to build each session's ordered
+    type-character string (array_sort inside the agg — no second sort
+    shuffle), one 1-row aggregate. The session id bounds the per-key
+    string, so the CEP hot-key guard is never the semantics here."""
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize.sessionize(ev, gap_minutes=360)
+    ch = F.substring(F.col("event_type"), 1, 1)
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), ch.alias("c")))
+    )
+    seqs = (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.concat_ws("", F.transform(ordered, lambda x: x["c"])).alias("seq")
+        )
+    )
+    conv = F.col("seq").rlike("v.*p").cast("long")
+    return seqs.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(conv).alias("n_converting"),
+        F.round(F.sum(conv) / F.count(F.lit(1)), 6).alias("conversion_rate"),
+    )
+
+
+@register(
+    "event_debounce_stats",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 86400000000
+                  THEN 1 ELSE 0 END AS is_first
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(is_first) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - SUM(is_first) AS BIGINT) AS n_dropped
+    FROM s GROUP BY event_type
+    """,
+)
+def q_event_debounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce audit: per (user, type), repeats within 24 h of the
+    previous same-type event collapse into the burst's first occurrence —
+    the sensor-burst / double-click suppression rule, reported as
+    kept/dropped per type. One lag window on the (user, type) partition;
+    the keep rule is the gaps-and-islands break test."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_first = (
+        prev.isNull()
+        | ((F.unix_micros("ts") - F.unix_micros(prev)) > 86400000000)
+    ).cast("int")
+    return (
+        ev.select("event_type", is_first.alias("is_first"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_first").cast("bigint").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum("is_first"))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )
+
+
+@register(
+    "invalid_transition_audit",
+    """
+    WITH pairs AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type, COUNT(*) AS n
+    FROM pairs
+    WHERE to_type IS NOT NULL
+      AND (from_type, to_type) NOT IN (
+        ('signup', 'view'), ('view', 'click'), ('click', 'purchase'),
+        ('view', 'view'), ('click', 'view'), ('purchase', 'view'),
+        ('error', 'view')
+      )
+    GROUP BY 1, 2
+    """,
+)
+def q_invalid_transition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-machine validation: consecutive event pairs NOT in the allowed
+    transition spec, with counts — the behavioral data-quality gate (an
+    instrumentation bug shows up as a forbidden edge). The allowed spec is
+    a broadcast literal anti-joined against the |types|²-bounded pair
+    counts, so validation cost is the transition count pass."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    allowed = spark.createDataFrame(
+        [
+            ("signup", "view"),
+            ("view", "click"),
+            ("click", "purchase"),
+            ("view", "view"),
+            ("click", "view"),
+            ("purchase", "view"),
+            ("error", "view"),
+        ],
+        "from_type string, to_type string",
+    )
+    return pairs.join(
+        F.broadcast(allowed), ["from_type", "to_type"], "left_anti"
     )
 
 
