@@ -5617,7 +5617,7 @@ def q_cosine_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
     WITH s AS (
       SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS c,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+                    OR date_diff('second', lag(ts) OVER w, ts) > 21600
                   THEN 1 ELSE 0 END AS brk
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
