@@ -237,3 +237,81 @@ def zonemap_pruned_read(
     if not files:
         return spark.read.parquet(path).filter(cond).limit(0)
     return spark.read.parquet(*files).filter(cond)
+
+
+def column_size_report(spark: SparkSession, path: str) -> "DataFrame":
+    """Per-column storage report over a parquet table: compressed /
+    uncompressed bytes, compression ratio, encodings, value count —
+    straight from the parquet footers (no data pages read). The input to
+    every layout decision this module automates: which columns dominate
+    storage, whether dictionary encoding is engaging (a sorted/Z-ordered
+    rewrite often flips PLAIN → RLE_DICTIONARY), what a projection
+    actually saves at the scan.
+
+    Footer parsing is DISTRIBUTED — one task per file via the same
+    binaryFile + mapInPandas shape as zonemap_stats (pyarrow ships with
+    executors); results aggregate per column. The `parquet-tools meta`
+    replacement, as a DataFrame.
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    files = spark.read.format("binaryFile").load(
+        path.rstrip("/") + "/*.parquet"
+    ).select("path")
+
+    def _stats(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                local = p[len("file:"):] if p.startswith("file:") else p
+                md = pq.ParquetFile(local).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        rows.append(
+                            (
+                                c.path_in_schema,
+                                c.total_compressed_size,
+                                c.total_uncompressed_size,
+                                c.num_values,
+                                ",".join(sorted({str(e) for e in c.encodings})),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "column",
+                    "compressed",
+                    "uncompressed",
+                    "n_values",
+                    "encodings",
+                ],
+            )
+
+    per_chunk = files.mapInPandas(
+        _stats,
+        "column string, compressed long, uncompressed long, "
+        "n_values long, encodings string",
+    )
+    return (
+        per_chunk.groupBy("column")
+        .agg(
+            F.sum("compressed").alias("compressed_bytes"),
+            F.sum("uncompressed").alias("uncompressed_bytes"),
+            F.sum("n_values").alias("n_values"),
+            F.array_join(
+                F.array_sort(F.collect_set("encodings")), ";"
+            ).alias("encodings"),
+        )
+        .withColumn(
+            "ratio",
+            F.round(
+                F.col("uncompressed_bytes") / F.col("compressed_bytes"), 3
+            ),
+        )
+    )

@@ -5765,6 +5765,51 @@ def q_invalid_transition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "status_priority_matrix",
+    """
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F_n,
+           {f_rev} AS F_revenue,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O_n,
+           {o_rev} AS O_revenue,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P_n,
+           {p_rev} AS P_revenue
+    FROM orders GROUP BY o_orderpriority
+    """.format(
+        f_rev="CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE)",
+        o_rev="CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE)",
+        p_rev="CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE)",
+    ),
+)
+def q_status_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-aggregate pivot: priority × status matrix with a count AND a
+    decimal-exact revenue sum per cell — `pivot(values=[...])` with an
+    explicit value list, so Catalyst skips the extra distinct-scan and the
+    output schema is deterministic; each (agg, value) pair compiles to a
+    conditional aggregate in ONE pass (the same plan as the oracle's
+    CASE-inside-agg)."""
+    od = _t(spark, sf_dir, "orders")
+    piv = (
+        od.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[
+            F.col(f"{s}_{m}").alias(f"{s}_{m}")
+            for s in ("F", "O", "P")
+            for m in ("n", "revenue")
+        ],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

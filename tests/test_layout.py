@@ -209,3 +209,44 @@ def test_sequential_ids_start_offset(spark):
     df = spark.createDataFrame([(3,), (1,), (2,)], "x long")
     got = {r.x: r.seq_id for r in assign_sequential_ids(df, ["x"], start=100).collect()}
     assert got == {1: 100, 2: 101, 3: 102}
+
+
+def test_column_size_report_matches_footers(spark, tmp_path):
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.layout import (
+        column_size_report,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.range(0, 10_000).selectExpr(
+        "id", "id % 7 AS small_card", "uuid() AS wide"
+    ).repartition(3).write.parquet(path)
+
+    rep = {r.column: r for r in column_size_report(spark, path).collect()}
+    assert set(rep) == {"id", "small_card", "wide"}
+    # totals must equal a direct pyarrow read of every footer
+    import glob
+
+    import pyarrow.parquet as pq
+
+    want: dict = {}
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                agg = want.setdefault(c.path_in_schema, [0, 0, 0])
+                agg[0] += c.total_compressed_size
+                agg[1] += c.total_uncompressed_size
+                agg[2] += c.num_values
+    for col, (comp, uncomp, nv) in want.items():
+        assert rep[col].compressed_bytes == comp
+        assert rep[col].uncompressed_bytes == uncomp
+        assert rep[col].n_values == nv
+    # low-cardinality column dictionary-encodes; random uuids shouldn't
+    # compress better than the 7-value column
+    assert "DICTIONARY" in rep["small_card"].encodings  # PLAIN_ or RLE_
+    # the dictionary win shows up as bytes/value, not snappy ratio (the
+    # "uncompressed" footer size is already post-encoding)
+    bpv = lambda r: r.compressed_bytes / r.n_values  # noqa: E731
+    assert bpv(rep["small_card"]) < bpv(rep["wide"]) / 10
