@@ -5810,6 +5810,147 @@ def q_status_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "shipping_priority",
+    """
+    SELECT l_orderkey, {rev} AS revenue, o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """.format(
+        rev=SQL_DSUM.format(
+            x="CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
+        )
+    ),
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): segment-filtered customers
+    (broadcast) gate orders, date predicates push to both fact scans, and
+    the top-10 is TakeOrderedAndProject over the per-order aggregate —
+    no global sort materializes. The classic sales-ops triage query."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    cut = F.lit("1998-06-01").cast("timestamp")
+    return (
+        cu.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(od.filter(F.col("o_orderdate") < cut),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.filter(F.col("l_shipdate") > cut),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "product_type_profit",
+    """
+    SELECT sn.n_name AS nation,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           {profit} AS profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE p_type LIKE 'PROMO%'
+    GROUP BY 1, 2
+    """.format(
+        profit=SQL_DSUM.format(
+            x="CAST(l_extendedprice * (1 - l_discount)"
+            " - p_retailprice * 0.6 * l_quantity AS DECIMAL(18,6))"
+        )
+    ),
+)
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by supplier nation and year;
+    supply cost adapted to 0.6·retailprice — the driver tables carry no
+    partsupp). The part-type filter prunes AT THE PART DIMENSION before
+    the fact join; part/supplier/nation all broadcast; lineitem↔orders is
+    the only fact-fact join."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    od = _t(spark, sf_dir, "orders")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * 0.6 * F.col("l_quantity")
+    ).cast("decimal(18,6)")
+    return (
+        li.join(
+            F.broadcast(pa.filter(F.col("p_type").like("PROMO%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(na.select(F.col("n_nationkey"), F.col("n_name"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "returned_item_report",
+    """
+    SELECT c_custkey, c_name, {rev} AS revenue, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """.format(
+        rev=SQL_DSUM.format(
+            x="CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
+        )
+    ),
+)
+def q_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (top customers by returned-item revenue): the
+    returnflag filter pushes to the lineitem scan, customer/nation
+    broadcast, and the top-20 is TakeOrderedAndProject over the
+    per-customer aggregate — the lost-revenue triage report."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    na = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------
