@@ -343,3 +343,28 @@ def table_diff(
         .otherwise(F.lit("unchanged"))
     )
     return joined.select(F.col(key_col), status.alias("status"))
+
+
+def schema_diff(before: DataFrame, after: DataFrame) -> DataFrame:
+    """Schema-drift report between two table versions: one row per column
+    that was ADDED, REMOVED, or TYPE_CHANGED — the structural companion of
+    the row-level ``table_diff`` (an upstream producer silently widening a
+    column or dropping a field is the most common ingestion break).
+
+    Pure metadata — nothing is scanned; the result is a small DataFrame so
+    drift checks compose with the rest of a data-quality job (union with
+    rule violations, alert on count > 0).
+    """
+    b, a = dict(before.dtypes), dict(after.dtypes)
+    rows = []
+    for c in sorted(set(b) | set(a)):
+        if c not in a:
+            rows.append((c, "REMOVED", b[c], None))
+        elif c not in b:
+            rows.append((c, "ADDED", None, a[c]))
+        elif b[c] != a[c]:
+            rows.append((c, "TYPE_CHANGED", b[c], a[c]))
+    spark = before.sparkSession
+    return spark.createDataFrame(
+        rows, "column string, change string, before_type string, after_type string"
+    )

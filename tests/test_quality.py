@@ -151,3 +151,20 @@ def test_table_diff_classification(spark):
     )
     got = {r.k: r.status for r in table_diff(old, new, "k", ["s", "v"]).collect()}
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_schema_diff_reports_drift(spark):
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.quality import (
+        schema_diff,
+    )
+
+    before = spark.createDataFrame([(1, "a", 1.0)], "id long, keep string, widen float")
+    after = spark.createDataFrame([(1, "a", 1.0, True)], "id long, keep string, widen double, extra boolean")
+    got = {r.column: (r.change, r.before_type, r.after_type)
+           for r in schema_diff(before, after).collect()}
+    assert got == {
+        "widen": ("TYPE_CHANGED", "float", "double"),
+        "extra": ("ADDED", None, "boolean"),
+    }
+    # no drift → empty report
+    assert schema_diff(before, before).count() == 0

@@ -269,3 +269,38 @@ def test_stream_stream_left_outer_flushes_unattributed(spark, tmp_path):
     _write_ts_rows(p_src, "p2.json", [(9, 120)], "purchase_ts")
     got2 = {(r.user_id, r.click_ts is None) for r in _run_tick()}
     assert (3, True) in got2
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Spark 3.5+ dropDuplicatesWithinWatermark: duplicate event ids within
+    the watermark window collapse even when their timestamps differ (the
+    at-least-once-sensor dedup the exact-key form can't express)."""
+    import json
+    import os
+
+    src = str(tmp_path / "ddw_src")
+    ck = str(tmp_path / "ddw_ck")
+    os.makedirs(src)
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00"},
+        {"event_id": 1, "ts": "2024-01-01T00:00:05"},  # dup, ts differs
+        {"event_id": 2, "ts": "2024-01-01T00:00:10"},
+    ]
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp").json(src)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    sink: list = []
+    q = (
+        stream.writeStream.foreachBatch(lambda df, _e: sink.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r.event_id for r in sink) == [1, 2]
