@@ -5951,6 +5951,115 @@ def q_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "knn_graph_clustering",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding
+      FROM embeddings
+      ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                    AS BIGINT), vec_id
+      LIMIT 128
+    ),
+    knn AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                            CAST(a.embedding AS DOUBLE[]),
+                            CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                          b.vec_id) AS rnk
+        FROM s a JOIN s b ON a.vec_id != b.vec_id
+      ) WHERE rnk <= 5
+    ),
+    und AS (
+      SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+      FROM knn
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v FROM und
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT COUNT(*) AS t
+      FROM und e1
+      JOIN und e2 ON e1.v = e2.u AND e2.v > e1.v
+      JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM und) AS n_edges,
+           (SELECT t FROM tri) AS n_triangles,
+           (SELECT CAST(SUM(d * (d - 1)) / 2 AS BIGINT) FROM deg) AS n_wedges,
+           ROUND(3.0 * (SELECT t FROM tri)
+                 / (SELECT SUM(d * (d - 1)) / 2.0 FROM deg), 6)
+             AS clustering_coeff
+    """,
+)
+def q_knn_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient of the k-NN graph (k=5) over the same
+    bounded 128-vector hash sample as `cosine_similarity_histogram` — the
+    second corpus-geometry diagnostic: a high coefficient means neighbors
+    of neighbors are neighbors (tight duplicate-ish clusters), a low one a
+    spread space. Triangles via the ordered edge-join (u<v<w, each
+    triangle counted once); wedges from the degree table — all on a
+    128-node graph regardless of corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sample = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            H.md5_long(F.col("vec_id").cast("string")).alias("__h"),
+        )
+        .orderBy("__h", "vec_id")
+        .limit(128)
+    )
+    a = sample.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = sample.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    cos = F.round(V.cosine(F.col("ea"), F.col("eb")), 6)
+    wr = Window.partitionBy("id_a").orderBy(F.desc("cos"), "id_b")
+    knn = (
+        a.join(F.broadcast(b), F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos"))
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 5)
+    )
+    und = knn.select(
+        F.least("id_a", "id_b").alias("u"), F.greatest("id_a", "id_b").alias("v")
+    ).distinct().persist()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = und.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        e1.join(e2, (F.col("b") == F.col("b2")) & (F.col("c") > F.col("b")))
+        .join(e3, (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c")))
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    nodes_edges = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("bigint").alias("n_wedges"),
+        (F.sum("d") / 2).cast("bigint").alias("n_edges"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2.0).alias("_w"),
+    )
+    return (
+        nodes_edges.join(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("t").alias("n_triangles"),
+            "n_wedges",
+            F.round(3.0 * F.col("t") / F.col("_w"), 6).alias("clustering_coeff"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

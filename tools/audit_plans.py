@@ -80,6 +80,8 @@ ALLOWED_BNLJ = {
     # cosine_similarity_histogram: deliberate bounded all-pairs over a
     # broadcast 128-row hash sample (8128 pairs regardless of corpus size)
     "cosine_similarity_histogram",
+    # knn_graph_clustering: same bounded 128-row broadcast sample
+    "knn_graph_clustering",
     # source_kl_divergence: cross joins against broadcast 1-row corpus
     # vocab-size / log-mass aggregates
     "source_kl_divergence",
