@@ -6060,6 +6060,190 @@ def q_knn_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rolling_7d_active_users",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events
+    ),
+    win AS (
+      SELECT user_id, day + CAST(k AS INTEGER) * INTERVAL '1 day' AS report_day
+      FROM ud, (SELECT unnest(range(0, 7)) AS k)
+    )
+    SELECT report_day, COUNT(DISTINCT user_id) AS active_users
+    FROM win GROUP BY report_day
+    """,
+)
+def q_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day (the WAU curve): the sliding
+    distinct-count that a naive per-day self-join makes quadratic is ONE
+    explode of the already-deduplicated (user, day) pairs into the ≤7
+    report days each contributes to, then a distinct count per day —
+    cost 7×|user-days|, shuffled on the report day. (Report days extend
+    6 days past the data's tail; the window is trailing by construction.)"""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    win = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("k"),
+        "day",
+    ).select(
+        "user_id",
+        F.timestamp_seconds(
+            F.unix_seconds(F.col("day")) + F.col("k") * 86400
+        ).alias("report_day"),
+    )
+    return win.groupBy("report_day").agg(
+        F.countDistinct("user_id").alias("active_users")
+    )
+
+
+@register(
+    "order_to_ship_latency",
+    """
+    WITH firsts AS (
+      SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(date_diff('day', o_orderdate, first_ship) AS BIGINT)
+             AS latency_days,
+           COUNT(*) AS n_orders
+    FROM orders JOIN firsts ON o_orderkey = l_orderkey
+    GROUP BY 1
+    """,
+)
+def q_order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-latency histogram: days from order placement to the
+    FIRST line shipment — pre-aggregate lineitem to per-order min first
+    (so the join is order-grain on both sides), then one day-bucket
+    count. The ops-SLA distribution every fulfillment dashboard carries."""
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    firsts = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("first_ship"))
+    return (
+        od.join(firsts, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.datediff("first_ship", "o_orderdate")
+            .cast("bigint")
+            .alias("latency_days")
+        )
+        .groupBy("latency_days")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "label_centroid_distances",
+    """
+    WITH long AS (
+      SELECT label, pos, embedding[pos] AS val
+      FROM (SELECT label, embedding,
+                   unnest(range(1, len(embedding) + 1)) AS pos
+            FROM embeddings)
+    ),
+    cent AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+      FROM long GROUP BY 1, 2
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           ROUND(sqrt(CAST(SUM(CAST((a.c - b.c) * (a.c - b.c)
+                                    AS DECIMAL(28,12))) AS DOUBLE)), 6)
+             AS dist
+    FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+    GROUP BY 1, 2
+    """,
+)
+def q_label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-class centroid distance matrix over the labeled embeddings —
+    the class-separability audit (labels whose centroids nearly coincide
+    are candidates for merging; a training mix whose classes collapse is
+    mislabeled). Fully relational vector math: posexplode to
+    (label, pos, val), decimal-exact mean per (label, dim), then the
+    pairwise distance as ONE equi-join on the dimension index over the
+    |labels|×dim centroid table — the corpus is touched once."""
+    emb = _t(spark, sf_dir, "embeddings")
+    long = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    cent = long.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), F.col("pos").alias("pa"), F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), F.col("pos").alias("pb"), F.col("c").alias("cb")
+    )
+    diff2 = ((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))).cast(
+        "decimal(28,12)"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("pa") == F.col("pb")) & (F.col("label_a") < F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(F.round(F.sqrt(F.sum(diff2).cast("double")), 6).alias("dist"))
+    )
+
+
+@register(
+    "session_path_topk",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS c,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 21600
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), g AS (
+      SELECT user_id, ts, event_id, c,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    ), seqs AS (
+      SELECT string_agg(c, '' ORDER BY ts, event_id) AS path
+      FROM g GROUP BY user_id, sid
+    ), pc AS (
+      SELECT path, COUNT(*) AS n FROM seqs GROUP BY path
+    )
+    SELECT path, n, CAST(rnk AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY n DESC, path) AS rnk FROM pc)
+    WHERE rnk <= 15
+    """,
+)
+def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The most common COMPLETE session paths (type-character strings) —
+    the behavioral-archetype table beside the trigram and conversion
+    views: same sessionize + in-agg sort machinery, one count on the path
+    string, top-15 rank over the |distinct paths| table."""
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize.sessionize(ev, gap_minutes=360)
+    ch = F.substring(F.col("event_type"), 1, 1)
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), ch.alias("c")))
+    )
+    seqs = s.groupBy("user_id", "session_id").agg(
+        F.concat_ws("", F.transform(ordered, lambda x: x["c"])).alias("path")
+    )
+    pc = seqs.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.orderBy(F.desc("n"), "path")
+    return (
+        pc.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= 15)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------
