@@ -6244,6 +6244,143 @@ def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "order_total_consistency",
+    """
+    WITH derived AS (
+      SELECT l_orderkey,
+             {sum_line} AS line_total
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN abs(o_totalprice - line_total) <= 0.01
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
+           ROUND(MAX(abs(o_totalprice - line_total)), 2) AS max_abs_diff
+    FROM orders JOIN derived ON o_orderkey = l_orderkey
+    """.format(
+        sum_line=SQL_DSUM.format(
+            x="CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+            " AS DECIMAL(18,6))"
+        )
+    ),
+)
+def q_order_total_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation: does the stored order total equal the
+    total derived from its lines (price·(1−disc)·(1+tax))? The audit
+    every warehouse runs after ingestion — both sides aggregate to order
+    grain before ONE equi-join; the derived side is decimal-exact so the
+    tolerance measures data disagreement, not float noise. (On this
+    synthetic data the columns are independent — the query's value is
+    reporting that honestly.)"""
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    line_total = (
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    derived = li.groupBy("l_orderkey").agg(
+        F.sum(line_total).cast("double").alias("line_total")
+    )
+    j = od.join(derived, F.col("o_orderkey") == F.col("l_orderkey"))
+    diff = F.abs(F.col("o_totalprice") - F.col("line_total"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum((diff <= 0.01).cast("int")).cast("bigint").alias("n_consistent"),
+        F.round(F.max(diff), 2).alias("max_abs_diff"),
+    )
+
+
+@register(
+    "benford_first_digit",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice >= 1.0
+    )
+    SELECT digit, COUNT(*) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM d), 6) AS observed_p,
+           ROUND(log10(1.0 + 1.0 / digit), 6) AS benford_p
+    FROM d GROUP BY digit
+    """,
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals — the
+    data-forensics audit (fabricated or truncated monetary data departs
+    from log10(1+1/d); so does honestly-uniform synthetic data, which is
+    exactly what this reports here). One narrow digit extraction + one
+    9-row aggregate; the total is a 1-row broadcast."""
+    od = _t(spark, sf_dir, "orders")
+    d = od.filter(F.col("o_totalprice") >= 1.0).select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    total = d.agg(F.count(F.lit(1)).alias("_t"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("_t"), 6).alias("observed_p"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_p"),
+        )
+    )
+
+
+@register(
+    "value_time_integral",
+    """
+    WITH s AS (
+      SELECT user_id, value, ts,
+             lag(value) OVER w AS pv,
+             lag(ts) OVER w AS pt
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           ROUND(CAST(SUM(CAST(
+             (pv + value) / 2.0
+             * (epoch_us(ts) - epoch_us(pt)) / 3600000000.0
+             AS DECIMAL(28,8))) AS DOUBLE), 4) AS integral_value_hours,
+           CAST(COUNT(*) AS BIGINT) AS n_segments
+    FROM s WHERE pt IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q_value_time_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trapezoidal time-integral of each user's value signal (value·hours)
+    — the odometry form: integrate speed over time and you have distance,
+    exactly the accumulation a drive log needs from a velocity topic. One
+    lag window per user; each trapezoid term is a pure per-row expression
+    accumulated as DECIMAL, so the integral is partition-order-exact."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "value",
+        "ts",
+        F.lag("value").over(w).alias("pv"),
+        F.lag("ts").over(w).alias("pt"),
+    ).filter(F.col("pt").isNotNull())
+    term = (
+        (F.col("pv") + F.col("value"))
+        / 2.0
+        * (F.unix_micros("ts") - F.unix_micros("pt"))
+        / 3600000000.0
+    ).cast("decimal(28,8)")
+    return s.groupBy("user_id").agg(
+        F.round(F.sum(term).cast("double"), 4).alias("integral_value_hours"),
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------
