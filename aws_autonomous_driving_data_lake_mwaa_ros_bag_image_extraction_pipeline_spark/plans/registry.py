@@ -6381,6 +6381,81 @@ def q_value_time_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "error_burst_spans",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR (event_type = 'error') <> (lag(event_type) OVER w = 'error')
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), r AS (
+      SELECT user_id, ts, is_err,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run
+      FROM s
+    ), runs AS (
+      SELECT user_id, run, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+             COUNT(*) AS run_len
+      FROM r WHERE is_err = 1
+      GROUP BY user_id, run
+      HAVING COUNT(*) >= 2
+    )
+    SELECT user_id, start_ts, end_ts, run_len
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY start_ts) AS rn
+          FROM runs)
+    WHERE rn = 1
+    """,
+)
+def q_error_burst_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP match-SPAN extraction: each user's first burst of ≥2
+    CONSECUTIVE errors (no intervening event of another type), with the
+    burst's start/end timestamps and length — what `event_pattern_users`
+    answers as a boolean, extracted as a concrete time window for
+    incident triage. Runs are gaps-and-islands on the error flag (pure
+    relational — no regex-engine match-semantics in the hash gate), one
+    window pass + one run-level aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_err = (F.col("event_type") == "error").cast("int")
+    chg = (
+        F.lag("event_type").over(w).isNull()
+        | (
+            (F.col("event_type") == "error")
+            != (F.lag("event_type").over(w) == "error")
+        )
+    ).cast("int")
+    r = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        is_err.alias("is_err"),
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "run"
+        ),
+    )
+    runs = (
+        r.filter(F.col("is_err") == 1)
+        .groupBy("user_id", "run")
+        .agg(
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.count(F.lit(1)).alias("run_len"),
+        )
+        .filter(F.col("run_len") >= 2)
+    )
+    wr = Window.partitionBy("user_id").orderBy("start_ts")
+    return (
+        runs.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "start_ts", "end_ts", "run_len")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------
