@@ -82,6 +82,8 @@ ALLOWED_BNLJ = {
     "cosine_similarity_histogram",
     # knn_graph_clustering: same bounded 128-row broadcast sample
     "knn_graph_clustering",
+    # benford_first_digit: cross join against a broadcast 1-row total agg
+    "benford_first_digit",
     # source_kl_divergence: cross joins against broadcast 1-row corpus
     # vocab-size / log-mass aggregates
     "source_kl_divergence",
