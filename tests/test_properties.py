@@ -284,3 +284,102 @@ def test_repetition_scores_bounds_and_unique_case(spark, docs):
         assert 0.0 <= r.top_gram_share <= 1.0
         if len(set(grams)) == len(grams):
             assert r.dup_gram_frac == 0.0
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400),   # start offset (s)
+            st.integers(min_value=0, max_value=120),   # duration (s)
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400),
+            st.integers(min_value=0, max_value=120),
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+)
+def test_interval_overlap_join_matches_brute_force(spark, lefts, rights):
+    """Bucketed interval-overlap join == the O(n·m) python reference, for
+    ANY bucket width (exactly-once anchor rule, closed intervals)."""
+    import datetime as dt
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.range_join import (
+        interval_overlap_join,
+    )
+
+    t0 = dt.datetime(2021, 1, 1)
+
+    def mk(rows):
+        return [
+            (i, t0 + dt.timedelta(seconds=s), t0 + dt.timedelta(seconds=s + d))
+            for i, (s, d) in enumerate(rows)
+        ]
+
+    lr, rr = mk(lefts), mk(rights)
+    ldf = spark.createDataFrame(lr, "lid long, s_ts timestamp, e_ts timestamp")
+    rdf = spark.createDataFrame(rr, "rid long, s_ts timestamp, e_ts timestamp")
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            ldf, rdf, "s_ts", "e_ts", "s_ts", "e_ts", bucket_ms=37_000
+        ).collect()
+    )
+    want = sorted(
+        (li, ri)
+        for (li, ls, le) in lr
+        for (ri, rs, re) in rr
+        if ls <= re and rs <= le
+    )
+    assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # user
+            st.integers(min_value=0, max_value=1000),   # ts offset
+            st.sampled_from(["a", "b", "c"]),           # attr
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_change_intervals_tiles_timeline(spark, rows):
+    """SCD2 invariants: per key, intervals are disjoint, ordered, tile the
+    observed range (each valid_to == next valid_from), exactly one open
+    (current) interval, and adjacent intervals carry different values."""
+    import datetime as dt
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.scd import (
+        change_intervals,
+    )
+
+    t0 = dt.datetime(2021, 1, 1)
+    data = [
+        (u, t0 + dt.timedelta(seconds=s), i, a)
+        for i, (u, s, a) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = change_intervals(df, "user_id", "ts", "event_type", "event_id")
+    by_key: dict = {}
+    for r in out.collect():
+        by_key.setdefault(r.user_id, []).append(r)
+    for key, ivs in by_key.items():
+        ivs.sort(key=lambda r: r.version)
+        assert [r.version for r in ivs] == list(range(1, len(ivs) + 1))
+        opens = [r for r in ivs if r.valid_to is None]
+        assert len(opens) == 1 and opens[0] is ivs[-1]
+        assert opens[0].is_current
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from  # tiling, no gaps/overlap
+            assert a.event_type != b.event_type  # runs collapsed
