@@ -6456,6 +6456,92 @@ def q_error_burst_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "daily_p95_trend",
+    """
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             ROUND(quantile_cont(value, 0.95), 6) AS p95
+      FROM events GROUP BY 1
+    )
+    SELECT day, p95,
+           ROUND(p95 - lag(p95) OVER (ORDER BY day), 6) AS delta_vs_prev_day
+    FROM d
+    """,
+)
+def q_daily_p95_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p95 of the value signal with day-over-day delta — the ops
+    latency-trend chart. Exact interpolated percentile per day (one
+    aggregation), then a lag window over the |days|-row table."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95")
+    )
+    w = Window.orderBy("day")
+    return d.withColumn(
+        "delta_vs_prev_day", F.round(F.col("p95") - F.lag("p95").over(w), 6)
+    )
+
+
+@register(
+    "audience_overlap_matrix",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    sz AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_both,
+           ROUND(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both), 6)
+             AS jaccard
+    FROM inter
+    JOIN sz sa ON type_a = sa.event_type
+    JOIN sz sb ON type_b = sb.event_type
+    """,
+)
+def q_audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types: Jaccard of user SETS per type
+    pair — do the same people who error also purchase? The pair counts
+    come from a self-join of the deduplicated (user, type) table ON THE
+    USER KEY (each user contributes ≤ |types|² pairs, so candidates grow
+    linearly with users); set sizes broadcast back."""
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select(
+        F.col("user_id").alias("uid_b"), F.col("event_type").alias("type_b")
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("uid_b"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sz = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    sa = sz.select(F.col("event_type").alias("ka"), F.col("n").alias("na"))
+    sb = sz.select(F.col("event_type").alias("kb"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), F.col("type_a") == F.col("ka"))
+        .join(F.broadcast(sb), F.col("type_b") == F.col("kb"))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both") / (F.col("na") + F.col("nb") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------
