@@ -814,3 +814,52 @@ def ngram_novelty_scores(
         F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
         F.round(F.col("n_unique") / F.col("n_shingles"), 6).alias("novelty"),
     )
+
+
+def exact_shingle_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 3,
+    repartition_to: int | None = None,
+) -> DataFrame:
+    """GROUND-TRUTH word-shingle Jaccard pairs — no banding, no prefix
+    filter: every pair SHARING at least one shingle is scored exactly.
+    This is the reference the probabilistic detectors are measured
+    against (see the `minhash_recall_audit` query); a pair with
+    Jaccard ≥ threshold > 0 must share a shingle, so the shingle-join
+    candidate set is complete.
+
+    Cost is O(Σ per-shingle pair collisions) — quadratic in the hottest
+    shingle's document frequency, NOT in the corpus (the standard
+    inverted-index set-similarity join). For corpora with very hot
+    boilerplate shingles, prefer the df-capped n-gram or banded MinHash
+    paths; this exists to be exhaustive, not cheap.
+    """
+    long = _shingle_long(docs, id_col, text_col, shingle_len, repartition_to)
+    dist = long.distinct()
+    sizes = dist.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = dist.select(F.col(id_col).alias("id_a"), "sh")
+    b = dist.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        a.join(b, ["sh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold)

@@ -6542,6 +6542,70 @@ def q_audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_recall_sql() -> str:
+    """Composed oracle: exact shingle-join ground truth vs the registered
+    banded-MinHash pipeline, as one recall number."""
+    return f"""
+    WITH toks AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, s AS sh
+      FROM (SELECT doc_id,
+                   unnest(CASE WHEN len(t) - 2 >= 1
+                          THEN list_transform(range(0, len(t) - 2),
+                               i -> array_to_string(t[i+1:i+3], ' '))
+                          ELSE [] END) AS s
+            FROM toks)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+    ),
+    mh AS (SELECT id_a, id_b FROM ({_d_minhash_sql()}))
+    SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+           (SELECT COUNT(*) FROM mh) AS n_detected,
+           ROUND(CAST((SELECT COUNT(*) FROM mh) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM exact), 6) AS recall
+    """
+
+
+@register("minhash_recall_audit", _minhash_recall_sql())
+def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector-quality as a QUERY: banding recall of the MinHash pipeline
+    against the exhaustive shingle-join ground truth
+    (dedup.exact_shingle_jaccard_pairs) at the same threshold — the
+    verified version of the "4 bands × 3 rows catches ≥0.8-Jaccard pairs"
+    S-curve claim. The MinHash verify step already computes exact Jaccard
+    on its candidates, so detected ⊆ exact and the ratio IS banding
+    recall (1.0 here; the S-curve gives ~0.985 at exactly 0.8)."""
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    exact = dedup.exact_shingle_jaccard_pairs(
+        docs, threshold=0.8, repartition_to=par
+    )
+    mh = dedup.minhash_dedup_pairs(docs, threshold=0.8, repartition_to=par)
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_mh = mh.agg(F.count(F.lit(1)).alias("n_detected"))
+    return (
+        n_exact.join(F.broadcast(n_mh))
+        .select(
+            "n_exact",
+            "n_detected",
+            F.round(
+                F.col("n_detected") / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

@@ -264,3 +264,34 @@ def test_ngram_novelty_scores(spark):
     assert out[1].novelty == 0.0 and out[2].novelty == 0.0
     assert out[3].novelty == 1.0 and out[3].n_shingles == 2
     assert out[4].n_shingles == 0 and out[4].novelty is None
+
+
+def test_exact_shingle_jaccard_ground_truth(spark):
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.dedup import (
+        exact_shingle_jaccard_pairs,
+        minhash_dedup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g x"),   # high overlap with 1
+            (3, "p q r s t u v w"),   # disjoint
+            (4, "a b c d e f g h"),   # exact copy of 1
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in exact_shingle_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 4) in exact and exact[(1, 4)] == 1.0
+    assert (1, 2) in exact  # 5 shared 3-grams of 6+6 → jacc 5/7 ≈ 0.714
+    assert all(3 not in pair for pair in exact)
+    # detected (banded) pairs are a subset of the ground truth at the
+    # same threshold — the invariant the recall audit measures
+    mh = {
+        (r.id_a, r.id_b)
+        for r in minhash_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    assert mh <= set(exact)
