@@ -6606,6 +6606,107 @@ def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_recall_sql() -> str:
+    """Composed oracle: exhaustive all-pairs Hamming ≤ 3 vs the pigeonhole-
+    banded detector — equality proves banding completeness."""
+    return f"""
+    {_d_simhash_cte(32)},
+    exact AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ),
+    banded AS (SELECT id_a, id_b FROM ({_d_simhash_near_sql(32)}))
+    SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+           (SELECT COUNT(*) FROM banded) AS n_detected,
+           (SELECT COUNT(*) FROM exact) = (SELECT COUNT(*) FROM banded)
+             AS complete
+    """
+
+
+@register("simhash_recall_audit", _simhash_recall_sql())
+def q_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pigeonhole-banding COMPLETENESS proof as a query: 4 bands over a
+    32-bit signature must catch EVERY pair within Hamming distance 3 (a
+    pair differing in ≤3 bits matches exactly on ≥1 of 4 slices) — unlike
+    MinHash banding, this recall is 1.0 by theorem, and the query verifies
+    it against the deliberate all-pairs baseline. The exact side is the
+    one bounded all-pairs here: |docs|² signature comparisons of 8-byte
+    ints at the gate SF — the contrast baseline, not the scale path."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.simhash(docs)
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    exact = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 3)
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    banded = dedup.simhash_near_pairs(docs).agg(
+        F.count(F.lit(1)).alias("n_detected")
+    )
+    return (
+        exact.join(F.broadcast(banded))
+        .select(
+            "n_exact",
+            "n_detected",
+            (F.col("n_exact") == F.col("n_detected")).alias("complete"),
+        )
+    )
+
+
+@register(
+    "session_impl_consistency",
+    """
+    WITH s AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT CAST(SUM(brk) AS BIGINT) AS n_sessions_native,
+           CAST(SUM(brk) AS BIGINT) AS n_sessions_islands,
+           TRUE AS implementations_agree
+    FROM s
+    """,
+)
+def q_session_impl_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-implementation consistency as a QUERY: the native
+    session_window form and the lag/cumsum islands form must produce the
+    SAME session count at the same gap — run BOTH in Spark, emit both
+    counts plus an equality verdict the oracle asserts TRUE (the oracle
+    computes the count once; a drift between the two Spark
+    implementations fails the hash gate). Note the native form is µs-
+    precise, so the islands twin here compares unix_micros, not the
+    second-truncated `sessionize` helper."""
+    ev = _t(spark, sf_dir, "events")
+    native = sessionize.session_window_stats(ev, gap="6 hours").agg(
+        F.count(F.lit(1)).alias("n_sessions_native")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    brk = (
+        prev.isNull()
+        | ((F.unix_micros("ts") - F.unix_micros(prev)) > 21600000000)
+    ).cast("int")
+    islands = (
+        ev.select(brk.alias("brk"))
+        .agg(F.sum("brk").cast("bigint").alias("n_sessions_islands"))
+    )
+    return (
+        native.join(F.broadcast(islands))
+        .select(
+            "n_sessions_native",
+            "n_sessions_islands",
+            (
+                F.col("n_sessions_native") == F.col("n_sessions_islands")
+            ).alias("implementations_agree"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

@@ -84,6 +84,9 @@ ALLOWED_BNLJ = {
     "knn_graph_clustering",
     # benford_first_digit: cross join against a broadcast 1-row total agg
     "benford_first_digit",
+    # simhash_recall_audit: DELIBERATE all-pairs signature baseline (the
+    # completeness proof needs the exhaustive side; 8-byte ints, gate SF)
+    "simhash_recall_audit",
     # source_kl_divergence: cross joins against broadcast 1-row corpus
     # vocab-size / log-mass aggregates
     "source_kl_divergence",
