@@ -87,6 +87,10 @@ ALLOWED_BNLJ = {
     # simhash_recall_audit: DELIBERATE all-pairs signature baseline (the
     # completeness proof needs the exhaustive side; 8-byte ints, gate SF)
     "simhash_recall_audit",
+    # minhash_recall_audit / session_impl_consistency: cross joins of two
+    # broadcast 1-row count aggregates (verdict assembly)
+    "minhash_recall_audit",
+    "session_impl_consistency",
     # source_kl_divergence: cross joins against broadcast 1-row corpus
     # vocab-size / log-mass aggregates
     "source_kl_divergence",
