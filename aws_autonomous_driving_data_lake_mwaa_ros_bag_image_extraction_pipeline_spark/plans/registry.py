@@ -6707,6 +6707,53 @@ def q_session_impl_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_recall_sql() -> str:
+    """Composed oracle: exact top-5 vs the registered IVF top-5 — same
+    recall-join shape as `ann_recall_at5` (LSH), reusing both registered
+    oracles verbatim."""
+    brute = QUERIES["brute_force_topk"].oracle
+    ivf = QUERIES["ivf_topk"].oracle
+    return f"""
+    WITH brute AS ({brute}), ivfr AS ({ivf})
+    SELECT COUNT(DISTINCT b.query_id) AS n_queries,
+           CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS recall_at_5,
+           (CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*)) >= 0.7 AS recall_ok
+    FROM brute b LEFT JOIN ivfr i
+      ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+    """
+
+
+@register("ivf_recall_at5", _ivf_recall_sql())
+def q_ivf_recall_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF path (16 lists, 4 probes) against the exact
+    top-5 — the coarse-quantizer counterpart of `ann_recall_at5`: with
+    this probe fraction the only recall loss is a true neighbor living in
+    an unprobed list, and the ≥0.7 gate catches a quantizer regression
+    the same way the LSH gate catches a banding one."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") < 10)
+    brute = similarity.brute_force_topk(emb, probe, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = similarity.ivf_topk(emb, probe, k=5, n_lists=16, n_probe=4).select(
+        F.col("query_id").alias("qi"), F.col("neighbor_id").alias("ni")
+    )
+    j = brute.join(
+        ivf,
+        (F.col("query_id") == F.col("qi"))
+        & (F.col("neighbor_id") == F.col("ni")),
+        "left",
+    )
+    hit = F.sum(F.col("ni").isNotNull().cast("int")).cast("double")
+    return j.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        (hit / F.count(F.lit(1))).alias("recall_at_5"),
+        ((hit / F.count(F.lit(1))) >= 0.7).alias("recall_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

@@ -91,6 +91,9 @@ ALLOWED_BNLJ = {
     # broadcast 1-row count aggregates (verdict assembly)
     "minhash_recall_audit",
     "session_impl_consistency",
+    # ivf_recall_at5: contains brute_force_topk's documented broadcast
+    # probe-set cross join (same allowance as ann_recall_at5)
+    "ivf_recall_at5",
     # source_kl_divergence: cross joins against broadcast 1-row corpus
     # vocab-size / log-mass aggregates
     "source_kl_divergence",
