@@ -304,3 +304,59 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(r.event_id for r in sink) == [1, 2]
+
+
+def test_watermark_drops_late_rows_in_append_windows(spark, tmp_path):
+    """Append-mode windowed aggregation: a row arriving AFTER the watermark
+    has passed its window never appears; an on-time row in a later batch
+    lands in its own window. (The semantics the resample/rollup pipeline
+    relies on for bounded state.)"""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "wm_src")
+    ck = str(tmp_path / "wm_ck")
+    os.makedirs(src)
+
+    def _w(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for e, ts in rows:
+                f.write(json.dumps({"event_id": e, "ts": ts}) + "\n")
+
+    def _tick(sink):
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp").json(src)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .count()
+            .select(F.col("w.start").alias("ws"), "count")
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, _e: sink.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: two rows at 00:00-00:10, max event time 01:00 → watermark
+    # advances to 00:50, closing (and emitting) the 00:00 window
+    _w("b1.json", [(1, "2024-01-01T00:01:00"), (2, "2024-01-01T00:05:00"),
+                   (3, "2024-01-01T01:00:00")])
+    s1: list = []
+    _tick(s1)
+    emitted1 = {(r.ws.minute, r["count"]) for r in s1}
+    assert (0, 2) in emitted1  # the closed 00:00 window, with both rows
+
+    # batch 2: one LATE row into the already-closed 00:00 window (dropped),
+    # one on-time row at 01:20 advancing things further
+    _w("b2.json", [(4, "2024-01-01T00:02:00"), (5, "2024-01-01T01:20:00")])
+    s2: list = []
+    _tick(s2)
+    # the late row must NOT re-emit or amend the 00:00 window
+    assert all(r.ws.minute != 0 or r.ws.hour != 0 for r in s2)
