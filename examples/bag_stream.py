@@ -32,6 +32,10 @@ from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spa
 
 def main() -> None:
     work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_bag_stream"
+    assert not work.startswith("/root/testdata"), (
+        "argv[1] is a SCRATCH dir (outputs/checkpoints are written there); "
+        "the driver testdata is read-only"
+    )
     bags, dest, ck = f"{work}/bags", f"{work}/lake", f"{work}/ck"
     spark = get_spark("bag-stream-example")
     spark.sparkContext.setLogLevel("ERROR")

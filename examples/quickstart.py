@@ -35,6 +35,10 @@ from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spa
 
 def main() -> None:
     work = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="aads_")
+    assert not work.startswith("/root/testdata"), (
+        "argv[1] is a SCRATCH dir (outputs/checkpoints are written there); "
+        "the driver testdata is read-only"
+    )
     bags = os.path.join(work, "bags")
     out = os.path.join(work, "out")
     manifest = os.path.join(work, "manifest")
