@@ -6754,6 +6754,77 @@ def q_ivf_recall_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_recall_sql() -> str:
+    """Composed oracle: exact-L2 top-5 ground truth (PQ approximates L2,
+    so the cosine brute is NOT its reference) vs the registered PQ oracle."""
+    l2 = (
+        "round(list_inner_product(CAST(q.embedding AS DOUBLE[]),"
+        " CAST(q.embedding AS DOUBLE[]))"
+        " + list_inner_product(CAST(c.embedding AS DOUBLE[]),"
+        " CAST(c.embedding AS DOUBLE[]))"
+        " - 2 * list_inner_product(CAST(q.embedding AS DOUBLE[]),"
+        " CAST(c.embedding AS DOUBLE[])), 6)"
+    )
+    pq = QUERIES["pq_topk"].oracle
+    return f"""
+    WITH exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {l2} ASC, c.vec_id) AS rnk
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 10
+      ) WHERE rnk <= 5
+    ),
+    pqr AS (SELECT query_id, neighbor_id FROM ({pq}))
+    SELECT COUNT(DISTINCT e.query_id) AS n_queries,
+           ROUND(CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS recall_at_5
+    FROM exact e LEFT JOIN pqr p
+      ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+    """
+
+
+@register("pq_recall_at5", _pq_recall_sql())
+def q_pq_recall_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the PQ/ADC path against the exact-L2 top-5 (NOT the
+    cosine brute — PQ approximates Euclidean distance, so its ground
+    truth is the L2 ranking; using the wrong metric would report metric
+    disagreement as quantization loss). Completes the measured-recall
+    family: LSH (`ann_recall_at5`), IVF (`ivf_recall_at5`), PQ. No gate
+    verdict: 8×16 codebooks on 64-dim data quantize coarsely by design —
+    the measured number IS the deliverable (tune m/n_codes against it)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") < 10)
+    q = probe.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    l2 = F.round(V.l2sq(F.col("qe"), F.col("ce")), 6)
+    wr = Window.partitionBy("query_id").orderBy(F.asc("l2"), "neighbor_id")
+    exact = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", l2.alias("l2"))
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    pq = similarity.pq_topk(emb, probe, k=5, dim=64, m=8, n_codes=16).select(
+        F.col("query_id").alias("qi"), F.col("neighbor_id").alias("ni")
+    )
+    j = exact.join(
+        pq,
+        (F.col("query_id") == F.col("qi"))
+        & (F.col("neighbor_id") == F.col("ni")),
+        "left",
+    )
+    hit = F.sum(F.col("ni").isNotNull().cast("int")).cast("double")
+    return j.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.round(hit / F.count(F.lit(1)), 6).alias("recall_at_5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

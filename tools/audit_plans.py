@@ -94,6 +94,9 @@ ALLOWED_BNLJ = {
     # ivf_recall_at5: contains brute_force_topk's documented broadcast
     # probe-set cross join (same allowance as ann_recall_at5)
     "ivf_recall_at5",
+    # pq_recall_at5: broadcast 10-query probe-set cross join for the
+    # exact-L2 ground-truth side (same allowance family)
+    "pq_recall_at5",
     # source_kl_divergence: cross joins against broadcast 1-row corpus
     # vocab-size / log-mass aggregates
     "source_kl_divergence",
