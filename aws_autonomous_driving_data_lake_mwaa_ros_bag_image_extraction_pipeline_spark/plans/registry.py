@@ -6830,6 +6830,142 @@ def q_pq_recall_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "psi_value_drift",
+    """
+    WITH ref AS (
+      SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-16'
+    ),
+    cur AS (
+      SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+    ),
+    b AS (
+      SELECT quantile_cont(value,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+      FROM ref
+    ),
+    rb AS (
+      SELECT CAST(len(list_filter(qs, q -> value > q)) AS INTEGER) AS bin,
+             COUNT(*) AS n
+      FROM ref, b GROUP BY 1
+    ),
+    cb AS (
+      SELECT CAST(len(list_filter(qs, q -> value > q)) AS INTEGER) AS bin,
+             COUNT(*) AS n
+      FROM cur, b GROUP BY 1
+    ),
+    j AS (
+      SELECT rb.bin,
+             CAST(rb.n AS DOUBLE) / (SELECT SUM(n) FROM rb) AS p,
+             CAST(cb.n AS DOUBLE) / (SELECT SUM(n) FROM cb) AS q
+      FROM rb JOIN cb ON rb.bin = cb.bin
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           ROUND(CAST(SUM(CAST((p - q) * ln(p / q) AS DECIMAL(28,12)))
+                      AS DOUBLE), 6) AS psi
+    FROM j
+    """,
+)
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the value distribution, first half of
+    the month vs the rest — the standard ML-ops drift gate (<0.1 stable,
+    0.1–0.25 drifting, >0.25 shifted). Bins are the REFERENCE period's
+    exact deciles (1-row broadcast — the same no-sort banding as the
+    equi-depth histogram); each period then takes one count aggregation,
+    and the PSI fold is a 10-row decimal-exact sum. Two scans total, both
+    with the period predicate pushed down."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    ref = ev.filter(F.col("ts") < cut).select("value")
+    cur = ev.filter(F.col("ts") >= cut).select("value")
+    qarr = "array(" + ", ".join(str(i / 10) for i in range(1, 10)) + ")"
+    bounds = ref.agg(F.expr(f"percentile(value, {qarr})").alias("qs"))
+    bin_id = F.size(
+        F.filter(F.col("qs"), lambda q: F.col("value") > q)
+    ).cast("int")
+
+    def binned(df):
+        return (
+            df.join(F.broadcast(bounds))
+            .select(bin_id.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    rb, cb = binned(ref), binned(cur)
+    rt = rb.agg(F.sum("n").alias("_rt"))
+    ct = cb.agg(F.sum("n").alias("_ct"))
+    j = (
+        rb.withColumnRenamed("n", "rn")
+        .join(cb.withColumnRenamed("n", "cn"), "bin")
+        .join(F.broadcast(rt))
+        .join(F.broadcast(ct))
+        .select(
+            "bin",
+            (F.col("rn") / F.col("_rt")).alias("p"),
+            (F.col("cn") / F.col("_ct")).alias("q"),
+        )
+    )
+    term = ((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).cast(
+        "decimal(28,12)"
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.round(F.sum(term).cast("double"), 6).alias("psi"),
+    )
+
+
+@register(
+    "seasonal_naive_mase",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT event_type, day, y,
+             lag(y, 7) OVER w AS y_hat,
+             lag(y, 1) OVER w AS y_prev
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(AVG(CAST(abs(y - y_hat) AS DOUBLE)), 6) AS mae_seasonal,
+           ROUND(AVG(CAST(abs(y - y_hat) AS DOUBLE))
+                 / AVG(CAST(abs(y - y_prev) AS DOUBLE)), 6) AS mase
+    FROM f WHERE y_hat IS NOT NULL AND y_prev IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecastability audit: the seasonal-naive baseline (same weekday
+    last week) scored as MASE against the one-step naive — the number any
+    capacity-planning forecast must beat (<1 means weekly seasonality is
+    real signal). Daily counts are one aggregation; both lags ride one
+    window over the |types|×|days| table."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    f = d.select(
+        "event_type",
+        "day",
+        "y",
+        F.lag("y", 7).over(w).alias("y_hat"),
+        F.lag("y", 1).over(w).alias("y_prev"),
+    ).filter(F.col("y_hat").isNotNull() & F.col("y_prev").isNotNull())
+    mae_s = F.avg(F.abs(F.col("y") - F.col("y_hat")).cast("double"))
+    mae_1 = F.avg(F.abs(F.col("y") - F.col("y_prev")).cast("double"))
+    return f.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(mae_s, 6).alias("mae_seasonal"),
+        F.round(mae_s / mae_1, 6).alias("mase"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

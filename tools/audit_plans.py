@@ -97,6 +97,9 @@ ALLOWED_BNLJ = {
     # pq_recall_at5: broadcast 10-query probe-set cross join for the
     # exact-L2 ground-truth side (same allowance family)
     "pq_recall_at5",
+    # psi_value_drift: cross joins against broadcast 1-row decile-boundary
+    # and period-total aggregates
+    "psi_value_drift",
     # source_kl_divergence: cross joins against broadcast 1-row corpus
     # vocab-size / log-mass aggregates
     "source_kl_divergence",
