@@ -6966,6 +6966,199 @@ def q_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "session_type_lift",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 21600
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), g AS (
+      SELECT user_id, event_type,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    ),
+    items AS (SELECT DISTINCT user_id, sid, event_type FROM g),
+    ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n
+           FROM (SELECT DISTINCT user_id, sid FROM items)),
+    tc AS (SELECT event_type, COUNT(*) AS nt FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_ab
+      FROM items a JOIN items b
+        ON a.user_id = b.user_id AND a.sid = b.sid
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_ab,
+           ROUND(n_ab * n / (ta.nt * tb.nt), 6) AS lift
+    FROM pairs
+    JOIN tc ta ON type_a = ta.event_type
+    JOIN tc tb ON type_b = tb.event_type, ns
+    """,
+)
+def q_session_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift at SESSION grain (the behavioral twin of
+    `part_basket_lift`): which event types co-occur in the same session
+    beyond what their individual frequencies predict. Items are distinct
+    (session, type) pairs; the pair join is ON THE SESSION KEY (≤|types|²
+    pairs per session), counts and totals are dimension-sized."""
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize.sessionize(ev, gap_minutes=360)
+    items = s.select("user_id", "session_id", "event_type").distinct()
+    n_sessions = items.select("user_id", "session_id").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    tc = items.groupBy("event_type").agg(F.count(F.lit(1)).alias("nt"))
+    a = items.select("user_id", "session_id", F.col("event_type").alias("type_a"))
+    b = items.select(
+        F.col("user_id").alias("ub"),
+        F.col("session_id").alias("sb"),
+        F.col("event_type").alias("type_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("ub"))
+            & (F.col("session_id") == F.col("sb"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ta = tc.select(F.col("event_type").alias("ka"), F.col("nt").alias("na"))
+    tb = tc.select(F.col("event_type").alias("kb"), F.col("nt").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ta), F.col("type_a") == F.col("ka"))
+        .join(F.broadcast(tb), F.col("type_b") == F.col("kb"))
+        .join(F.broadcast(n_sessions))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab") * F.col("n") / (F.col("na") * F.col("nb")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "winsorized_value_stats",
+    """
+    WITH b AS (
+      SELECT quantile_cont(value, 0.01) AS p01,
+             quantile_cont(value, 0.99) AS p99
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_raw,
+           ROUND(CAST(SUM(CAST(
+                   CASE WHEN value < p01 THEN p01
+                        WHEN value > p99 THEN p99
+                        ELSE value END AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_winsorized,
+           CAST(SUM(CASE WHEN value < p01 OR value > p99
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM events, b
+    GROUP BY event_type
+    """,
+)
+def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized means per event type: values clipped at the global
+    p1/p99 (exact quantiles, 1-row broadcast — the same no-sort banding
+    family) before a decimal-exact mean — the robust aggregate that keeps
+    a single corrupt sensor reading from moving a fleet metric, with the
+    clip count as the side signal."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.agg(
+        F.expr("percentile(value, 0.01)").alias("p01"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    clipped = (
+        F.when(F.col("value") < F.col("p01"), F.col("p01"))
+        .when(F.col("value") > F.col("p99"), F.col("p99"))
+        .otherwise(F.col("value"))
+    )
+    return (
+        ev.join(F.broadcast(b))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_raw"),
+            F.round(
+                F.sum(clipped.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_winsorized"),
+            F.sum(
+                (
+                    (F.col("value") < F.col("p01"))
+                    | (F.col("value") > F.col("p99"))
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_clipped"),
+        )
+    )
+
+
+@register(
+    "pareto_frontier_by_priority",
+    """
+    WITH r AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice, o_orderdate,
+             MAX(o_orderdate) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderdate DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS best_prior_date
+      FROM orders
+    )
+    SELECT o_orderpriority, o_orderkey, o_totalprice, o_orderdate
+    FROM r
+    WHERE best_prior_date IS NULL OR o_orderdate > best_prior_date
+    """,
+)
+def q_pareto_frontier_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) per priority class: orders not strictly
+    dominated on (price, recency) — the multi-criteria shortlist query.
+    The window formulation is the O(n log n) skyline: sort each partition
+    by price descending and keep rows whose date beats the running max of
+    everything pricier — one partitioned sort instead of the naive
+    dominance self-join. The (price desc, date desc, key) tiebreak makes
+    the computation identical under price ties in both engines."""
+    od = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(
+            F.desc("o_totalprice"), F.desc("o_orderdate"), F.col("o_orderkey")
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = od.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.max("o_orderdate").over(w).alias("best_prior_date"),
+    )
+    return r.filter(
+        F.col("best_prior_date").isNull()
+        | (F.col("o_orderdate") > F.col("best_prior_date"))
+    ).select("o_orderpriority", "o_orderkey", "o_totalprice", "o_orderdate")
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

@@ -100,6 +100,10 @@ ALLOWED_BNLJ = {
     # psi_value_drift: cross joins against broadcast 1-row decile-boundary
     # and period-total aggregates
     "psi_value_drift",
+    # session_type_lift: cross join against a broadcast 1-row session-count
+    # agg; winsorized_value_stats: broadcast 1-row p01/p99 boundary agg
+    "session_type_lift",
+    "winsorized_value_stats",
     # source_kl_divergence: cross joins against broadcast 1-row corpus
     # vocab-size / log-mass aggregates
     "source_kl_divergence",
