@@ -7159,6 +7159,133 @@ def q_pareto_frontier_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select("o_orderpriority", "o_orderkey", "o_totalprice", "o_orderdate")
 
 
+@register(
+    "type_cross_correlation",
+    """
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS y
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(-3, 4)) AS lag_days),
+    j AS (
+      SELECT l.lag_days, a.x, b.y
+      FROM lags l
+      JOIN d a ON TRUE
+      JOIN d b ON b.day = a.day + CAST(l.lag_days AS INTEGER) * INTERVAL '1 day'
+    ),
+    m AS (
+      SELECT lag_days, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(28,10))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x * y AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+      FROM j GROUP BY lag_days
+    )
+    SELECT CAST(lag_days AS INTEGER) AS lag_days, CAST(n AS BIGINT) AS n_days,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r
+    FROM m
+    """,
+)
+def q_type_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead/lag cross-correlation of two event-type daily series (errors
+    vs purchases at lags −3..+3 days): does one series LEAD the other?
+    The root-cause direction finder. One conditional aggregation builds
+    both series in a single pass over events; the lag join and the
+    Pearson identity then run over the |days|-row table (the 7-lag
+    explode is 7×|days| rows). Decimal moments, engine-exact."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "error").cast("int"))
+        .cast("double")
+        .alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("double")
+        .alias("y"),
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag_days"))
+    b = d.select(F.col("day").alias("day_b"), F.col("y").alias("yb"))
+    j = (
+        d.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("day_b")
+            == F.timestamp_seconds(
+                F.unix_seconds(F.col("day")) + F.col("lag_days") * 86400
+            ),
+        )
+        .select("lag_days", "x", F.col("yb").alias("y"))
+    )
+    dec = lambda c: F.sum(c.cast("decimal(28,10)")).cast("double")  # noqa: E731
+    m = j.groupBy("lag_days").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("y") * F.col("y")).alias("syy"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "lag_days",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(num / den, 6).alias("r"),
+    )
+
+
+@register(
+    "count_burstiness",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(CAST(SUM(CAST(y AS DECIMAL(28,10))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_daily,
+           ROUND((CAST(SUM(CAST(y * y AS DECIMAL(28,10))) AS DOUBLE)
+                  - CAST(SUM(CAST(y AS DECIMAL(28,10))) AS DOUBLE)
+                    * CAST(SUM(CAST(y AS DECIMAL(28,10))) AS DOUBLE)
+                    / COUNT(*))
+                 / (COUNT(*) - 1)
+                 / (CAST(SUM(CAST(y AS DECIMAL(28,10))) AS DOUBLE)
+                    / COUNT(*)), 6) AS fano_factor
+    FROM d GROUP BY event_type
+    """,
+)
+def q_count_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor = daily-count variance / mean) per event
+    type: ≈1 is Poisson-like arrivals, ≫1 is bursty (incident storms),
+    ≪1 is rate-limited — the arrival-process fingerprint that picks the
+    right capacity model. Sum/sum-of-squares identity over the
+    |types|×|days| table, decimal-exact."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    dec = lambda c: F.sum(c.cast("decimal(28,10)")).cast("double")  # noqa: E731
+    n = F.count(F.lit(1))
+    sy = dec(F.col("y"))
+    syy = dec(F.col("y") * F.col("y"))
+    mean = sy / n
+    var = (syy - sy * sy / n) / (n - 1)
+    return d.groupBy("event_type").agg(
+        n.cast("bigint").alias("n_days"),
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(var / mean, 6).alias("fano_factor"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

@@ -104,6 +104,9 @@ ALLOWED_BNLJ = {
     # agg; winsorized_value_stats: broadcast 1-row p01/p99 boundary agg
     "session_type_lift",
     "winsorized_value_stats",
+    # type_cross_correlation: cross join of the |days|-row daily table
+    # against the broadcast 7-row lag list (deliberate small expansion)
+    "type_cross_correlation",
     # source_kl_divergence: cross joins against broadcast 1-row corpus
     # vocab-size / log-mass aggregates
     "source_kl_divergence",
