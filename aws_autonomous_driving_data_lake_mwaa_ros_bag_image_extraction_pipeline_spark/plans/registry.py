@@ -7286,6 +7286,49 @@ def q_count_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pca_top_component",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(CAST(SUM(CAST(list_inner_product(
+                   CAST(embedding AS DOUBLE[]),
+                   CAST(embedding AS DOUBLE[])) AS DECIMAL(28,9)))
+                 AS DOUBLE), 2) AS gram_trace,
+           TRUE AS eigenpair_ok,
+           TRUE AS eig_within_bounds
+    FROM embeddings
+    """,
+)
+def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA, MLlib architecture (operators/linalg.py): the
+    corpus-scale work is ONE mapInPandas pass accumulating the d×d Gram
+    matrix (numpy XᵀX per Arrow batch, decimal-exact cell sum); the power
+    iteration runs on the collected d(d+1)/2-cell table (driver-side —
+    the small-metadata contract, same as the IVF centroid collect). The
+    oracle can't replay an eigensolve, so the gate verifies CERTIFICATES
+    instead: the Gram trace (replayed exactly as Σ‖v‖² through the same
+    decimal path), the eigenpair residual ‖Gv−λv‖/λ < 1e-6 (which PROVES
+    (λ,v) is an eigenpair of the matrix whose trace just matched), and
+    0 < λ ≤ trace. A wrong Gram, a broken iteration, or a fake λ each
+    fail a different column."""
+    from ..operators import linalg
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _, lam, info = linalg.pca_top_component(emb, dim=64)
+    return spark.createDataFrame(
+        [
+            (
+                info["n_vectors"],
+                round(info["trace"], 2),
+                info["residual"] < 1e-6,
+                0.0 < lam <= info["trace"] + 1e-9,
+            )
+        ],
+        "n_vectors bigint, gram_trace double, eigenpair_ok boolean, "
+        "eig_within_bounds boolean",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

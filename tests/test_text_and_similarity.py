@@ -359,3 +359,38 @@ def test_bpe_pair_counts_weighted(spark):
     assert by_rank[0].n == 6  # 2 words x 3 docs
     # single-char words contribute nothing; ranks are dense from 1
     assert [r.rank for r in by_rank] == list(range(1, len(rows) + 1))
+
+
+def test_gram_matrix_and_pca_certificates(spark):
+    import numpy as np
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.linalg import (
+        gram_matrix,
+        pca_top_component,
+    )
+
+    rng = np.random.default_rng(7)
+    # rank-heavy direction: most mass along a fixed axis
+    base = rng.normal(size=(200, 8)) * 0.1
+    base[:, 2] += rng.normal(size=200) * 3.0
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    # gram matches numpy to float tolerance
+    cells = gram_matrix(emb, dim=8).collect()
+    g = np.zeros((8, 8))
+    for r in cells:
+        g[r.i, r.j] = r.v
+        g[r.j, r.i] = r.v
+    want = base.T @ base
+    assert np.allclose(g, want, rtol=1e-9)
+
+    v, lam, info = pca_top_component(emb, dim=8)
+    assert info["residual"] < 1e-8
+    assert abs(info["trace"] - np.trace(want)) < 1e-6
+    # the dominant direction is axis 2
+    assert abs(v[2]) > 0.95
+    # eigenvalue matches numpy's
+    w = np.linalg.eigvalsh(want)
+    assert abs(lam - w[-1]) / w[-1] < 1e-9
