@@ -27,7 +27,10 @@ from pyspark.sql import functions as F
 
 
 def gram_matrix(
-    emb: DataFrame, vec_col: str = "embedding", dim: int = 64
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    as_decimal: bool = False,
 ) -> DataFrame:
     """(i, j, v): the upper triangle of XᵀX, decimal-exact.
 
@@ -55,9 +58,12 @@ def gram_matrix(
     partials = emb.select(vec_col).mapInPandas(
         _partials, "i int, j int, v double"
     )
-    return partials.groupBy("i", "j").agg(
-        F.sum(F.col("v").cast("decimal(28,9)")).cast("double").alias("v")
+    summed = partials.groupBy("i", "j").agg(
+        F.sum(F.col("v").cast("decimal(28,9)")).alias("v")
     )
+    if as_decimal:
+        return summed  # exact cells — the mergeable form (streaming folds)
+    return summed.withColumn("v", F.col("v").cast("double"))
 
 
 def pca_top_component(

@@ -659,3 +659,84 @@ def streaming_bag_ingest(
         .start()
     )
     q.awaitTermination(timeout_s)
+
+
+def gram_fold_batch(
+    batch,
+    epoch_id: int,
+    gram_path: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> bool:
+    """One idempotent Gram-matrix fold — the linear-algebra member of the
+    mergeable-state family (same staged-swap + in-directory epoch ledger
+    as ``cms_fold_batch``): each micro-batch contributes its d×d partial
+    XᵀX and cells ADD, so the persisted table is always the exact Gram of
+    everything folded so far; a PCA/eigensolve can run against the live
+    table at any time (operators/linalg.pca_top_component consumes the
+    same cell layout). Cells are stored as DECIMAL so folds are exact and
+    order-independent across ticks."""
+    import os
+    import shutil
+
+    from ..operators.linalg import gram_matrix
+
+    spark = batch.sparkSession
+    staging = gram_path.rstrip("/") + "__staging"
+    if not os.path.exists(gram_path) and os.path.exists(
+        os.path.join(staging, "_epochs")
+    ):
+        os.rename(staging, gram_path)
+    epochs_path = os.path.join(gram_path, "_epochs")
+    if os.path.exists(epochs_path):
+        prev_epochs = spark.read.parquet(epochs_path)
+        if prev_epochs.filter(F.col("epoch_id") == epoch_id).count() > 0:
+            return False
+    else:
+        prev_epochs = None
+    new = gram_matrix(batch, vec_col, dim, as_decimal=True)
+    if os.path.exists(gram_path):
+        merged = (
+            spark.read.parquet(gram_path)
+            .unionByName(new)
+            .groupBy("i", "j")
+            .agg(F.sum("v").alias("v"))
+        )
+    else:
+        merged = new
+    this_epoch = spark.createDataFrame([(int(epoch_id),)], "epoch_id bigint")
+    all_epochs = (
+        prev_epochs.unionByName(this_epoch)
+        if prev_epochs is not None
+        else this_epoch
+    )
+    merged.write.mode("overwrite").parquet(staging)
+    all_epochs.write.mode("overwrite").parquet(os.path.join(staging, "_epochs"))
+    old = gram_path.rstrip("/") + "__old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(gram_path):
+        os.rename(gram_path, old)
+    os.rename(staging, gram_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return True
+
+
+def streaming_gram(
+    stream,
+    gram_path: str,
+    checkpoint: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+):
+    """Continuously-maintained Gram matrix over a vector stream — the
+    incremental input to PCA/whitening (state is d(d+1)/2 cells forever,
+    independent of stream length). Same exactly-once contract as
+    ``streaming_cms``."""
+    def _fold(batch, epoch_id: int) -> None:
+        gram_fold_batch(batch, epoch_id, gram_path, vec_col, dim)
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

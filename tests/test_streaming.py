@@ -298,3 +298,44 @@ def test_cms_fold_replay_and_rollforward(spark, tmp_path):
         ).collect()
     }
     assert streamed == direct
+
+
+def test_streaming_gram_two_ticks_equals_batch(spark, tmp_path):
+    """Two folded micro-batches reproduce the batch Gram matrix (decimal
+    cells: exact up to the float partials' batch grouping); a replayed
+    epoch no-ops."""
+    import json
+    import os
+
+    import numpy as np
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.linalg import (
+        gram_matrix,
+    )
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.streaming.pipeline import (
+        gram_fold_batch,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(60, 4)).round(3)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    gram_path = str(tmp_path / "gram")
+
+    b1 = df.filter("vec_id < 30")
+    b2 = df.filter("vec_id >= 30")
+    assert gram_fold_batch(b1, 0, gram_path, dim=4)
+    assert gram_fold_batch(b2, 1, gram_path, dim=4)
+    # replay of epoch 1 must no-op
+    assert not gram_fold_batch(b2, 1, gram_path, dim=4)
+
+    streamed = {
+        (r.i, r.j): float(r.v)
+        for r in spark.read.parquet(gram_path).collect()
+    }
+    batch = {
+        (r.i, r.j): float(r.v) for r in gram_matrix(df, dim=4).collect()
+    }
+    assert set(streamed) == set(batch)
+    for k in batch:
+        assert abs(streamed[k] - batch[k]) < 1e-6
