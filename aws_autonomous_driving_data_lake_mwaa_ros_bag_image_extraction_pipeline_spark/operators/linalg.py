@@ -103,3 +103,34 @@ def pca_top_component(
         "residual": residual,
         "n_vectors": int(n_vectors),
     }
+
+
+def project_embeddings(
+    emb: DataFrame,
+    components: "np.ndarray",
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+) -> DataFrame:
+    """Project vectors onto ``components`` (a k×d numpy matrix — e.g. the
+    top-k principal directions from repeated deflated
+    ``pca_top_component`` runs, or any fixed basis): the dimensionality
+    reduction that turns a 64-dim ANN problem into a k-dim one.
+
+    The matrix enters the plan as LITERALS (k·d constants — a few KB),
+    and each output coordinate is a JVM-side zip_with/aggregate fold —
+    whole-stage codegen, no Python in the row path, no join. Appends
+    ``out_col`` (array<double>, length k).
+    """
+    k = len(components)
+    comps = [
+        F.array(*[F.lit(float(x)) for x in row]) for row in components
+    ]
+
+    def dot(c):
+        return F.aggregate(
+            F.zip_with(F.col(vec_col), c, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return emb.withColumn(out_col, F.array(*[dot(c) for c in comps[:k]]))

@@ -394,3 +394,32 @@ def test_gram_matrix_and_pca_certificates(spark):
     # eigenvalue matches numpy's
     w = np.linalg.eigvalsh(want)
     assert abs(lam - w[-1]) / w[-1] < 1e-9
+
+
+def test_project_embeddings_reduces_and_preserves_structure(spark):
+    import numpy as np
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.linalg import (
+        pca_top_component,
+        project_embeddings,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(150, 6)) * 0.05
+    base[:, 1] += rng.normal(size=150) * 2.0   # dominant axis
+    base[:, 4] += rng.normal(size=150) * 1.0   # second axis
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(150)],
+        "vec_id long, embedding array<double>",
+    )
+    v1, lam, _ = pca_top_component(emb, dim=6)
+    out = project_embeddings(emb, np.array([v1]))
+    rows = {r.vec_id: r.projected for r in out.collect()}
+    # projection is the exact dot product, JVM-side
+    for i in (0, 7, 149):
+        want = float(base[i] @ v1)
+        assert abs(rows[i][0] - want) < 1e-9
+    # the top component captures the dominant axis: projected variance on
+    # v1 ≈ lam / n and far exceeds any single remaining raw axis' variance
+    proj = np.array([rows[i][0] for i in range(150)])
+    assert proj.var() > base[:, 4].var()
