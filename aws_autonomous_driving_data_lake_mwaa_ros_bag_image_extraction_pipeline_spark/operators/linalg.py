@@ -134,3 +134,79 @@ def project_embeddings(
         )
 
     return emb.withColumn(out_col, F.array(*[dot(c) for c in comps[:k]]))
+
+
+def mean_vector(
+    emb: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> "np.ndarray":
+    """Per-dimension mean as a numpy vector: one posexplode aggregation
+    (decimal-exact sums), collected as d rows."""
+    long = emb.select(F.posexplode(vec_col).alias("pos", "val"))
+    rows = (
+        long.groupBy("pos")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .collect()
+    )
+    mu = np.zeros(dim)
+    for r in rows:
+        mu[r.pos] = r.m
+    return mu
+
+
+def pca_components(
+    emb: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    center: bool = True,
+    iterations: int = 1000,
+) -> tuple["np.ndarray", "np.ndarray", dict]:
+    """Top-k principal components by power iteration with deflation.
+
+    ``center=True`` computes TRUE PCA (eigenvectors of the covariance):
+    the centering never rescans the data — the uncentered Gram gets the
+    rank-1 update ``G − n·μμᵀ`` on the driver-side d×d matrix, with μ from
+    one aggregation. Deflation subtracts ``λ·vvᵀ`` after each extracted
+    component; vectors re-orthogonalize against prior components every
+    iteration, so clustered eigenvalues don't bleed between components.
+
+    Returns (components k×d, eigenvalues k, info) with
+    ``explained_ratio`` = Σλ / trace.
+    """
+    cells = gram_matrix(emb, vec_col, dim).collect()
+    g = np.zeros((dim, dim))
+    for r in cells:
+        g[r.i, r.j] = r.v
+        g[r.j, r.i] = r.v
+    n = emb.count()
+    if center:
+        mu = mean_vector(emb, vec_col, dim)
+        g = g - n * np.outer(mu, mu)
+    trace = float(np.trace(g))
+    comps, lams = [], []
+    for _ in range(k):
+        v = np.ones(dim) / np.sqrt(dim)
+        for c in comps:  # start orthogonal to what's already extracted
+            v -= (v @ c) * c
+        v /= np.linalg.norm(v)
+        lam = 0.0
+        for _ in range(iterations):
+            w = g @ v
+            for c in comps:
+                w -= (w @ c) * c
+            lam = float(np.linalg.norm(w))
+            v = w / lam
+        comps.append(v)
+        lams.append(lam)
+        g = g - lam * np.outer(v, v)
+    comps_a, lams_a = np.array(comps), np.array(lams)
+    return comps_a, lams_a, {
+        "trace": trace,
+        "n_vectors": int(n),
+        "explained_ratio": float(lams_a.sum() / trace) if trace else 0.0,
+    }

@@ -423,3 +423,31 @@ def test_project_embeddings_reduces_and_preserves_structure(spark):
     # v1 ≈ lam / n and far exceeds any single remaining raw axis' variance
     proj = np.array([rows[i][0] for i in range(150)])
     assert proj.var() > base[:, 4].var()
+
+
+def test_pca_components_match_numpy_covariance(spark):
+    import numpy as np
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.linalg import (
+        pca_components,
+    )
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(300, 5)) * [3.0, 0.1, 1.5, 0.1, 0.1]
+    base += rng.normal(size=5) * 2  # nonzero mean: centering matters
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    comps, lams, info = pca_components(emb, k=2, dim=5, center=True)
+    centered = base - base.mean(axis=0)
+    w, vecs = np.linalg.eigh(centered.T @ centered)
+    # eigenvalues match numpy's top-2 (descending)
+    assert abs(lams[0] - w[-1]) / w[-1] < 1e-8
+    assert abs(lams[1] - w[-2]) / w[-2] < 1e-6
+    # components align with numpy's (up to sign)
+    assert abs(abs(comps[0] @ vecs[:, -1]) - 1) < 1e-6
+    assert abs(abs(comps[1] @ vecs[:, -2]) - 1) < 1e-4
+    # orthonormal, and explained ratio covers the two dominant axes
+    assert abs(comps[0] @ comps[1]) < 1e-8
+    assert info["explained_ratio"] > 0.9
