@@ -7329,6 +7329,69 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pca_explained_profile",
+    """
+    WITH mu AS (
+      SELECT pos,
+             CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM (SELECT pos, embedding[pos] AS val
+            FROM (SELECT embedding,
+                         unnest(range(1, len(embedding) + 1)) AS pos
+                  FROM embeddings))
+      GROUP BY pos
+    ),
+    t AS (
+      SELECT CAST(SUM(CAST(list_inner_product(
+               CAST(embedding AS DOUBLE[]),
+               CAST(embedding AS DOUBLE[])) AS DECIMAL(28,9))) AS DOUBLE)
+             AS raw_trace,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM embeddings
+    )
+    SELECT n AS n_vectors,
+           ROUND(raw_trace - n * (SELECT SUM(m * m) FROM mu), 2)
+             AS centered_trace,
+           TRUE AS components_orthonormal,
+           TRUE AS eigenvalues_monotone,
+           TRUE AS explained_in_unit_range
+    FROM t
+    """,
+)
+def q_pca_explained_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CENTERED (true-covariance) PCA profile with k=4 components
+    (linalg.pca_components): the centering is a rank-1 driver-side update
+    of the Gram — no second data pass. Gate certificates: the centered
+    trace replayed exactly (raw trace − n·‖μ‖², both decimal paths),
+    pairwise component orthonormality, eigenvalue monotonicity, and the
+    explained ratio in (0, 1] — the properties an eigensolver can't fake
+    while the oracle can't replay the solve itself."""
+    import numpy as np
+
+    from ..operators import linalg
+
+    emb = _t(spark, sf_dir, "embeddings")
+    comps, lams, info = linalg.pca_components(emb, k=4, dim=64, center=True)
+    gram_ortho = comps @ comps.T
+    orthonormal = bool(np.allclose(gram_ortho, np.eye(4), atol=1e-8))
+    monotone = bool(np.all(np.diff(lams) <= 1e-9))
+    explained = info["explained_ratio"]
+    return spark.createDataFrame(
+        [
+            (
+                info["n_vectors"],
+                round(info["trace"], 2),
+                orthonormal,
+                monotone,
+                bool(0.0 < explained <= 1.0 + 1e-12),
+            )
+        ],
+        "n_vectors bigint, centered_trace double, "
+        "components_orthonormal boolean, eigenvalues_monotone boolean, "
+        "explained_in_unit_range boolean",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------
