@@ -210,3 +210,49 @@ def pca_components(
         "n_vectors": int(n),
         "explained_ratio": float(lams_a.sum() / trace) if trace else 0.0,
     }
+
+
+def mahalanobis_scores(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    ridge: float = 1e-9,
+) -> DataFrame:
+    """Squared Mahalanobis distance of every vector from the corpus
+    distribution — the MULTIVARIATE outlier score (catches off-manifold
+    points whose per-coordinate z-scores all look normal, because it
+    whitens by the full covariance).
+
+    Composition of the family's pieces: covariance from the Gram + rank-1
+    centering (one data pass), inverse square root on the driver-side d×d
+    (eigh; ``ridge`` regularizes near-singular directions), then
+    ``m² = ‖W(x−μ)‖²`` where the whitening rows enter the plan as
+    literals — the same JVM-side fold as ``project_embeddings``, so the
+    scoring pass has no Python in the row path. Two data passes total.
+    """
+    cells = gram_matrix(emb, vec_col, dim).collect()
+    g = np.zeros((dim, dim))
+    for r in cells:
+        g[r.i, r.j] = r.v
+        g[r.j, r.i] = r.v
+    n = emb.count()
+    mu = mean_vector(emb, vec_col, dim)
+    cov = (g - n * np.outer(mu, mu)) / max(n - 1, 1)
+    w_eig, v_eig = np.linalg.eigh(cov)
+    w_eig = np.maximum(w_eig, ridge)
+    whiten = (v_eig / np.sqrt(w_eig)) @ v_eig.T  # Cov^{-1/2}, symmetric
+    centered = emb.withColumn(
+        "__c",
+        F.zip_with(
+            F.col(vec_col),
+            F.array(*[F.lit(float(m)) for m in mu]),
+            lambda a, b: a.cast("double") - b,
+        ),
+    )
+    projected = project_embeddings(centered, whiten, vec_col="__c", out_col="__w")
+    m2 = F.aggregate(
+        F.transform(F.col("__w"), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return projected.withColumn("m2", m2).drop("__c", "__w", vec_col)

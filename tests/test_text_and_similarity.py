@@ -451,3 +451,28 @@ def test_pca_components_match_numpy_covariance(spark):
     # orthonormal, and explained ratio covers the two dominant axes
     assert abs(comps[0] @ comps[1]) < 1e-8
     assert info["explained_ratio"] > 0.9
+
+
+def test_mahalanobis_catches_off_axis_outlier(spark):
+    import numpy as np
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.linalg import (
+        mahalanobis_scores,
+    )
+
+    rng = np.random.default_rng(5)
+    # strongly correlated 2D cloud along y=x
+    t = rng.normal(size=300)
+    base = np.stack([t, t + rng.normal(size=300) * 0.05], axis=1)
+    # the outlier sits INSIDE both marginals but OFF the correlation axis
+    base[0] = [1.0, -1.0]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    scores = {r.vec_id: r.m2 for r in mahalanobis_scores(emb, dim=2).collect()}
+    others = [v for k, v in scores.items() if k != 0]
+    # univariate z of point 0 is ~1 sigma; Mahalanobis must rank it far #1
+    assert scores[0] > 10 * max(others)
+    # scores of in-distribution points concentrate near E[m2] = dim
+    assert 0.5 < float(np.median(others)) < 6.0
