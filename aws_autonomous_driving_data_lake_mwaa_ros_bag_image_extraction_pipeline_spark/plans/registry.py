@@ -7554,6 +7554,119 @@ def q_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cheapest_supplier_per_part",
+    """
+    WITH top_parts AS (
+      SELECT p_partkey, p_name, p_retailprice
+      FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 10
+    ),
+    ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM top_parts)
+    ),
+    mn AS (
+      SELECT l_partkey, MIN(s_acctbal) AS min_bal
+      FROM ps JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY l_partkey
+    )
+    SELECT p_name, p_retailprice, s_name, s_acctbal
+    FROM top_parts
+    JOIN ps ON p_partkey = ps.l_partkey
+    JOIN supplier ON ps.l_suppkey = s_suppkey
+    JOIN mn ON ps.l_partkey = mn.l_partkey AND s_acctbal = mn.min_bal
+    """,
+)
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated-min supplier lookup): for the 10
+    priciest parts, the supplier(s) with the minimum account balance
+    among those who actually supplied the part — the argmin-JOIN pattern
+    (aggregate the min per group, equi-join back on (group, min) to
+    retrieve the detail row; ties all qualify, as in Q2). The top-parts
+    gate is a 10-row broadcast semi-filter, so every later join is
+    candidate-bounded."""
+    pa = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    top_parts = (
+        pa.orderBy(F.desc("p_retailprice"), "p_partkey")
+        .limit(10)
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+    ps = (
+        li.join(
+            F.broadcast(top_parts.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    with_bal = ps.join(
+        F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    mn = with_bal.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        with_bal.join(
+            F.broadcast(mn),
+            (F.col("l_partkey") == F.col("mk"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .join(F.broadcast(top_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_name", "p_retailprice", "s_name", "s_acctbal")
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, {r} AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        AND l_shipdate < TIMESTAMP '1998-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """.format(
+        r=SQL_DSUM.format(
+            x="CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
+        )
+    ),
+)
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier of the quarter): the quarterly
+    per-supplier revenue view, then a scalar-MAX subquery keeping every
+    supplier that achieves it (ties all qualify — the semantics LIMIT 1
+    gets wrong). The revenue view is PERSISTED because both the max and
+    the final rows consume it (same ReuseExchange-under-AQE rationale as
+    important_parts); the max is a 1-row broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    view = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).cast("double").alias("total_rev"))
+        .persist()
+    )
+    mx = view.agg(F.max("total_rev").alias("_mx"))
+    return (
+        view.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("_mx"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

@@ -107,6 +107,9 @@ ALLOWED_BNLJ = {
     # type_cross_correlation: cross join of the |days|-row daily table
     # against the broadcast 7-row lag list (deliberate small expansion)
     "type_cross_correlation",
+    # top_supplier_revenue: cross join against a broadcast 1-row max agg
+    # (TPC-H Q15 scalar subquery)
+    "top_supplier_revenue",
     # source_kl_divergence: cross joins against broadcast 1-row corpus
     # vocab-size / log-mass aggregates
     "source_kl_divergence",
