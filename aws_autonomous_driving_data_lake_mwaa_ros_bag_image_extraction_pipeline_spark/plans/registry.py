@@ -7667,6 +7667,56 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "promo_heavy_suppliers",
+    """
+    WITH per AS (
+      SELECT l_suppkey,
+             CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                           THEN CAST(l_quantity AS DECIMAL(18,6)) END)
+                  AS DOUBLE) AS promo_qty,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           ROUND(promo_qty / total_qty, 6) AS promo_share
+    FROM per JOIN supplier ON l_suppkey = s_suppkey
+    WHERE promo_qty > 0.18 * total_qty
+    """,
+)
+def q_promo_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 flavor (suppliers concentrated in a part class): per
+    supplier, the promo share of shipped quantity, keeping those above
+    18% (the corpus promo baseline is ~1/6) — conditional and total sums from ONE pass (no semi-join chain
+    re-scanning lineitem), supplier names by broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    su = _t(spark, sf_dir, "supplier")
+    qty = F.col("l_quantity").cast("decimal(18,6)")
+    promo = F.when(F.col("p_type").like("PROMO%"), qty)
+    per = (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(promo).cast("double").alias("promo_qty"),
+            F.sum(qty).cast("double").alias("total_qty"),
+        )
+    )
+    return (
+        per.filter(F.col("promo_qty") > 0.18 * F.col("total_qty"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("promo_qty") / F.col("total_qty"), 6).alias(
+                "promo_share"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

@@ -53,3 +53,37 @@ def list_files(
             )
         )
     return spark.createDataFrame(rows, LISTING_SCHEMA)
+
+
+def read_evolved(spark, paths: list[str], strict_types: bool = True):
+    """Read parquet generations whose schemas EVOLVED (columns added or
+    dropped between writes) as one DataFrame: per-path reads unioned by
+    NAME with missing columns NULL-filled — the append-only lake's answer
+    to "the producer added a field last month".
+
+    ``mergeSchema`` alone handles pure additions within one load, but
+    silently unions by position-compatible types; the by-name union here
+    also covers column REMOVALS and keeps each generation's pruned scan
+    (each path is its own FileScan with its own ReadSchema). With
+    ``strict_types`` (default) a column whose TYPE changed between
+    generations raises instead of silently casting — type changes should
+    go through an explicit migration, not a read-time coercion.
+    """
+    from pyspark.sql import functions as F  # noqa: F401
+
+    dfs = [spark.read.parquet(p) for p in paths]
+    if strict_types:
+        seen: dict[str, tuple[str, str]] = {}
+        for p, df in zip(paths, dfs):
+            for c, t in df.dtypes:
+                if c in seen and seen[c][1] != t:
+                    raise TypeError(
+                        f"column {c!r} changed type between generations: "
+                        f"{seen[c][1]} at {seen[c][0]} vs {t} at {p} — "
+                        "migrate explicitly instead of coercing at read"
+                    )
+                seen.setdefault(c, (p, t))
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out

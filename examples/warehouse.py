@@ -48,6 +48,13 @@ TOUR = [
     ("large_orders", 5),
     ("sole_supplier_orders", 5),
     ("idle_rich_customers", 5),
+    ("forecast_revenue_change", 1),
+    ("promo_revenue_share", 1),
+    ("bracket_revenue", 1),
+    ("priority_shipment_counts", 2),
+    ("cheapest_supplier_per_part", 5),
+    ("top_supplier_revenue", 3),
+    ("promo_heavy_suppliers", 5),
     ("grouping_sets_revenue", 10),
     ("status_priority_matrix", 5),
     ("rfm_scores", 5),

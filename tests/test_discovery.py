@@ -74,3 +74,28 @@ def test_update_status_transitions_only_hit_keys(spark):
     )
     rediscovered = {r.key for r in discovery.discover_new(cleared.select("key"), cleared).collect()}
     assert tkey in rediscovered
+
+
+def test_read_evolved_generations(spark, tmp_path):
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.sources.listing import (
+        read_evolved,
+    )
+
+    g1 = str(tmp_path / "gen1")
+    g2 = str(tmp_path / "gen2")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(g1)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(g2)
+
+    out = read_evolved(spark, [g1, g2])
+    rows = {r.id: (r.name, r.score) for r in out.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+    # a type change must raise, not coerce
+    g3 = str(tmp_path / "gen3")
+    spark.createDataFrame([(3, 7)], "id long, name int").write.parquet(g3)
+    import pytest
+
+    with pytest.raises(TypeError, match="changed type"):
+        read_evolved(spark, [g1, g3])
