@@ -315,3 +315,26 @@ def column_size_report(spark: SparkSession, path: str) -> "DataFrame":
             ),
         )
     )
+
+
+def write_range_sorted(
+    df: "DataFrame",
+    path: str,
+    col: str,
+    n_files: int = 16,
+) -> None:
+    """Range-partitioned, sorted-within-file layout on a LINEAR key — the
+    simpler sibling of the Z-order writer for single-column access
+    patterns: ``repartitionByRange`` gives each output file a disjoint
+    key range (so zone maps prune perfectly for range predicates on
+    ``col``), and ``sortWithinPartitions`` keeps pages internally ordered
+    (page-level min/max + better encodings). Prefer Z-order only when
+    queries filter on SEVERAL columns at once."""
+    from pyspark.sql import functions as F
+
+    (
+        df.repartitionByRange(n_files, F.col(col))
+        .sortWithinPartitions(col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

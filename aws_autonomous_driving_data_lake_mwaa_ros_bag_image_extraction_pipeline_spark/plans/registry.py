@@ -7717,6 +7717,40 @@ def q_promo_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "weighted_sample_topk",
+    """
+    SELECT doc_id, n_chars
+    FROM (
+      SELECT doc_id, n_chars,
+             pow(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) / 1152921504606846976.0,
+                 1.0 / n_chars) AS k
+      FROM documents
+    )
+    ORDER BY k DESC, doc_id
+    LIMIT 50
+    """,
+)
+def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    each row draws key u^(1/w) from its deterministic md5 uniform and the
+    k largest keys ARE a weighted sample without replacement — the
+    exponential-clocks argument, done with one TakeOrderedAndProject
+    (no per-group state, no rejection loop). The weighted counterpart of
+    `group_topk_sample`'s uniform reservoir; weight = document length, so
+    long documents are proportionally favored but never guaranteed."""
+    docs = _t(spark, sf_dir, "documents")
+    u = H.md5_long(F.col("doc_id").cast("string")) / F.lit(float(1 << 60))
+    key = F.pow(u, 1.0 / F.col("n_chars"))
+    return (
+        docs.select("doc_id", "n_chars", key.alias("k"))
+        .orderBy(F.desc("k"), "doc_id")
+        .limit(50)
+        .select("doc_id", "n_chars")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

@@ -250,3 +250,38 @@ def test_column_size_report_matches_footers(spark, tmp_path):
     # "uncompressed" footer size is already post-encoding)
     bpv = lambda r: r.compressed_bytes / r.n_values  # noqa: E731
     assert bpv(rep["small_card"]) < bpv(rep["wide"]) / 10
+
+
+def test_write_range_sorted_files_have_disjoint_ranges(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.layout import (
+        write_range_sorted,
+        zonemap_stats,
+    )
+
+    path = str(tmp_path / "ranged")
+    df = spark.range(0, 20_000).selectExpr("id", "id * 7 % 20011 AS k")
+    write_range_sorted(df, path, "k", n_files=8)
+
+    spans = []
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        lo = min(
+            md.row_group(rg).column(1).statistics.min
+            for rg in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(rg).column(1).statistics.max
+            for rg in range(md.num_row_groups)
+        )
+        spans.append((lo, hi))
+    spans.sort()
+    # disjoint file ranges: each file's min exceeds the previous file's max
+    for (pl, ph), (nl, nh) in zip(spans, spans[1:]):
+        assert nl > ph
+    # and the zonemap reader sees the same pruning opportunity
+    zm = zonemap_stats(spark, path, ["k"]).collect()
+    assert len(zm) == len(spans)
