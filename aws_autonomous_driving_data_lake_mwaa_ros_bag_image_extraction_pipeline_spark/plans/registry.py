@@ -7751,6 +7751,117 @@ def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "user_behavior_entropy",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS INTEGER) AS n_types,
+           ROUND(ln(SUM(n))
+                 - CAST(SUM(CAST(n * ln(n) AS DECIMAL(28,12))) AS DOUBLE)
+                   / SUM(n), 6) AS entropy_nats
+    FROM c GROUP BY user_id
+    """,
+)
+def q_user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user: Shannon entropy of each user's
+    event-type distribution (0 = single-habit, ln 5 = uniform over the
+    five types) — the habituality score segmentations key on. Same
+    H = ln N − (Σ n·ln n)/N identity and decimal accumulation as
+    `source_token_entropy`, over the |users|×|types| count table."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("int").alias("n_types"),
+            F.sum((F.col("n") * F.log("n")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("_nlnn"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            F.round(
+                F.log("n_events") - F.col("_nlnn") / F.col("n_events"), 6
+            ).alias("entropy_nats"),
+        )
+    )
+
+
+@register(
+    "weekend_spend_ttest",
+    """
+    WITH g AS (
+      SELECT CASE WHEN dayofweek(o_orderdate) IN (0, 6)
+                  THEN 'weekend' ELSE 'weekday' END AS grp,
+             o_totalprice AS v
+      FROM orders
+    ),
+    m AS (
+      SELECT grp, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(v AS DECIMAL(28,10))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(v * v AS DECIMAL(28,10))) AS DOUBLE) AS sq
+      FROM g GROUP BY grp
+    ),
+    w AS (
+      SELECT
+        (SELECT n FROM m WHERE grp = 'weekend') AS n1,
+        (SELECT s FROM m WHERE grp = 'weekend') AS s1,
+        (SELECT sq FROM m WHERE grp = 'weekend') AS sq1,
+        (SELECT n FROM m WHERE grp = 'weekday') AS n2,
+        (SELECT s FROM m WHERE grp = 'weekday') AS s2,
+        (SELECT sq FROM m WHERE grp = 'weekday') AS sq2
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_weekend, CAST(n2 AS BIGINT) AS n_weekday,
+           ROUND(s1 / n1 - s2 / n2, 6) AS mean_diff,
+           ROUND((s1 / n1 - s2 / n2)
+                 / sqrt(((sq1 - s1 * s1 / n1) / (n1 - 1)) / n1
+                        + ((sq2 - s2 * s2 / n2) / (n2 - 1)) / n2), 6)
+             AS welch_t
+    FROM w
+    """,
+)
+def q_weekend_spend_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t-statistic for weekend vs weekday order values — the
+    two-sample hypothesis test as a query (|t| ≲ 2 means the apparent
+    difference is noise; the A/B-readout every ops dashboard needs). Both
+    groups' moments come from ONE conditional aggregation pass with
+    decimal sums; the statistic assembles from the 2-row table."""
+    od = _t(spark, sf_dir, "orders")
+    is_we = F.dayofweek("o_orderdate").isin(1, 7)  # Spark: 1=Sun, 7=Sat
+    v = F.col("o_totalprice")
+    dec = lambda c: F.sum(c.cast("decimal(28,10)")).cast("double")  # noqa: E731
+    m = od.agg(
+        F.sum(is_we.cast("int")).cast("double").alias("n1"),
+        dec(F.when(is_we, v)).alias("s1"),
+        dec(F.when(is_we, v * v)).alias("sq1"),
+        F.sum((~is_we).cast("int")).cast("double").alias("n2"),
+        dec(F.when(~is_we, v)).alias("s2"),
+        dec(F.when(~is_we, v * v)).alias("sq2"),
+    )
+    mean_diff = F.col("s1") / F.col("n1") - F.col("s2") / F.col("n2")
+    var1 = (F.col("sq1") - F.col("s1") * F.col("s1") / F.col("n1")) / (
+        F.col("n1") - 1
+    )
+    var2 = (F.col("sq2") - F.col("s2") * F.col("s2") / F.col("n2")) / (
+        F.col("n2") - 1
+    )
+    t = mean_diff / F.sqrt(var1 / F.col("n1") + var2 / F.col("n2"))
+    return m.select(
+        F.col("n1").cast("bigint").alias("n_weekend"),
+        F.col("n2").cast("bigint").alias("n_weekday"),
+        F.round(mean_diff, 6).alias("mean_diff"),
+        F.round(t, 6).alias("welch_t"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------
