@@ -7862,6 +7862,99 @@ def q_weekend_spend_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Inverse-CDF ladder for Poisson(1): cumulative probabilities to k=6
+# (1 - cum ≈ 1e-4 beyond; the tail clamps to 7). Shared text between the
+# Spark expression and the DuckDB oracle so both build the identical CASE.
+_POIS_CUM = [
+    0.36787944117144233,   # P(X<=0)
+    0.7357588823428847,    # P(X<=1)
+    0.9196986029286058,    # P(X<=2)
+    0.9810118431238462,    # P(X<=3)
+    0.9963401531726563,    # P(X<=4)
+    0.9994058151824183,    # P(X<=5)
+    0.9999167588507119,    # P(X<=6)
+]
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = "\n".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POIS_CUM)
+    )
+    return f"CASE {branches} ELSE 7 END"
+
+
+@register(
+    "bootstrap_mean_ci",
+    f"""
+    WITH reps AS (
+      SELECT o_totalprice AS v, r,
+             CAST(concat('0x', substr(md5(concat(CAST(o_orderkey AS VARCHAR),
+                  '#', CAST(r AS VARCHAR))), 1, 15)) AS BIGINT)
+               / 1152921504606846976.0 AS u
+      FROM orders, (SELECT unnest(range(0, 50)) AS r)
+    ),
+    w AS (SELECT v, r, {_pois_case_sql('u')} AS w FROM reps),
+    means AS (
+      SELECT r,
+             CAST(SUM(CAST(w * v AS DECIMAL(28,8))) AS DOUBLE)
+               / SUM(w) AS m
+      FROM w GROUP BY r HAVING SUM(w) > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_replicas,
+           ROUND(quantile_cont(m, 0.025), 6) AS ci_lo,
+           ROUND(quantile_cont(m, 0.5), 6) AS ci_mid,
+           ROUND(quantile_cont(m, 0.975), 6) AS ci_hi
+    FROM means
+    """,
+)
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed POISSON bootstrap (the streaming-friendly bootstrap:
+    per-row independent Poisson(1) weights replace resampling, so 50
+    replicas are ONE pass with a 50-way explode and no per-replica scan):
+    a 95% CI for the mean order value from the replica-mean quantiles.
+    The Poisson draw is an inverse-CDF ladder over the deterministic
+    md5(row, replica) uniform — identical constants in both engines —
+    and replica means accumulate as DECIMAL. The uncertainty quantifier
+    every point estimate in this registry could wear."""
+    od = _t(spark, sf_dir, "orders")
+    reps = od.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("v"),
+        F.explode(F.sequence(F.lit(0), F.lit(49))).alias("r"),
+    )
+    u = (
+        H.md5_long(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit("#"),
+                F.col("r").cast("string"),
+            )
+        )
+        / F.lit(float(1 << 60))
+    )
+    w = F.lit(7)
+    for k in range(len(_POIS_CUM) - 1, -1, -1):
+        w = F.when(u < _POIS_CUM[k], k).otherwise(w)
+    weighted = reps.select("v", "r", w.alias("w"))
+    means = (
+        weighted.groupBy("r")
+        .agg(
+            F.sum((F.col("w") * F.col("v")).cast("decimal(28,8)"))
+            .cast("double")
+            .alias("_s"),
+            F.sum("w").alias("_w"),
+        )
+        .filter(F.col("_w") > 0)
+        .select((F.col("_s") / F.col("_w")).alias("m"))
+    )
+    return means.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_replicas"),
+        F.round(F.expr("percentile(m, 0.025)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.5)"), 6).alias("ci_mid"),
+        F.round(F.expr("percentile(m, 0.975)"), 6).alias("ci_hi"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------
