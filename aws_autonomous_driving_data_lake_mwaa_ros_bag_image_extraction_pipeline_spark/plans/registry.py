@@ -7955,6 +7955,151 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cusum_changepoint",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(SUM(CAST(y AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS mu
+      FROM d GROUP BY event_type
+    ),
+    c AS (
+      SELECT d.event_type, day,
+             CAST(SUM(CAST(y - mu AS DECIMAL(28,10))) OVER (
+               PARTITION BY d.event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cusum
+      FROM d JOIN m ON d.event_type = m.event_type
+    )
+    SELECT event_type, day AS changepoint_day,
+           ROUND(abs_cusum, 6) AS max_abs_cusum
+    FROM (SELECT event_type, day, abs(cusum) AS abs_cusum,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY abs(cusum) DESC, day) AS rn
+          FROM c)
+    WHERE rn = 1
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per event type: the day where the cumulative
+    deviation from the type's mean daily rate peaks — the classic "when
+    did the level shift" estimator (argmax |CUSUM| is the MLE of a single
+    mean-shift point). One daily aggregation; the mean join-back, running
+    decimal CUSUM, and the argmax all run over the |types|×|days|
+    dimension table."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    m = d.groupBy(F.col("event_type").alias("et")).agg(
+        (
+            F.sum(F.col("y").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = (
+        d.join(F.broadcast(m), F.col("event_type") == F.col("et"))
+        .withColumn(
+            "cusum",
+            F.sum((F.col("y") - F.col("mu")).cast("decimal(28,10)"))
+            .over(wc)
+            .cast("double"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("cusum"))), "day"
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("changepoint_day"),
+            F.round(F.abs(F.col("cusum")), 6).alias("max_abs_cusum"),
+        )
+    )
+
+
+@register(
+    "isotonic_daily_trend",
+    """
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS s
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(CAST(SUM(CAST(s AS DECIMAL(28,10))) AS DOUBLE)
+                 / SUM(n), 6) AS weighted_mean,
+           TRUE AS fit_monotone,
+           TRUE AS mass_preserved
+    FROM d
+    """,
+)
+def q_isotonic_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone) calibration of the daily mean-value series by
+    pool-adjacent-violators — the calibration-curve fitter (reliability
+    diagrams, monotone score→rate maps). The data pass is ONE daily
+    aggregation; PAVA runs on the |days|-row collected series (same
+    driver-side small-table contract as the eigensolve). Gate
+    certificates: the weighted mean is replayed exactly (PAVA pools
+    preserve total mass — a violated invariant means a broken merge),
+    and the fitted sequence is asserted monotone."""
+    import numpy as np
+
+    ev = _t(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("s"),
+        )
+        .orderBy("day")
+        .collect()
+    )
+    w = np.array([r.n for r in d])
+    y = np.array([r.s / r.n for r in d])
+    # PAVA: merge adjacent violators into weighted pools
+    vals, wts = [], []
+    for yi, wi in zip(y, w):
+        vals.append(yi)
+        wts.append(wi)
+        while len(vals) > 1 and vals[-2] > vals[-1]:
+            v2, w2 = vals.pop(), wts.pop()
+            v1, w1 = vals.pop(), wts.pop()
+            vals.append((v1 * w1 + v2 * w2) / (w1 + w2))
+            wts.append(w1 + w2)
+    fit_monotone = all(a <= b + 1e-12 for a, b in zip(vals, vals[1:]))
+    total_w = float(w.sum())
+    mass_in = float((w * y).sum())
+    mass_fit = float(sum(v * ww for v, ww in zip(vals, wts)))
+    mass_preserved = abs(mass_in - mass_fit) <= 1e-6 * abs(mass_in)
+    return spark.createDataFrame(
+        [
+            (
+                len(d),
+                round(mass_in / total_w, 6),
+                bool(fit_monotone),
+                bool(mass_preserved),
+            )
+        ],
+        "n_days bigint, weighted_mean double, fit_monotone boolean, "
+        "mass_preserved boolean",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------
