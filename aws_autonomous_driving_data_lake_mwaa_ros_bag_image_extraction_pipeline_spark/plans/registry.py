@@ -8100,6 +8100,145 @@ def q_isotonic_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "daily_autocorrelation",
+    """
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(1, 8)) AS lag_days),
+    j AS (
+      SELECT l.lag_days, a.y AS x, b.y AS y
+      FROM lags l
+      JOIN d a ON TRUE
+      JOIN d b ON b.day = a.day + CAST(l.lag_days AS INTEGER)
+                                  * INTERVAL '1 day'
+    ),
+    m AS (
+      SELECT lag_days, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(28,10))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x * y AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+      FROM j GROUP BY lag_days
+    )
+    SELECT CAST(lag_days AS INTEGER) AS lag_days, CAST(n AS BIGINT) AS n_pairs,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS acf
+    FROM m
+    """,
+)
+def q_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the total daily event count at lags 1–7 — the
+    seasonality detector (a weekly cycle surfaces as an ACF peak at 7)
+    feeding the seasonal-naive forecaster's lag choice. Same |days|-table
+    lag join + decimal Pearson identity as `type_cross_correlation`, with
+    the series correlated against itself."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag_days"))
+    b = d.select(F.col("day").alias("day_b"), F.col("y").alias("yb"))
+    j = (
+        d.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("day_b")
+            == F.timestamp_seconds(
+                F.unix_seconds(F.col("day")) + F.col("lag_days") * 86400
+            ),
+        )
+        .select("lag_days", F.col("y").alias("x"), F.col("yb").alias("y"))
+    )
+    dec = lambda c: F.sum(c.cast("decimal(28,10)")).cast("double")  # noqa: E731
+    m = j.groupBy("lag_days").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("y") * F.col("y")).alias("syy"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "lag_days",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(num / den, 6).alias("acf"),
+    )
+
+
+@register(
+    "zipf_slope",
+    f"""
+    WITH freq AS (
+      SELECT w, CAST(COUNT(*) AS DOUBLE) AS f
+      FROM (SELECT unnest({_D_TOKS}) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    ranked AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, w) AS DOUBLE)) AS x,
+             ln(f) AS y
+      FROM freq
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS vocab_size,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+    FROM m
+    """,
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus: OLS slope of ln(frequency) against
+    ln(rank) — natural language sits near −1; a synthetic or deduplicated
+    corpus drifts flat (this near-uniform vocabulary measures ~−0.4, and
+    the query reports that honestly). The rank window sorts the
+    VOCABULARY table (dimension-sized), the corpus is touched once for
+    the counts, and the OLS moments are one decimal aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("f"))
+    )
+    wr = Window.orderBy(F.desc("f"), "w")
+    ranked = freq.select(
+        F.log(F.row_number().over(wr).cast("double")).alias("x"),
+        F.log("f").alias("y"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(28,12)")).cast("double")  # noqa: E731
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("vocab_size"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

@@ -110,6 +110,9 @@ ALLOWED_BNLJ = {
     # top_supplier_revenue: cross join against a broadcast 1-row max agg
     # (TPC-H Q15 scalar subquery)
     "top_supplier_revenue",
+    # daily_autocorrelation: |days|-row table against the broadcast 7-row
+    # lag list (same deliberate expansion as type_cross_correlation)
+    "daily_autocorrelation",
     # source_kl_divergence: cross joins against broadcast 1-row corpus
     # vocab-size / log-mass aggregates
     "source_kl_divergence",
