@@ -8239,6 +8239,43 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fleet_health_daily",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS active_users,
+           ROUND(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS error_rate,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS purchases,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_fleet_health_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily fleet-health dashboard in ONE aggregation pass: volume,
+    distinct actives, error rate, conversions, and the exact p95 of the
+    value signal per day — every column a conditional or holistic
+    aggregate over the same groupBy, no joins, no second scan. The
+    summary every operator page opens with; the rest of this registry is
+    what you run when one of these numbers moves."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("active_users"),
+        F.round(
+            F.sum((F.col("event_type") == "error").cast("int"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("error_rate"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("bigint")
+        .alias("purchases"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------
