@@ -8276,6 +8276,114 @@ def q_fleet_health_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "time_hierarchy_rollup",
+    """
+    SELECT COALESCE(CAST(yr AS VARCHAR), 'ALL') AS year,
+           COALESCE(CAST(mo AS VARCHAR), 'ALL') AS month,
+           COUNT(*) AS n_orders,
+           {rev} AS revenue
+    FROM (SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+                 o_totalprice
+          FROM orders)
+    GROUP BY ROLLUP (yr, mo)
+    """.format(rev=SQL_DSUM.format(x="o_totalprice")),
+)
+def q_time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-hierarchy ROLLUP (year → month → grand total): the time
+    twin of `rollup_priority` — three report grains from ONE scan, with
+    the grouped-away levels COALESCEd to 'ALL' so both engines render the
+    subtotal rows identically. Partial aggregation collapses each grain
+    map-side."""
+    od = _t(spark, sf_dir, "orders")
+    base = od.select(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        "o_totalprice",
+    )
+    return (
+        base.rollup("yr", "mo")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .select(
+            F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("year"),
+            F.coalesce(F.col("mo").cast("string"), F.lit("ALL")).alias("month"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@register(
+    "purchase_event_order_correlation",
+    """
+    WITH pe AS (
+      SELECT user_id AS k, CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    oc AS (
+      SELECT o_custkey AS k, CAST(COUNT(*) AS DOUBLE) AS y
+      FROM orders GROUP BY 1
+    ),
+    j AS (SELECT x, y FROM pe JOIN oc USING (k)),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(28,10))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x * y AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+      FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n_shared_keys,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r
+    FROM m
+    """,
+)
+def q_purchase_event_order_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-DOMAIN consistency audit: do users who fire more purchase
+    EVENTS also place more ORDERS? Both fact tables pre-aggregate to
+    key-level counts, join on the shared key space, and the decimal
+    Pearson identity scores the relationship — near zero here (the
+    synthetic domains are independent), which is exactly what the audit
+    should report before anyone joins these tables as if causally
+    linked."""
+    ev = _t(spark, sf_dir, "events")
+    od = _t(spark, sf_dir, "orders")
+    pe = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    oc = od.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    j = pe.join(oc, "k")
+    dec = lambda c: F.sum(c.cast("decimal(28,10)")).cast("double")  # noqa: E731
+    m = j.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("y") * F.col("y")).alias("syy"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_shared_keys"),
+        F.round(num / den, 6).alias("r"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------
