@@ -8384,6 +8384,164 @@ def q_purchase_event_order_correlation(
     )
 
 
+@register(
+    "revenue_bridge_monthly",
+    """
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             CAST(COUNT(*) AS DOUBLE) AS vol,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1
+    ),
+    l AS (
+      SELECT month, vol, rev,
+             lag(vol) OVER w AS pvol, lag(rev) OVER w AS prev
+      FROM m WINDOW w AS (ORDER BY month)
+    )
+    SELECT month,
+           ROUND(rev - prev, 6) AS delta_revenue,
+           ROUND((vol - pvol) * (prev / pvol), 6) AS volume_effect,
+           ROUND(vol * (rev / vol - prev / pvol), 6) AS price_effect
+    FROM l WHERE pvol IS NOT NULL
+    """,
+)
+def q_revenue_bridge_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue BRIDGE: Δrevenue decomposed exactly into a
+    volume effect ((v−v₀)·p₀) and a price/mix effect (v·(p−p₀)) — the
+    identity sums to the delta, so finance can attribute a move without a
+    residual. One monthly aggregation, lag windows over the |months|
+    table, decimal revenue sums."""
+    od = _t(spark, sf_dir, "orders")
+    m = od.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.count(F.lit(1)).cast("double").alias("vol"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("rev"),
+    )
+    w = Window.orderBy("month")
+    l = m.select(
+        "month",
+        "vol",
+        "rev",
+        F.lag("vol").over(w).alias("pvol"),
+        F.lag("rev").over(w).alias("prev"),
+    ).filter(F.col("pvol").isNotNull())
+    return l.select(
+        "month",
+        F.round(F.col("rev") - F.col("prev"), 6).alias("delta_revenue"),
+        F.round(
+            (F.col("vol") - F.col("pvol")) * (F.col("prev") / F.col("pvol")),
+            6,
+        ).alias("volume_effect"),
+        F.round(
+            F.col("vol")
+            * (F.col("rev") / F.col("vol") - F.col("prev") / F.col("pvol")),
+            6,
+        ).alias("price_effect"),
+    )
+
+
+@register(
+    "new_vs_returning_daily",
+    """
+    WITH first_day AS (
+      SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS fday
+      FROM events GROUP BY user_id
+    ),
+    tagged AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CASE WHEN CAST(date_trunc('day', ts) AS TIMESTAMP) = fday
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events e JOIN first_day f ON e.user_id = f.user_id
+    )
+    SELECT day,
+           CAST(SUM(is_new) AS BIGINT) AS new_user_events,
+           CAST(SUM(1 - is_new) AS BIGINT) AS returning_events
+    FROM tagged GROUP BY day
+    """,
+)
+def q_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning traffic split per day: each event tagged by
+    whether it falls on its user's FIRST day — the growth-quality metric
+    behind `cumulative_adoption`. The first-day table is |users| rows
+    (broadcast); the tag is a join + CASE, one count aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    first_day = ev.groupBy(F.col("user_id").alias("fu")).agg(
+        F.date_trunc("day", F.min("ts")).alias("fday")
+    )
+    tagged = ev.join(
+        F.broadcast(first_day), F.col("user_id") == F.col("fu")
+    ).select(
+        F.date_trunc("day", "ts").alias("day"),
+        (F.date_trunc("day", "ts") == F.col("fday")).cast("int").alias("is_new"),
+    )
+    return tagged.groupBy("day").agg(
+        F.sum("is_new").cast("bigint").alias("new_user_events"),
+        F.sum(1 - F.col("is_new")).cast("bigint").alias("returning_events"),
+    )
+
+
+@register(
+    "lines_per_order_poisson_gof",
+    """
+    WITH lp AS (
+      SELECT l_orderkey, COUNT(*) AS k FROM lineitem GROUP BY 1
+    ),
+    lam AS (
+      SELECT CAST(SUM(k) AS DOUBLE) / COUNT(*) AS l,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM lp
+    ),
+    obs AS (SELECT k, COUNT(*) AS o FROM lp GROUP BY k)
+    SELECT CAST(obs.k AS INTEGER) AS k, o AS observed,
+           ROUND(n * exp(-l) * pow(l, obs.k)
+                 / CASE obs.k WHEN 1 THEN 1.0 WHEN 2 THEN 2.0 WHEN 3 THEN 6.0
+                              WHEN 4 THEN 24.0 WHEN 5 THEN 120.0
+                              WHEN 6 THEN 720.0 WHEN 7 THEN 5040.0
+                              ELSE 1.0 END, 6) AS expected_poisson
+    FROM obs, lam
+    """,
+)
+def q_lines_per_order_poisson_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodness-of-fit table: observed lines-per-order counts vs the
+    Poisson(λ̂) expectation (λ̂ = the corpus mean, a 1-row broadcast;
+    factorials as a literal CASE over the bounded 1–7 support) — the
+    distributional-assumption audit behind every capacity model that
+    treats order size as Poisson. The deviation pattern (uniform data
+    here, so expected ≠ observed) is the finding."""
+    li = _t(spark, sf_dir, "lineitem")
+    lp = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("k"))
+    lam = lp.agg(
+        (F.sum("k").cast("double") / F.count(F.lit(1))).alias("l"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    obs = lp.groupBy("k").agg(F.count(F.lit(1)).alias("observed"))
+    fact = (
+        F.when(F.col("k") == 1, 1.0)
+        .when(F.col("k") == 2, 2.0)
+        .when(F.col("k") == 3, 6.0)
+        .when(F.col("k") == 4, 24.0)
+        .when(F.col("k") == 5, 120.0)
+        .when(F.col("k") == 6, 720.0)
+        .when(F.col("k") == 7, 5040.0)
+        .otherwise(1.0)
+    )
+    return (
+        obs.join(F.broadcast(lam))
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "observed",
+            F.round(
+                F.col("n")
+                * F.exp(-F.col("l"))
+                * F.pow(F.col("l"), F.col("k"))
+                / fact,
+                6,
+            ).alias("expected_poisson"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

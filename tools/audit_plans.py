@@ -113,6 +113,9 @@ ALLOWED_BNLJ = {
     # daily_autocorrelation: |days|-row table against the broadcast 7-row
     # lag list (same deliberate expansion as type_cross_correlation)
     "daily_autocorrelation",
+    # lines_per_order_poisson_gof: cross join against a broadcast 1-row
+    # lambda-hat aggregate
+    "lines_per_order_poisson_gof",
     # source_kl_divergence: cross joins against broadcast 1-row corpus
     # vocab-size / log-mass aggregates
     "source_kl_divergence",
