@@ -8542,6 +8542,119 @@ def q_lines_per_order_poisson_gof(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "km_time_to_purchase",
+    """
+    WITH per AS (
+      SELECT user_id,
+             date_diff('day',
+                       CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP),
+                       CAST(date_trunc('day',
+                         MIN(CASE WHEN event_type = 'purchase' THEN ts END))
+                         AS TIMESTAMP)) AS t_event,
+             date_diff('day',
+                       CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP),
+                       (SELECT CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP)
+                        FROM events)) AS t_censor
+      FROM events GROUP BY user_id
+    ),
+    obs AS (
+      SELECT CASE WHEN t_event IS NOT NULL THEN t_event ELSE t_censor END AS t,
+             CASE WHEN t_event IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM per
+    ),
+    at_t AS (
+      SELECT t, SUM(ev) AS d, SUM(1 - ev) AS c FROM obs GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d,
+             (SELECT COUNT(*) FROM obs)
+               - COALESCE(SUM(d + c) OVER (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS n_risk
+      FROM at_t
+    )
+    SELECT CAST(t AS INTEGER) AS day, CAST(d AS BIGINT) AS n_converted,
+           CAST(n_risk AS BIGINT) AS n_at_risk,
+           CASE WHEN MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                     OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1
+                THEN 0.0
+                ELSE ROUND(exp(CAST(SUM(CASE WHEN d < n_risk
+                     THEN CAST(ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                          AS DECIMAL(28,12))
+                     ELSE CAST(0 AS DECIMAL(28,12)) END) OVER (ORDER BY t
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)), 6) END AS survival
+    FROM risk WHERE d > 0
+    """,
+)
+def q_km_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for days-to-first-purchase, with
+    CENSORING done right: users who never purchase aren't dropped (that
+    biases conversion fast) — they stay in the risk set until the
+    observation window closes. The product-limit estimator is
+    exp(Σ ln(1−dᵢ/nᵢ)) — a running DECIMAL sum of logs over the
+    |distinct days| table, so the cumulative product is engine- and
+    order-exact. Per-user reduction is one conditional aggregation; the
+    corpus end-date is a 1-row broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    max_day = ev.agg(F.date_trunc("day", F.max("ts")).alias("_maxd"))
+    per = (
+        ev.join(F.broadcast(max_day))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.date_trunc(
+                    "day",
+                    F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                ),
+                F.date_trunc("day", F.min("ts")),
+            ).alias("t_event"),
+            F.datediff(
+                F.first("_maxd"), F.date_trunc("day", F.min("ts"))
+            ).alias("t_censor"),
+        )
+    )
+    obs = per.select(
+        F.coalesce("t_event", "t_censor").alias("t"),
+        F.col("t_event").isNotNull().cast("int").alias("ev"),
+    )
+    total = obs.count()  # small scalar; alternatively a broadcast 1-row agg
+    at_t = obs.groupBy("t").agg(
+        F.sum("ev").alias("d"), F.sum(1 - F.col("ev")).alias("c")
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = at_t.select(
+        "t",
+        "d",
+        (
+            F.lit(total)
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(1.0 - F.col("d").cast("double") / F.col("n_risk")).cast(
+            "decimal(28,12)"
+        ),
+    ).otherwise(F.lit(0).cast("decimal(28,12)"))
+    hit_zero = F.max(
+        (F.col("d") >= F.col("n_risk")).cast("int")
+    ).over(w_cum)
+    surv = F.when(hit_zero == 1, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.sum(term).over(w_cum).cast("double")), 6)
+    )
+    return (
+        risk.filter(F.col("d") > 0)
+        .select(
+            F.col("t").cast("int").alias("day"),
+            F.col("d").cast("bigint").alias("n_converted"),
+            F.col("n_risk").cast("bigint").alias("n_at_risk"),
+            surv.alias("survival"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------
