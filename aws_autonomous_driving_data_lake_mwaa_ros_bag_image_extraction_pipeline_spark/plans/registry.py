@@ -8655,6 +8655,85 @@ def q_km_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "type_precedence_matrix",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 21600
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), g AS (
+      SELECT user_id, ts, event_type,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    ),
+    firsts AS (
+      SELECT user_id, sid, event_type, MIN(ts) AS fts
+      FROM g GROUP BY 1, 2, 3
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(SUM(CASE WHEN a.fts < b.fts THEN 1 ELSE 0 END) AS BIGINT)
+             AS a_first,
+           CAST(SUM(CASE WHEN b.fts < a.fts THEN 1 ELSE 0 END) AS BIGINT)
+             AS b_first,
+           CAST(SUM(CASE WHEN a.fts = b.fts THEN 1 ELSE 0 END) AS BIGINT)
+             AS ties
+    FROM firsts a JOIN firsts b
+      ON a.user_id = b.user_id AND a.sid = b.sid
+     AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def q_type_precedence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level PRECEDENCE matrix: for each type pair co-occurring in
+    a session, how often does each come first (by first occurrence)? The
+    causal-ordering evidence the adjacent-pair Markov matrix can't see
+    (a→…→b with steps between still counts). First-occurrence reduction
+    per (session, type), then the session-key self-join — ≤|types|² pairs
+    per session, counts bounded by |types|²."""
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize.sessionize(ev, gap_minutes=360)
+    firsts = s.groupBy("user_id", "session_id", "event_type").agg(
+        F.min("ts").alias("fts")
+    )
+    a = firsts.select(
+        "user_id",
+        "session_id",
+        F.col("event_type").alias("type_a"),
+        F.col("fts").alias("fa"),
+    )
+    b = firsts.select(
+        F.col("user_id").alias("ub"),
+        F.col("session_id").alias("sb"),
+        F.col("event_type").alias("type_b"),
+        F.col("fts").alias("fb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("ub"))
+            & (F.col("session_id") == F.col("sb"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum((F.col("fa") < F.col("fb")).cast("int"))
+            .cast("bigint")
+            .alias("a_first"),
+            F.sum((F.col("fb") < F.col("fa")).cast("int"))
+            .cast("bigint")
+            .alias("b_first"),
+            F.sum((F.col("fa") == F.col("fb")).cast("int"))
+            .cast("bigint")
+            .alias("ties"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------
