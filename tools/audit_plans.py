@@ -116,6 +116,9 @@ ALLOWED_BNLJ = {
     # lines_per_order_poisson_gof: cross join against a broadcast 1-row
     # lambda-hat aggregate
     "lines_per_order_poisson_gof",
+    # km_time_to_purchase: cross join against the broadcast 1-row
+    # observation-window end date
+    "km_time_to_purchase",
     # source_kl_divergence: cross joins against broadcast 1-row corpus
     # vocab-size / log-mass aggregates
     "source_kl_divergence",
