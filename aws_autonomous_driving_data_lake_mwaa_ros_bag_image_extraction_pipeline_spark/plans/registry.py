@@ -8734,6 +8734,41 @@ def q_type_precedence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mahalanobis_identity_check",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(64.0 * (COUNT(*) - 1) / COUNT(*), 4) AS mean_m2,
+           TRUE AS identity_ok
+    FROM embeddings
+    """,
+)
+def q_mahalanobis_identity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Mahalanobis pipeline gated through an EXACT identity: with the
+    sample covariance (n−1 divisor), in-sample squared Mahalanobis
+    distances sum to d·(n−1) — so their mean is d·(n−1)/n, a pure
+    function of (d, n) the oracle computes without touching a vector.
+    The query runs the full distributed pipeline (Gram → rank-1
+    centering → Cov^(-1/2) → whitening-literal fold,
+    linalg.mahalanobis_scores) and emits the measured mean — a wrong
+    Gram, mean, inverse, or projection each break the identity at the
+    fourth decimal."""
+    from ..operators import linalg
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scores = linalg.mahalanobis_scores(emb, dim=64)
+    row = scores.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("m2").cast("decimal(28,9)")).cast("double").alias("s"),
+    ).collect()[0]
+    n, mean_m2 = row.n, row.s / row.n
+    expected = 64.0 * (n - 1) / n
+    return spark.createDataFrame(
+        [(n, round(mean_m2, 4), abs(mean_m2 - expected) < 5e-5)],
+        "n_vectors bigint, mean_m2 double, identity_ok boolean",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------
