@@ -8838,6 +8838,143 @@ def q_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "discount_elasticity",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_discount AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(28,10)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_discount * l_quantity AS DECIMAL(28,10)))
+                  AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_lines,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND(sy / n, 6) AS mean_qty
+    FROM m
+    """,
+)
+def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does discounting move volume? OLS slope of quantity on discount per
+    return class — the pricing-elasticity readout, in CLOSED FORM from
+    five decimal-exact moments (1-D regression needs no solver, so unlike
+    the multivariate model the oracle replays the whole fit, coefficient
+    included). Near zero here: the synthetic columns are independent,
+    which is precisely what an elasticity audit must be able to say."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.sum(c.cast("decimal(28,10)")).cast("double")  # noqa: E731
+    x, y = F.col("l_discount"), F.col("l_quantity")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(x).alias("sx"),
+        dec(y).alias("sy"),
+        dec(x * x).alias("sxx"),
+        dec(x * y).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_lines"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("sy") / F.col("n"), 6).alias("mean_qty"),
+    )
+
+
+@register(
+    "dow_effect_size",
+    """
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (SELECT CAST(SUM(CAST(y AS DECIMAL(28,10))) AS DOUBLE)
+                   / COUNT(*) AS gm,
+                 CAST(COUNT(*) AS DOUBLE) AS n
+          FROM d),
+    b AS (
+      SELECT dow, COUNT(*) AS nk,
+             CAST(SUM(CAST(y AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS mk
+      FROM d GROUP BY dow
+    )
+    SELECT CAST((SELECT n FROM g) AS BIGINT) AS n_days,
+           ROUND(CAST(SUM(CAST(nk * (mk - (SELECT gm FROM g))
+                                  * (mk - (SELECT gm FROM g))
+                               AS DECIMAL(28,10))) AS DOUBLE)
+                 / (SELECT CAST(SUM(CAST((y - gm) * (y - gm)
+                               AS DECIMAL(28,10))) AS DOUBLE)
+                    FROM d, g), 6) AS eta_squared
+    FROM b
+    """,
+)
+def q_dow_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA effect size (η² = SS_between/SS_total) for
+    day-of-week on daily event counts — "how much of the daily variance
+    IS the weekly cycle", the magnitude companion to the ACF's
+    existence test. Daily means, 7 group means, and both sums of squares
+    all ride the |days|-row table with decimal accumulation."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.dayofweek("ts").alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    g = d.agg(
+        (
+            F.sum(F.col("y").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("gm"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    b = d.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("nk"),
+        (
+            F.sum(F.col("y").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mk"),
+    )
+    ss_between = (
+        b.join(F.broadcast(g))
+        .agg(
+            F.sum(
+                (
+                    F.col("nk")
+                    * (F.col("mk") - F.col("gm"))
+                    * (F.col("mk") - F.col("gm"))
+                ).cast("decimal(28,10)")
+            )
+            .cast("double")
+            .alias("ssb"),
+            F.first("n").alias("n"),
+        )
+    )
+    ss_total = (
+        d.join(F.broadcast(g))
+        .agg(
+            F.sum(
+                ((F.col("y") - F.col("gm")) * (F.col("y") - F.col("gm"))).cast(
+                    "decimal(28,10)"
+                )
+            )
+            .cast("double")
+            .alias("sst")
+        )
+    )
+    return (
+        ss_between.join(F.broadcast(ss_total))
+        .select(
+            F.col("n").cast("bigint").alias("n_days"),
+            F.round(F.col("ssb") / F.col("sst"), 6).alias("eta_squared"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract accessors (__spark_entry__ delegates here)
 # ---------------------------------------------------------------------------

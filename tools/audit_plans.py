@@ -119,6 +119,9 @@ ALLOWED_BNLJ = {
     # km_time_to_purchase: cross join against the broadcast 1-row
     # observation-window end date
     "km_time_to_purchase",
+    # dow_effect_size: cross joins against broadcast 1-row grand-mean /
+    # sum-of-squares aggregates
+    "dow_effect_size",
     # source_kl_divergence: cross joins against broadcast 1-row corpus
     # vocab-size / log-mass aggregates
     "source_kl_divergence",
