@@ -33,14 +33,22 @@ def fixed_width_histogram(
     aggregation on (group, bin) — the histogram shuffle carries
     n_bins × |groups| rows. The max value is clamped into the last bin
     (half-open bins, closed top), the standard convention.
+
+    NULL values are excluded (complete-cases: a NULL has no bin — without
+    the filter, least(NULL, n_bins-1) would silently land NULLs in the
+    last bin). Degenerate input where min == max (width 0, x/0 → NULL in
+    Spark SQL) collapses to a single bin 0 holding every row.
     """
+    df = df.filter(F.col(value_col).isNotNull())
     bounds = df.agg(
         F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi")
     )
     width = (F.col("_hi") - F.col("_lo")) / F.lit(n_bins)
-    bin_id = F.least(
-        F.floor((F.col(value_col) - F.col("_lo")) / width).cast("int"),
-        F.lit(n_bins - 1),
+    bin_id = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col(value_col) - F.col("_lo")) / width).cast("int"),
+            F.lit(n_bins - 1),
+        )
     )
     keys = ([group_col] if group_col else []) + ["bin"]
     return (
@@ -102,7 +110,13 @@ def chi2_independence(
     which are expected² / expected = expected; callers summing to a single
     statistic should add marginal products for unobserved cells — at the
     usual use here, both columns are low-cardinality and all cells occur).
+
+    Complete-cases convention: rows where either category is NULL are
+    excluded up front. (A NULL key would otherwise count toward the grand
+    total while its cell vanished from the equi-joined marginals — NULL
+    never equi-matches — inflating every expected count.)
     """
+    df = df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
     cells = df.groupBy(
         F.col(a_col).alias("a"), F.col(b_col).alias("b")
     ).agg(F.count(F.lit(1)).alias("observed"))

@@ -163,6 +163,13 @@ def streaming_transition_counts(
     in pipeline.py — turns them into the running matrix. State per key is
     ONE row forever; within a batch rows are sorted by (ts, tie) inside
     the group, the same determinism contract as the quota operator.
+
+    Out-of-order arrivals ACROSS batches are guarded, not assumed away: a
+    row at or before the stored (last_us, last_tie) is a late event the
+    already-emitted chain cannot be rewritten around (its pairs shipped in
+    a prior trigger), so it is dropped from pairing and never overwrites
+    the frontier — the same drop-late contract a watermark gives windowed
+    aggregation. Within a batch, full (ts, tie) ordering still applies.
     """
     dt = dict(events.dtypes)
     out_schema = (
@@ -176,22 +183,28 @@ def streaming_transition_counts(
     ) -> Iterator[pd.DataFrame]:
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values([ts_col, tie_col], kind="mergesort")
-        types = rows[type_col].tolist()
-        prev_type = state.get[2] if state.exists else None
+        prev_type = None
+        if state.exists:
+            last_us, last_tie, prev_type = state.get
+            us = rows[ts_col].values.astype("int64") // 1000
+            tie = rows[tie_col].values.astype("int64")
+            fresh = (us > last_us) | ((us == last_us) & (tie > last_tie))
+            rows = rows[fresh]
         froms, tos = [], []
-        for t in types:
+        for t in rows[type_col].tolist():
             if prev_type is not None:
                 froms.append(prev_type)
                 tos.append(t)
             prev_type = t
-        last = rows.iloc[-1]
-        state.update(
-            (
-                int(last[ts_col].value // 1000),
-                int(last[tie_col]),
-                str(last[type_col]),
+        if len(rows):  # late-only batch: frontier unchanged, nothing emitted
+            last = rows.iloc[-1]
+            state.update(
+                (
+                    int(last[ts_col].value // 1000),
+                    int(last[tie_col]),
+                    str(last[type_col]),
+                )
             )
-        )
         yield pd.DataFrame(
             {
                 key_col: [key[0]] * len(froms),

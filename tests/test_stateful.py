@@ -350,3 +350,61 @@ def test_streaming_transition_counts_match_batch_twin(spark, tmp_path):
         for r in sessionize.transition_matrix(batch_df).collect()
     }
     assert dict(streamed) == batch
+
+
+def test_streaming_transition_counts_drops_cross_batch_late_rows(spark, tmp_path):
+    """A batch-2 event EARLIER than the stored frontier is a late arrival:
+    it must neither pair nor rewind the frontier (drop-late contract)."""
+    src = str(tmp_path / "late_ev")
+    ck = str(tmp_path / "late_ck")
+    os.makedirs(src)
+
+    def _w(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for uid, eid, ts, et in rows:
+                f.write(json.dumps({
+                    "user_id": uid, "event_id": eid, "ts": ts,
+                    "event_type": et,
+                }) + "\n")
+
+    sink: list = []
+
+    def _tick():
+        stream = spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp, event_type string"
+        ).json(src)
+        out = stateful.streaming_transition_counts(stream)
+        q = (
+            out.writeStream.foreachBatch(lambda df, _e: sink.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _w("b1.json", [
+        (1, 1, "2024-01-01T00:01:00", "a"),
+        (1, 2, "2024-01-01T00:02:00", "b"),
+    ])
+    _tick()
+    assert [(r.from_type, r.to_type) for r in sink] == [("a", "b")]
+
+    # batch 2: one late row (00:00:30 < frontier 00:02:00) and one fresh row
+    sink.clear()
+    _w("b2.json", [
+        (1, 3, "2024-01-01T00:00:30", "z"),   # late: dropped
+        (1, 4, "2024-01-01T00:03:00", "c"),   # fresh: pairs with stored 'b'
+    ])
+    _tick()
+    assert sorted((r.from_type, r.to_type) for r in sink) == [("b", "c")]
+
+    # batch 3 (late-only): frontier must still be 'c' afterwards
+    sink.clear()
+    _w("b3.json", [(1, 5, "2024-01-01T00:02:30", "y")])
+    _tick()
+    assert sink == []
+    sink.clear()
+    _w("b4.json", [(1, 6, "2024-01-01T00:04:00", "d")])
+    _tick()
+    assert sorted((r.from_type, r.to_type) for r in sink) == [("c", "d")]

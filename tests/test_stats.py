@@ -108,3 +108,31 @@ def test_equi_depth_histogram_balanced(spark):
     # uniform data → each decile bin holds ~10 rows
     assert all(9 <= n <= 11 for n in out.values())
     assert sum(out.values()) == 100
+
+
+def test_fixed_width_histogram_nulls_excluded_and_degenerate_width(spark):
+    # NULLs have no bin — they must not be clamped into the last bin
+    df = spark.createDataFrame(
+        [(0.0,), (None,), (10.0,), (None,)], "value double"
+    )
+    out = {r.bin: r.n for r in stats.fixed_width_histogram(df, "value", n_bins=5).collect()}
+    assert out == {0: 1, 4: 1}  # 2 NULL rows gone, not in bin 4
+    # min == max (width 0): everything lands in the single bin 0
+    flat = spark.createDataFrame([(3.0,)] * 4 + [(None,)], "value double")
+    out = {r.bin: r.n for r in stats.fixed_width_histogram(flat, "value", n_bins=5).collect()}
+    assert out == {0: 4}
+
+
+def test_chi2_independence_null_categories_excluded(spark):
+    # NULL-keyed rows must not inflate the grand total: with them dropped,
+    # the remaining 2x2 is perfectly independent → all chi2 terms zero.
+    rows = (
+        [("x", "u")] * 4 + [("x", "v")] * 4
+        + [("y", "u")] * 4 + [("y", "v")] * 4
+        + [(None, "u")] * 3 + [("x", None)] * 2
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = stats.chi2_independence(df, "a", "b").collect()
+    assert len(out) == 4
+    assert all(r.expected == 4.0 for r in out)
+    assert all(r.chi2_term == 0.0 for r in out)
