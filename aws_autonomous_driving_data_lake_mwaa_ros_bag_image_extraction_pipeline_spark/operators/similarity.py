@@ -327,7 +327,7 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 5,
     n_lists: int = 16,
-    n_probe: int = 4,
+    n_probe: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
@@ -339,6 +339,15 @@ def ivf_topk(
     IVF adapts to the data distribution (sampled centroids by default,
     Lloyd-refined via ``centroids=refine_centroids(...)``), LSH needs no
     fit at all.
+
+    The default ``n_probe=12`` (of 16 lists) is the measured ≥0.8-recall
+    operating point on the synthetic near-uniform corpus — recall@5 0.88 at
+    sf0.01, 0.96 at sf0.1 (gated by the `ivf_recall_at5` registry query).
+    Near-uniform random vectors are IVF's adversarial case: Voronoi cells
+    barely separate, so true neighbors straddle many lists and a high probe
+    fraction is needed. On real (clustered) embeddings the same recall
+    arrives at a far smaller n_probe/n_lists ratio; ``n_probe=4`` is the
+    fast 0.56-recall config, kept registered as `ivf_topk_fast`.
     """
     cents = centroids if centroids is not None else _ivf_centroids(
         emb, n_lists, id_col, vec_col

@@ -1182,7 +1182,7 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                CAST(c.cv AS DOUBLE[])), 6),
                  c.cid) AS pr
         FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 10
-      ) WHERE pr <= 4
+      ) WHERE pr <= 12
     ),
     scored AS (
       SELECT p.query_id, a.neighbor_id,
@@ -1203,7 +1203,27 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via IVF inverted lists (data-adaptive coarse
     quantizer; each query probes n_probe of n_lists centroid lists). The
     centroid sample (smallest md5(id)) and the rounded, cid-tie-broken
-    nearest-list assignment are deterministic → SQL-replayable."""
+    nearest-list assignment are deterministic → SQL-replayable.
+
+    Registered at the ≥0.8-recall default (n_probe=12 of 16 — measured
+    recall@5 0.88 at sf0.01, 0.96 at sf0.1, gated by `ivf_recall_at5`);
+    the 0.56-recall fast config stays registered as `ivf_topk_fast`."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, k=5, n_lists=16, n_probe=12)
+
+
+@register(
+    "ivf_topk_fast",
+    QUERIES["ivf_topk"].oracle.replace("pr <= 12", "pr <= 4"),
+)
+def q_ivf_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The low-latency IVF operating point (n_probe=4 of 16 — ~1/3 the
+    probed corpus of the default): measured recall@5 0.56 on this
+    near-uniform corpus, the deliberate speed-for-recall end of the probe
+    curve documented on `ivf_recall_at5`. Same deterministic centroid
+    sample and tie-breaks as `ivf_topk`, so the same oracle replays it
+    with only the probe ceiling changed."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_topk(emb, queries, k=5, n_lists=16, n_probe=4)
@@ -6719,7 +6739,7 @@ def _ivf_recall_sql() -> str:
            CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
                 AS DOUBLE) / COUNT(*) AS recall_at_5,
            (CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
-                 AS DOUBLE) / COUNT(*)) >= 0.5 AS recall_ok
+                 AS DOUBLE) / COUNT(*)) >= 0.8 AS recall_ok
     FROM brute b LEFT JOIN ivfr i
       ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
     """
@@ -6728,18 +6748,18 @@ def _ivf_recall_sql() -> str:
 @register("ivf_recall_at5", _ivf_recall_sql())
 def q_ivf_recall_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the IVF path at its REGISTERED config (16 lists,
-    4 probes) against the exact top-5 — the coarse-quantizer counterpart
-    of `ann_recall_at5`. The gate asserts the config's measured operating
-    point (0.56 on this corpus; ≥0.5 catches a quantizer regression);
-    the probe knob buys recall back — measured here: n_probe 6→0.66,
-    8→0.72, 12→0.88 — which is exactly the tradeoff IVF exists to
-    expose."""
+    12 probes) against the exact top-5 — the coarse-quantizer counterpart
+    of `ann_recall_at5`. The default was raised to the ≥0.8 operating
+    point (measured 0.88 at sf0.01, 0.96 at sf0.1); the gate at 0.8
+    catches a quantizer regression. The probe curve under the default:
+    n_probe 4→0.56 (kept as `ivf_topk_fast`), 6→0.66, 8→0.72, 12→0.88 —
+    exactly the recall/cost tradeoff IVF exists to expose."""
     emb = _t(spark, sf_dir, "embeddings")
     probe = emb.filter(F.col("vec_id") < 10)
     brute = similarity.brute_force_topk(emb, probe, k=5).select(
         "query_id", "neighbor_id"
     )
-    ivf = similarity.ivf_topk(emb, probe, k=5, n_lists=16, n_probe=4).select(
+    ivf = similarity.ivf_topk(emb, probe, k=5, n_lists=16, n_probe=12).select(
         F.col("query_id").alias("qi"), F.col("neighbor_id").alias("ni")
     )
     j = brute.join(
@@ -6752,7 +6772,7 @@ def q_ivf_recall_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.agg(
         F.countDistinct("query_id").alias("n_queries"),
         (hit / F.count(F.lit(1))).alias("recall_at_5"),
-        ((hit / F.count(F.lit(1))) >= 0.5).alias("recall_ok"),
+        ((hit / F.count(F.lit(1))) >= 0.8).alias("recall_ok"),
     )
 
 

@@ -39,6 +39,8 @@ ALLOWED_BNLJ = {
     "similar_nation_names",
     "embedding_dup_pairs",
     "ivf_topk",
+    # ivf_topk_fast: same bounded centroid cross join, lower probe ceiling
+    "ivf_topk_fast",
     "price_quartiles",
     "distinctive_terms",
     "bm25_topk",
