@@ -476,3 +476,82 @@ def test_mahalanobis_catches_off_axis_outlier(spark):
     assert scores[0] > 10 * max(others)
     # scores of in-distribution points concentrate near E[m2] = dim
     assert 0.5 < float(np.median(others)) < 6.0
+
+
+def _md5_vecs(n, dim=8):
+    import hashlib
+
+    return [
+        (
+            i,
+            [
+                (
+                    (int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:4], 16) / 65535)
+                    * 2
+                    - 1
+                )
+                for d in range(dim)
+            ],
+        )
+        for i in range(1, n + 1)
+    ]
+
+
+def test_knn_graph_degree_bound_and_multi_blocking_bridges(spark):
+    """The graph respects the degree bound, is deterministic, and the
+    second salted blocking adds cross-block edges a single blocking cannot
+    reach (NN-descent can't cross a partition boundary on its own)."""
+    emb = spark.createDataFrame(
+        _md5_vecs(60), "vec_id long, embedding array<double>"
+    )
+    g = similarity.knn_graph(emb, degree=4, n_lists=4, n_blockings=2, nn_rounds=1)
+    per_src = {r.src: r.n for r in g.groupBy("src").count().withColumnRenamed("count", "n").collect()}
+    assert set(per_src) == set(range(1, 61))
+    assert all(n <= 4 for n in per_src.values())
+    again = {(r.src, r.dst) for r in similarity.knn_graph(
+        emb, degree=4, n_lists=4, n_blockings=2, nn_rounds=1).collect()}
+    assert {(r.src, r.dst) for r in g.collect()} == again
+    # single blocking, rounds don't matter: seed == fixed point (closed
+    # cliques); two blockings must produce a different (better) edge set
+    g1 = {(r.src, r.dst) for r in similarity.knn_graph(
+        emb, degree=4, n_lists=4, n_blockings=1, nn_rounds=2).collect()}
+    assert again != g1
+
+
+def test_hnsw_topk_exact_cosines_and_high_recall(spark):
+    """HNSW results carry EXACT cosines (graph search never approximates
+    the score, only the candidate set), and with generous search params on
+    a small corpus it recovers the exact top-k."""
+    vecs = _md5_vecs(50)
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id <= 3")
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, queries, k=3).collect()
+    }
+    got = similarity.hnsw_topk(
+        emb, queries, k=3, degree=8, n_lists=4, n_blockings=2, nn_rounds=2,
+        entry_pool=8, n_entry=4, beam=16, n_hops=3,
+    ).collect()
+    lookup = dict(vecs)
+    for r in got:
+        want = _cos(lookup[r.query_id], lookup[r.neighbor_id])
+        assert r.cosine == pytest.approx(round(want, 6), abs=1e-6)
+    assert len({(r.query_id, r.neighbor_id) for r in got} & bf) / len(bf) >= 0.8
+
+
+def test_hnsw_topk_prebuilt_graph_matches_inline(spark):
+    """Passing a prebuilt knn_graph gives identical results to building
+    inline — the persisted-index usage pattern."""
+    emb = spark.createDataFrame(
+        _md5_vecs(40), "vec_id long, embedding array<double>"
+    )
+    queries = emb.filter("vec_id <= 2")
+    kw = dict(k=3, degree=6, n_lists=4, n_blockings=2, nn_rounds=1,
+              entry_pool=8, n_entry=3, beam=12, n_hops=2)
+    g = similarity.knn_graph(emb, degree=6, n_lists=4, n_blockings=2, nn_rounds=1)
+    a = {(r.query_id, r.neighbor_id, r.rank)
+         for r in similarity.hnsw_topk(emb, queries, **kw).collect()}
+    b = {(r.query_id, r.neighbor_id, r.rank)
+         for r in similarity.hnsw_topk(emb, queries, graph=g, **kw).collect()}
+    assert a == b

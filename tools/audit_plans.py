@@ -56,6 +56,9 @@ ALLOWED_BNLJ = {
     # ann_recall_at5: contains brute_force_topk's documented broadcast
     # probe-set cross join (the exact side of the recall measurement)
     "ann_recall_at5",
+    # hnsw_recall_at5: same brute-force exact side; the HNSW side itself
+    # is equi-joins only (hnsw_topk audits clean)
+    "hnsw_recall_at5",
     # benchmark_contamination_bloom: cross join against the broadcast 1-row
     # bloom bitmap (same pattern as bloom_prune_join)
     "benchmark_contamination_bloom",
