@@ -239,6 +239,85 @@ def zonemap_pruned_read(
     return spark.read.parquet(*files).filter(cond)
 
 
+def _zonemap_aggs(cols: list[str]):
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nulls_{c}"),
+        ]
+    return aggs
+
+
+def _norm_file(p: str) -> str:
+    """Normalize 'file:///x', 'file:/x', '/x' to a comparable '/x' form —
+    ``_metadata.file_path`` and ``DataFrame.inputFiles()`` render the same
+    file with different URI spellings."""
+    if "://" in p:
+        p = p.split("://", 1)[1]
+        return p if p.startswith("/") else "/" + p
+    if p.startswith("file:"):
+        return p[5:]
+    return p
+
+
+def zonemap_refresh(
+    spark: SparkSession, lake_path: str, zonemap_dir: str, cols: list[str]
+) -> int:
+    """Incrementally maintain a PERSISTED zone map as a lake grows: stat
+    only the data files not yet present in ``zonemap_dir`` and append
+    their rows. Returns the number of files admitted this call.
+
+    This is the streaming-sink counterpart of ``zonemap_stats`` (which
+    rebuilds from scratch): each tick touches O(new files), so the skip
+    index stays current without re-opening the whole lake — the Delta/
+    Iceberg commit-time stats-collection behavior on plain parquet.
+
+    Idempotent under at-least-once replay: per-file stats are
+    deterministic, the new-file check consults the already-persisted map,
+    and ``load_zonemap`` dedups by file — a replayed tick that re-appends
+    a file's row changes nothing.
+
+    Discovery is metadata-only (``inputFiles`` = the file listing, no
+    footer or data-page reads); the stats pass reads just the new files.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        existing = {
+            _norm_file(r.file)
+            for r in spark.read.parquet(zonemap_dir).select("file").collect()
+        }
+    except AnalysisException:
+        existing = set()
+    new = sorted(
+        f
+        for f in spark.read.parquet(lake_path).inputFiles()
+        if _norm_file(f) not in existing
+    )
+    if not new:
+        return 0
+    stats = (
+        spark.read.parquet(*new)
+        .select(F.col("_metadata.file_path").alias("file"), *cols)
+        .groupBy("file")
+        .agg(*_zonemap_aggs(cols))
+    )
+    stats.write.mode("append").parquet(zonemap_dir)
+    return len(new)
+
+
+def load_zonemap(spark: SparkSession, zonemap_dir: str):
+    """Read a persisted zone map (see ``zonemap_refresh``), collapsing any
+    replay-duplicated rows — same schema as ``zonemap_stats``, usable
+    directly by ``zonemap_candidate_files`` / ``zonemap_pruned_read``."""
+    return spark.read.parquet(zonemap_dir).dropDuplicates(["file"])
+
+
 def column_size_report(spark: SparkSession, path: str) -> "DataFrame":
     """Per-column storage report over a parquet table: compressed /
     uncompressed bytes, compression ratio, encodings, value count —

@@ -48,24 +48,40 @@ MANIFEST_LOG_SCHEMA = "key string, status string, updated_at timestamp"
 # Delta-semantics-without-the-package. Layout under manifest_dir:
 #
 #   _log/00000000.json, 00000001.json, …   one entry per COMMIT
-#   data/v00000000/, v00000001/, …         parquet rows for that commit
+#   data/c-<uuid>/                          parquet rows for that commit
+#                                           (entry["data"] is the pointer;
+#                                           legacy data/vNNNNNNNN dirs from
+#                                           pre-multi-writer logs resolve
+#                                           by version number)
 #
-# Commit protocol (single-writer by contract, same as the reference's
-# tag store driven by one scheduler): write the commit's parquet rows to
-# its data dir, then create the log entry via write-temp + os.rename —
-# ONE atomic pointer move. A commit is visible iff its log entry exists;
-# a crash between data write and log rename leaves an invisible orphan
-# dir that the next commit at that version simply overwrites. The head
-# version is the max-numbered log entry (exactly Delta's _delta_log
-# discovery — no mutable HEAD file to corrupt).
+# Commit protocol — MULTI-WRITER-safe optimistic concurrency (the
+# putIfAbsent commit of Delta/Iceberg on a POSIX filesystem):
 #
-# An "append" commit adds rows; a "snapshot" commit (compaction) holds
-# the full last-writer-wins state as of its version, superseding earlier
-# commits for readers at-or-after it. Reading version V = union of the
-# data dirs from the latest snapshot ≤ V through V. Compaction therefore
-# never touches files a concurrent reader may hold; old versions stay
-# readable (time travel) until ``vacuum_manifest`` reclaims commits
-# below the newest snapshot outside the retention window.
+#   1. stage the commit's parquet rows in a UNIQUE data dir (uuid-named —
+#      concurrent writers can never collide on the data);
+#   2. write the full log entry to a unique temp file (fsync'd);
+#   3. CLAIM the next version with os.link(temp, NNNNNNNN.json) — link is
+#      atomic and fails with EEXIST iff another writer claimed that number
+#      first, in which case retry at the next number. The link IS the
+#      commit point: a commit is visible iff its numbered entry exists,
+#      and the entry appears with complete content (the temp was written
+#      fully before the link).
+#
+# A crash before the link leaves an invisible uniquely-named orphan dir
+# (reclaimable by any future GC; it can never be confused with committed
+# data because nothing references it). The head version is the
+# max-numbered log entry — no mutable HEAD file to corrupt.
+#
+# An "append" commit adds rows. A "snapshot" commit (compaction) holds
+# the full last-writer-wins state through its ``base`` version — the head
+# the compactor actually read — NOT through its own commit number: an
+# append that wins the race for a number between base and the snapshot's
+# number is still included by readers, so a racing compactor can never
+# silently swallow a concurrent append. Reading version V = the data of
+# the snapshot ≤ V with the highest base, plus every append commit in
+# (base, V]. Compaction never touches files a concurrent reader may hold;
+# old versions stay readable (time travel) until ``vacuum_manifest``
+# reclaims commits at-or-below the retained snapshot's base.
 # ---------------------------------------------------------------------------
 
 
@@ -94,42 +110,121 @@ def _read_entry(manifest_dir: str, version: int) -> dict:
         return json.load(f)
 
 
-def _commit(manifest_dir: str, version: int, action: str) -> None:
-    """Make a prepared data dir visible: one atomic rename of the log
-    entry. THIS is the commit point."""
+def _entry_data_path(manifest_dir: str, version: int, entry: dict) -> str:
+    """Resolve a commit's data dir through its log entry (legacy entries
+    without a pointer resolve to the old data/vNNNNNNNN convention)."""
+    return os.path.join(
+        manifest_dir, entry.get("data", f"data/v{version:08d}")
+    )
+
+
+def commit_data_path(manifest_dir: str, version: int) -> str:
+    """Public resolution of a committed version's data dir."""
+    return _entry_data_path(
+        manifest_dir, version, _read_entry(manifest_dir, version)
+    )
+
+
+def _claim_commit(
+    manifest_dir: str, action: str, data_rel: str, base: int | None = None
+) -> int:
+    """Atomically claim the next free version for an already-staged data
+    dir: write the complete entry to a unique temp file, then
+    ``os.link`` it to ``NNNNNNNN.json``. link(2) is atomic and fails with
+    EEXIST iff another writer claimed that number first — the loser
+    re-stamps the entry at the next number and retries. THIS is the
+    commit point (multi-process-safe optimistic concurrency; the
+    putIfAbsent commit of Delta/Iceberg)."""
     import json
+    import uuid
 
     log = _log_dir(manifest_dir)
     os.makedirs(log, exist_ok=True)
-    entry = {
-        "version": version,
-        "action": action,
-        "data": f"data/v{version:08d}",
-        "committed_at": dt.datetime.now(dt.timezone.utc).isoformat(),
-    }
-    tmp = os.path.join(log, f".tmp-{version:08d}.json")
-    with open(tmp, "w") as f:
-        json.dump(entry, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, os.path.join(log, f"{version:08d}.json"))
+    versions = _versions(manifest_dir)
+    v = versions[-1] + 1 if versions else 0
+    tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.json")
+    try:
+        while True:
+            entry = {
+                "version": v,
+                "action": action,
+                "data": data_rel,
+                "committed_at": dt.datetime.now(
+                    dt.timezone.utc
+                ).isoformat(),
+            }
+            if base is not None:
+                entry["base"] = base
+            with open(tmp, "w") as f:
+                json.dump(entry, f)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, os.path.join(log, f"{v:08d}.json"))
+                return v
+            except FileExistsError:
+                v += 1
+    finally:
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass
+
+
+def _stage_rows(
+    spark: SparkSession | None, manifest_dir: str, rows_or_df
+) -> str:
+    """Write commit rows to a unique staging dir; returns the relative
+    pointer for the log entry. With ``spark=None`` the parquet is written
+    driver-side via pyarrow — the manifest is tiny metadata (a handful of
+    rows per transition), so status writers (e.g. non-Spark orchestration
+    processes) don't need a JVM, exactly as Delta's log writes aren't
+    Spark jobs."""
+    import uuid
+
+    rel = f"data/c-{uuid.uuid4().hex}"
+    path = os.path.join(manifest_dir, rel)
+    if spark is not None and isinstance(rows_or_df, DataFrame):
+        rows_or_df.write.mode("overwrite").parquet(path)
+    elif spark is not None:
+        spark.createDataFrame(rows_or_df, MANIFEST_LOG_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(path)
+    else:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = rows_or_df
+        os.makedirs(path, exist_ok=True)
+        table = pa.table(
+            {
+                "key": pa.array([r[0] for r in rows], pa.string()),
+                "status": pa.array([r[1] for r in rows], pa.string()),
+                "updated_at": pa.array(
+                    [r[2] for r in rows], pa.timestamp("us", tz="UTC")
+                ),
+            }
+        )
+        pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+    return rel
 
 
 def append_status(
-    spark: SparkSession, manifest_dir: str, keys: list[str], status: str | None
+    spark: SparkSession | None,
+    manifest_dir: str,
+    keys: list[str],
+    status: str | None,
 ) -> None:
     """Record a status transition for each key (append-only; K8). One
-    call = one commit = one new readable version."""
+    call = one commit = one new readable version. Safe under CONCURRENT
+    writers (see the commit-protocol note above); with ``spark=None`` the
+    rows are staged driver-side via pyarrow."""
     now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     rows = [(k, status, now) for k in keys]
     if not rows:
         return
-    versions = _versions(manifest_dir)
-    v = versions[-1] + 1 if versions else 0
-    spark.createDataFrame(rows, MANIFEST_LOG_SCHEMA).write.mode(
-        "overwrite"  # clobbers an invisible orphan from a crashed commit
-    ).parquet(_data_path(manifest_dir, v))
-    _commit(manifest_dir, v, "append")
+    rel = _stage_rows(spark, manifest_dir, rows)
+    _claim_commit(manifest_dir, "append", rel)
 
 
 def clear_status(spark: SparkSession, manifest_dir: str, keys: list[str]) -> None:
@@ -138,22 +233,48 @@ def clear_status(spark: SparkSession, manifest_dir: str, keys: list[str]) -> Non
     append_status(spark, manifest_dir, keys, None)
 
 
+def _log_paths(manifest_dir: str, version: int) -> list[str]:
+    """Data dirs a reader at ``version`` must union: the snapshot ≤
+    version with the HIGHEST base (its rows cover every commit ≤ base),
+    plus every append commit in (base, version]. Keying on the
+    snapshot's ``base`` — the head its compactor actually read — rather
+    than its commit number is what makes a racing compactor harmless: an
+    append that claimed a number after base but before the snapshot's
+    own number is outside the snapshot's coverage and stays in the
+    reader's union. Older snapshots in range are strict subsets of this
+    set and are skipped."""
+    versions = [v for v in _versions(manifest_dir) if v <= version]
+    if not versions:
+        return []
+    entries = {v: _read_entry(manifest_dir, v) for v in versions}
+    snaps = [
+        (e.get("base", v - 1), v)
+        for v, e in entries.items()
+        if e["action"] == "snapshot"
+    ]
+    if snaps:
+        base, sv = max(snaps)
+        keep = [sv] + [
+            v
+            for v, e in entries.items()
+            if v > base and e["action"] == "append"
+        ]
+    else:
+        keep = versions
+    return [
+        _entry_data_path(manifest_dir, v, entries[v]) for v in sorted(set(keep))
+    ]
+
+
 def _log_frame(
     spark: SparkSession, manifest_dir: str, version: int
 ) -> DataFrame:
-    """The raw transition log visible at ``version``: data dirs from the
-    latest snapshot ≤ version through version (a snapshot supersedes all
-    earlier commits — that's what makes compaction O(live keys) to read
-    while leaving history untouched)."""
-    versions = [v for v in _versions(manifest_dir) if v <= version]
-    if not versions:
+    """The raw transition log visible at ``version`` (see ``_log_paths``
+    for the snapshot/append resolution — that's what makes compaction
+    O(live keys) to read while leaving history untouched)."""
+    paths = _log_paths(manifest_dir, version)
+    if not paths:
         return spark.createDataFrame([], MANIFEST_LOG_SCHEMA)
-    base = versions[0]
-    for v in reversed(versions):
-        if _read_entry(manifest_dir, v)["action"] == "snapshot":
-            base = v
-            break
-    paths = [_data_path(manifest_dir, v) for v in versions if v >= base]
     return spark.read.schema(MANIFEST_LOG_SCHEMA).parquet(*paths)
 
 
@@ -201,40 +322,90 @@ def manifest_at(
     return _last_writer_wins(log)
 
 
-def compact_manifest(spark: SparkSession, manifest_dir: str) -> None:
+def compact_manifest(
+    spark: SparkSession | None, manifest_dir: str
+) -> None:
     """Write the one-row-per-key snapshot as the next commit (run when
     the log gets long). Readers at older versions are untouched — their
-    data dirs remain until ``vacuum_manifest``; readers that list the log
-    after the commit rename resolve the snapshot and skip history."""
+    data dirs remain until ``vacuum_manifest``. Race-safe against
+    concurrent appenders: the entry records ``base`` = the head version
+    this compactor actually read, so an append that claims a number
+    between base and the snapshot's own number stays visible (see
+    ``_log_paths``). With ``spark=None`` the last-writer-wins fold runs
+    driver-side over pyarrow — the snapshot is one row per live key."""
     versions = _versions(manifest_dir)
     if not versions:
         return
     head = versions[-1]
-    v = head + 1
-    current_manifest(spark, manifest_dir).write.mode("overwrite").parquet(
-        _data_path(manifest_dir, v)
+    if spark is not None:
+        rel = _stage_rows(
+            spark, manifest_dir, current_manifest(spark, manifest_dir)
+        )
+    else:
+        pdf = _read_log_arrow(_log_paths(manifest_dir, head)).to_pandas()
+        pdf = (
+            pdf.sort_values("updated_at", kind="mergesort")
+            .drop_duplicates("key", keep="last")
+        )
+        rows = [
+            (r.key, None if _isna(r.status) else r.status,
+             r.updated_at.to_pydatetime().replace(tzinfo=None))
+            for r in pdf.itertuples()
+        ]
+        rel = _stage_rows(None, manifest_dir, rows)
+    _claim_commit(manifest_dir, "snapshot", rel, base=head)
+
+
+def _isna(x) -> bool:
+    import pandas as pd
+
+    return x is None or (isinstance(x, float) and pd.isna(x))
+
+
+def _read_log_arrow(data_dirs: list[str]):
+    """Union the parquet part-files under commit data dirs into one arrow
+    table (driver-side twin of the Spark multi-path read — works on both
+    pyarrow-staged and Spark-written commits)."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files: list[str] = []
+    for d in data_dirs:
+        files.extend(sorted(_glob.glob(os.path.join(d, "*.parquet"))))
+    return pa.concat_tables(
+        [pq.read_table(f) for f in files], promote_options="permissive"
     )
-    _commit(manifest_dir, v, "snapshot")
 
 
 def vacuum_manifest(manifest_dir: str, keep: int = 2) -> None:
     """Reclaim commits no reader inside the retention window can need:
-    keep the newest ``keep`` versions readable; everything below the
-    newest snapshot at-or-below that window goes (data dir + log entry).
-    Run when no reader predates the retained window — the same contract
-    as Delta VACUUM."""
+    keep the newest ``keep`` versions readable; everything at-or-below
+    the retained snapshot's BASE goes (data dir + log entry) — by
+    ``_log_paths`` no reader at a retained version can resolve to those
+    commits. Run when no reader predates the retained window — the same
+    contract as Delta VACUUM."""
     versions = _versions(manifest_dir)
     if not versions:
         return
     cutoff = versions[-1] - max(1, keep) + 1  # oldest version kept readable
-    base = versions[0]
-    for v in reversed(versions):
-        if v <= cutoff and _read_entry(manifest_dir, v)["action"] == "snapshot":
-            base = v
-            break
+    snaps = []
     for v in versions:
-        if v < base:
-            shutil.rmtree(_data_path(manifest_dir, v), ignore_errors=True)
+        if v > cutoff:
+            continue
+        e = _read_entry(manifest_dir, v)
+        if e["action"] == "snapshot":
+            snaps.append((e.get("base", v - 1), v))
+    if not snaps:
+        return
+    base, _sv = max(snaps)
+    for v in versions:
+        if v <= base:
+            e = _read_entry(manifest_dir, v)
+            shutil.rmtree(
+                _entry_data_path(manifest_dir, v, e), ignore_errors=True
+            )
             try:
                 os.remove(os.path.join(_log_dir(manifest_dir), f"{v:08d}.json"))
             except FileNotFoundError:
@@ -313,6 +484,61 @@ def run_available_now(
 
     q = (
         stream.writeStream.foreachBatch(_fb)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
+def zonemap_maintaining_sink(
+    spark: SparkSession,
+    lake_path: str,
+    zonemap_dir: str,
+    cols: list[str],
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body that keeps the lake's skip index CURRENT: append
+    the micro-batch to ``lake_path``, then incrementally fold the new
+    files' per-file min/max into the persisted zone map
+    (operators/layout.zonemap_refresh — stats only the files this tick
+    added, never re-opens the lake).
+
+    This closes the gap between the batch-built ``zonemap_stats`` and a
+    continuously-ingesting lake: without commit-time maintenance the skip
+    index silently stales and pruned reads lose rows. Replay-safe the
+    same way the rollup/CMS folds are: the data append may duplicate rows
+    under foreachBatch's at-least-once contract only if the batch write
+    itself is replayed after success (same exposure as any parquet-append
+    sink); the zone-map fold is fully idempotent (per-file stats are
+    deterministic, presence-checked, deduped on read).
+    """
+    from ..operators.layout import zonemap_refresh
+
+    def _fb(batch: DataFrame, _epoch: int) -> None:
+        batch.write.mode("append").parquet(lake_path)
+        zonemap_refresh(spark, lake_path, zonemap_dir, cols)
+
+    return _fb
+
+
+def run_zonemap_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    lake_path: str,
+    zonemap_dir: str,
+    cols: list[str],
+    checkpoint_dir: str,
+    timeout_s: int = 300,
+) -> None:
+    """One availableNow tick of a zone-map-maintaining ingestion: every
+    unseen input row lands in ``lake_path`` AND its file's min/max lands
+    in the persisted zone map, so ``layout.zonemap_pruned_read`` over
+    ``layout.load_zonemap`` stays correct between ticks without a batch
+    rebuild."""
+    q = (
+        source.writeStream.foreachBatch(
+            zonemap_maintaining_sink(spark, lake_path, zonemap_dir, cols)
+        )
         .trigger(availableNow=True)
         .option("checkpointLocation", checkpoint_dir)
         .start()

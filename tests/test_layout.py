@@ -285,3 +285,63 @@ def test_write_range_sorted_files_have_disjoint_ranges(spark, tmp_path):
     # and the zonemap reader sees the same pruning opportunity
     zm = zonemap_stats(spark, path, ["k"]).collect()
     assert len(zm) == len(spans)
+
+
+def test_streaming_zonemap_matches_batch_rebuild(spark, tmp_path):
+    """Two availableNow ticks through the zone-map-maintaining sink: the
+    persisted incremental map equals a from-scratch zonemap_stats rebuild,
+    and the pruned read over it stays identical to the plain filtered
+    read (the round-5 'skip index stays current as ticks land' contract)."""
+    import json
+    import os
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.streaming import (
+        pipeline,
+    )
+
+    src = str(tmp_path / "src")
+    lake = str(tmp_path / "lake")
+    zm_dir = str(tmp_path / "zm")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+
+    def _w(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for k, v in rows:
+                f.write(json.dumps({"k": k, "v": v}) + "\n")
+
+    def _tick():
+        stream = spark.readStream.schema("k long, v double").json(src)
+        pipeline.run_zonemap_stream(
+            spark, stream, lake, zm_dir, ["k", "v"], ck
+        )
+
+    _w("t1.json", [(1, 10.0), (2, 20.0), (50, 500.0)])
+    _tick()
+    _w("t2.json", [(3, 30.0), (60, 600.0), (70, None)])
+    _tick()
+
+    def _norm(df):
+        return {
+            (layout._norm_file(r.file), r.n_rows, r.min_k, r.max_k,
+             r.nulls_k, r.min_v, r.max_v, r.nulls_v)
+            for r in df.collect()
+        }
+
+    inc = layout.load_zonemap(spark, zm_dir)
+    rebuilt = layout.zonemap_stats(spark, lake, ["k", "v"])
+    assert _norm(inc) == _norm(rebuilt)
+    assert inc.count() >= 2  # at least one file per tick
+
+    # pruned read parity through the incrementally-maintained map
+    ranges = {"k": (1, 3), "v": (5.0, 40.0)}
+    pruned = layout.zonemap_pruned_read(spark, lake, ranges, inc)
+    plain = (
+        spark.read.parquet(lake)
+        .filter(F.col("k").between(1, 3) & F.col("v").between(5.0, 40.0))
+    )
+    assert sorted((r.k, r.v) for r in pruned.collect()) == sorted(
+        (r.k, r.v) for r in plain.collect()
+    )
+    # second refresh with nothing new is a no-op (idempotent fold)
+    assert layout.zonemap_refresh(spark, lake, zm_dir, ["k", "v"]) == 0

@@ -25,7 +25,7 @@ def test_manifest_last_writer_wins(spark, tmp_path):
     assert got["k1"] is None
     sp.compact_manifest(spark, m)
     # the snapshot commit holds one row per key
-    log = spark.read.parquet(sp._data_path(m, sp._versions(m)[-1]))
+    log = spark.read.parquet(sp.commit_data_path(m, sp._versions(m)[-1]))
     assert log.count() == 2
     got = {r.key: r.status for r in sp.current_manifest(spark, m).collect()}
     assert got == {"k1": None, "k2": "in progress"}
@@ -339,3 +339,100 @@ def test_streaming_gram_two_ticks_equals_batch(spark, tmp_path):
     assert set(streamed) == set(batch)
     for k in batch:
         assert abs(streamed[k] - batch[k]) < 1e-6
+
+
+# --- concurrent-writer torture (module-level workers for mp spawn) --------
+
+def _torture_appender(mdir: str, tag: str, n: int) -> None:
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.streaming import (
+        pipeline as sp2,
+    )
+
+    for i in range(n):
+        # shared keys k0..k6 force real last-writer-wins contention
+        sp2.append_status(None, mdir, [f"k{i % 7}", f"own-{tag}"], f"{tag}:{i}")
+
+
+def _torture_compactor(mdir: str, rounds: int) -> None:
+    import sys
+    import time as _time
+
+    sys.path.insert(0, "/root/repo")
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.streaming import (
+        pipeline as sp2,
+    )
+
+    for _ in range(rounds):
+        sp2.compact_manifest(None, mdir)
+        _time.sleep(0.02)
+
+
+def test_manifest_concurrent_writers_torture(spark, tmp_path):
+    """Two OS processes appending + one compactor racing them: every
+    commit gets a unique contiguous version, every committed version is
+    readable, no append is lost to a racing snapshot, and last-writer-wins
+    holds against a ground truth rebuilt from ALL append commits."""
+    import json
+    import multiprocessing as mp
+    import os
+
+    m = str(tmp_path / "manifest")
+    n = 30
+    ctx = mp.get_context("spawn")
+    procs = [
+        ctx.Process(target=_torture_appender, args=(m, "A", n)),
+        ctx.Process(target=_torture_appender, args=(m, "B", n)),
+        ctx.Process(target=_torture_compactor, args=(m, 6)),
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(120)
+        assert p.exitcode == 0
+
+    versions = sp._versions(m)
+    # contiguous, no double-claimed or skipped numbers
+    assert versions == list(range(len(versions)))
+    entries = {v: sp._read_entry(m, v) for v in versions}
+    appends = [v for v, e in entries.items() if e["action"] == "append"]
+    assert len(appends) == 2 * n  # no append commit lost
+
+    # every committed version resolves to complete, readable data
+    for v in versions:
+        assert sp._read_log_arrow(sp._log_paths(m, v)).num_rows > 0
+    # and the Spark reader agrees at a sample of versions incl. head
+    for v in {0, versions[len(versions) // 2], versions[-1]}:
+        sp.manifest_at(spark, m, version=v).collect()
+
+    # ground truth: LWW over the union of ALL append commits
+    rows = []
+    for v in appends:
+        t = sp._read_log_arrow([sp.commit_data_path(m, v)]).to_pandas()
+        rows.extend(
+            (r.key, r.status, r.updated_at) for r in t.itertuples()
+        )
+    best: dict = {}
+    for k, s, ts in rows:
+        best.setdefault(k, []).append((ts, s))
+    got = {
+        r.key: (r.status, r.updated_at)
+        for r in sp.current_manifest(spark, m).collect()
+    }
+    assert set(got) == set(best)
+    for k, cands in best.items():
+        t_max = max(ts for ts, _ in cands)
+        winners = {s for ts, s in cands if ts == t_max}
+        status, ts_got = got[k]
+        assert status in winners
+        assert ts_got == t_max.to_pydatetime().replace(tzinfo=None)
+
+    # a final compaction + vacuum keeps exactly the live state readable
+    sp.compact_manifest(spark, m)
+    sp.vacuum_manifest(m, keep=1)
+    after = {
+        r.key: r.status for r in sp.current_manifest(spark, m).collect()
+    }
+    assert after == {k: got[k][0] for k in got}

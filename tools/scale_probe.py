@@ -14,6 +14,11 @@ character", not an artifact:
   quadratic).
 - embeddings: ids offset per replica; vectors reused as-is. Top-k probes
   keep a FIXED query set, so candidate work grows with the corpus only.
+- events/geo fixes: ids offset per replica AND timestamps shifted by
+  i × 10 years, so spatiotemporal pairing (|dt| ≤ 1 h) across replicas is
+  impossible — colocation pair counts scale linearly. The static radius
+  join keeps its FIXED 10-query probe set, so its result grows with the
+  corpus only.
 
 Prints one JSON line: {"multiples": [...], "per_query": {name:
 {"sec": {k: t}, "exponent": e}}} where exponent = log(t_k_max / t_1) /
@@ -71,15 +76,61 @@ def replicate_embeddings(emb: DataFrame, k: int) -> DataFrame:
     return out
 
 
+def replicate_fixes(fixes: DataFrame, k: int) -> DataFrame:
+    """k replicas of GPS fixes: fresh track/fix ids, timestamps shifted a
+    decade apart per replica (cross-replica colocation within 1 h is
+    impossible → true pair count stays linear in k)."""
+    parts = [
+        fixes.select(
+            (F.col("user_id") + F.lit(i * ID_STRIDE)).alias("user_id"),
+            (F.col("event_id") + F.lit(i * ID_STRIDE)).alias("event_id"),
+            F.timestamp_add("SECOND", F.lit(i * 315_360_000), F.col("ts")).alias("ts"),
+            "lat",
+            "lon",
+        )
+        for i in range(k)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def replicate_points(pts: DataFrame, k: int) -> DataFrame:
+    """k replicas of static points (fresh ids, coordinates reused): the
+    radius probe keeps its fixed 10-query set, so work is corpus-bound."""
+    parts = [
+        pts.select(
+            (F.col("point_id") + F.lit(i * ID_STRIDE)).alias("point_id"),
+            "lat",
+            "lon",
+        )
+        for i in range(k)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def main() -> None:
     multiples = [1, 2, 5, 10]
     for a in sys.argv[1:]:
         if a.startswith("--multiples"):
             multiples = [int(x) for x in a.split("=", 1)[1].split(",")]
 
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.functions import (
+        text as T,
+    )
     from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
         dedup,
+        fuzzy,
+        geo,
+        graph,
         similarity,
+    )
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.plans.registry import (
+        _t,
     )
     from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.session import (
         get_spark,
@@ -94,11 +145,28 @@ def main() -> None:
         "vec_id", "embedding"
     )
     queries0 = emb0.filter(F.col("vec_id") < 10)
+    # GPS-shaped fixes/points derived from events exactly as the registered
+    # geo queries derive them (registry q_geo_radius_pairs /
+    # q_colocation_pairs)
+    ev0 = _t(spark, SF_DIR, "events")
+    fixes0 = ev0.select(
+        "user_id", "event_id", "ts",
+        (F.pmod(F.col("user_id"), F.lit(1200)).cast("double") / 10 - 60).alias("lat"),
+        (F.pmod(F.col("event_id"), F.lit(3400)).cast("double") / 10 - 170).alias("lon"),
+    )
+    pts0 = fixes0.select(
+        F.col("event_id").alias("point_id"), "lat", "lon"
+    )
+    geo_qs0 = pts0.filter(F.col("point_id") < 10).withColumnRenamed(
+        "point_id", "query_id"
+    )
     par = spark.sparkContext.defaultParallelism
 
     def probes(k: int) -> dict:
         docs = replicate_docs(docs0, k)
         emb = replicate_embeddings(emb0, k)
+        fixes = replicate_fixes(fixes0, k)
+        pts = replicate_points(pts0, k)
         return {
             "exact_dedup_groups": lambda: dedup.exact_dedup_groups(docs),
             "minhash_dedup_pairs": lambda: dedup.minhash_dedup_pairs(
@@ -110,6 +178,25 @@ def main() -> None:
             ),
             "brute_force_topk": lambda: similarity.brute_force_topk(
                 emb, queries0, k=5
+            ),
+            "edit_distance_pairs": lambda: fuzzy.edit_distance_pairs(
+                docs,
+                id_col="doc_id",
+                text=T.normalized(F.col("text")).substr(1, 64),
+                k=2,
+            ),
+            "near_dup_clusters": lambda: graph.connected_components(
+                dedup.minhash_dedup_pairs(
+                    docs, threshold=0.8, repartition_to=par
+                ),
+                src="id_a",
+                dst="id_b",
+            ),
+            "geo_radius_pairs": lambda: geo.geo_radius_join(
+                pts, geo_qs0, radius_km=50.0
+            ),
+            "colocation_pairs": lambda: geo.colocation_pairs(
+                fixes, radius_km=50.0, max_dt_s=3600
             ),
         }
 
