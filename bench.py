@@ -94,6 +94,11 @@ def main() -> None:
         "embedding_dup_pairs_lsh", "embedding_dup_pairs", "near_dup_clusters",
         "lsh_topk", "semantic_dedup_survivors", "edit_distance_pairs",
         "pq_topk",
+        # the ANN index contrast: IVF at the >=0.8-recall default probes a
+        # fixed FRACTION of the corpus (linear in N), HNSW beam search does
+        # O(hops*beam*degree) evals per query (flat in N; its time is the
+        # amortizable graph build)
+        "ivf_topk", "hnsw_topk",
     ]
     if os.path.isdir(lo_dir) and os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
         import math
