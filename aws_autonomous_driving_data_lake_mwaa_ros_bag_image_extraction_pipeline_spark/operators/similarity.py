@@ -1038,3 +1038,97 @@ def hnsw_topk(
         )
         .filter(F.col("rank") <= k)
     )
+
+
+def build_hnsw_index(
+    emb: DataFrame,
+    path: str,
+    degree: int = 16,
+    n_lists: int = 16,
+    n_blockings: int = 2,
+    nn_rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build and persist the graph-ANN index: ``<path>/edges`` (the
+    degree-bounded kNN graph, N·degree tiny rows) and ``<path>/vectors``
+    (the corpus — search re-scores expansions against real vectors, the
+    "flat" storage of HNSW-flat).
+
+    Like ``build_ivf_index``, the expensive part (multi-blocking NN-descent
+    construction) amortizes across every search; unlike IVF, the per-query
+    search cost is then INDEPENDENT of corpus size — the crossover that
+    makes the graph index the 100 TB serving path."""
+    graph = knn_graph(
+        emb, degree, n_lists, n_blockings, nn_rounds, id_col, vec_col
+    )
+    graph.write.mode("overwrite").parquet(f"{path}/edges")
+    emb.select(id_col, vec_col).write.mode("overwrite").parquet(
+        f"{path}/vectors"
+    )
+
+
+def search_hnsw_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    entry_pool: int = 16,
+    n_entry: int = 8,
+    beam: int = 32,
+    n_hops: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Layered beam search against a persisted graph index (see
+    ``build_hnsw_index``): same contract as ``hnsw_topk`` with
+    ``graph=``, the entry pool re-derived deterministically from the
+    persisted corpus (md5-smallest ids — includes appended vectors, so
+    the upper layer tracks the corpus without a rebuild)."""
+    edges = spark.read.parquet(f"{path}/edges")
+    vectors = spark.read.parquet(f"{path}/vectors")
+    return hnsw_topk(
+        vectors, queries, k=k,
+        entry_pool=entry_pool, n_entry=n_entry, beam=beam, n_hops=n_hops,
+        id_col=id_col, vec_col=vec_col, graph=edges,
+    )
+
+
+def append_to_hnsw_index(
+    emb: DataFrame,
+    path: str,
+    degree: int = 16,
+    entry_pool: int = 16,
+    n_entry: int = 8,
+    beam: int = 32,
+    n_hops: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally insert vectors: each new node's out-edges are its
+    top-``degree`` graph-search results against the EXISTING index (the
+    standard HNSW insert), and the REVERSE edges are appended too — without
+    them nothing would point at the new nodes and they'd be unreachable.
+    Reverse edges let old nodes exceed the degree bound until the next
+    ``build_hnsw_index`` rebuild (search cost grows with the appended
+    fraction, never correctness) — the same append-then-rebuild contract as
+    ``append_to_ivf_index``."""
+    spark = emb.sparkSession
+    found = search_hnsw_index(
+        spark, path, emb, k=degree,
+        entry_pool=entry_pool, n_entry=n_entry, beam=beam, n_hops=n_hops,
+        id_col=id_col, vec_col=vec_col,
+    ).select(
+        F.col("query_id").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+        "cosine",
+    )
+    both = found.union(
+        found.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "cosine"
+        )
+    )
+    both.write.mode("append").parquet(f"{path}/edges")
+    emb.select(id_col, vec_col).write.mode("append").parquet(
+        f"{path}/vectors"
+    )

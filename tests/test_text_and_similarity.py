@@ -555,3 +555,34 @@ def test_hnsw_topk_prebuilt_graph_matches_inline(spark):
     b = {(r.query_id, r.neighbor_id, r.rank)
          for r in similarity.hnsw_topk(emb, queries, graph=g, **kw).collect()}
     assert a == b
+
+
+def test_hnsw_index_lifecycle_and_append(spark, tmp_path):
+    """Persisted graph index: search equals the inline hnsw_topk at the
+    same params; appended vectors become REACHABLE (reverse edges point at
+    them) — an appended exact duplicate of an old vector must surface as
+    its top neighbor."""
+    vecs = _md5_vecs(40)
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "hnsw")
+    bparams = dict(degree=6, n_lists=4, n_blockings=2, nn_rounds=1)
+    sparams = dict(entry_pool=8, n_entry=3, beam=12, n_hops=2)
+    similarity.build_hnsw_index(emb, idx, **bparams)
+    queries = emb.filter("vec_id <= 2")
+    got = {(r.query_id, r.neighbor_id, r.rank) for r in
+           similarity.search_hnsw_index(spark, idx, queries, k=3, **sparams).collect()}
+    want = {(r.query_id, r.neighbor_id, r.rank) for r in
+            similarity.hnsw_topk(emb, queries, k=3, **bparams, **sparams).collect()}
+    assert got == want
+
+    # append: vec 101 duplicates vec 1 exactly
+    new = spark.createDataFrame(
+        [(101, dict(vecs)[1]), (102, dict(vecs)[7])],
+        "vec_id long, embedding array<double>",
+    )
+    similarity.append_to_hnsw_index(new, idx, degree=6, **sparams)
+    after = similarity.search_hnsw_index(
+        spark, idx, emb.filter("vec_id = 1"), k=3, **sparams
+    ).collect()
+    top = [r for r in after if r.rank == 1][0]
+    assert top.neighbor_id == 101 and top.cosine == 1.0
