@@ -186,14 +186,7 @@ def zonemap_stats(spark: SparkSession, path: str, cols: list[str]):
     df = spark.read.parquet(path).select(
         F.col("_metadata.file_path").alias("file"), *cols
     )
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in cols:
-        aggs += [
-            F.min(c).alias(f"min_{c}"),
-            F.max(c).alias(f"max_{c}"),
-            (F.count(F.lit(1)) - F.count(c)).alias(f"nulls_{c}"),
-        ]
-    return df.groupBy("file").agg(*aggs)
+    return df.groupBy("file").agg(*_zonemap_aggs(cols))
 
 
 def zonemap_candidate_files(

@@ -878,10 +878,6 @@ def knn_graph(
         .drop("__rn")
         .localCheckpoint(eager=True)
     )
-    ev = emb.select(
-        F.col(id_col).alias("__eid"), F.col(vec_col).alias("__ev"),
-        V.norm(F.col(vec_col)).alias("__en"),
-    )
     for _ in range(nn_rounds):
         fwd = graph.select("src", "dst")
         cand = (

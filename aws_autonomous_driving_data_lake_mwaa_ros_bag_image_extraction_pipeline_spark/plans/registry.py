@@ -71,10 +71,34 @@ def davg(col, alias):
 
 
 def _fx_long(col):
-    """Per-row fixed-point scaling: round(x·10⁶) as LONG — verified
-    row-for-row identical to ``CAST(x AS DECIMAL(18,6))`` on every dsum
-    input column in the test corpus (both round HALF_UP at 6 decimals)."""
-    return F.round(col * 1000000, 0).cast("long")
+    """Per-row fixed-point scaling: round(x·10⁶) as LONG, exactly equal to
+    the unscaled long of ``CAST(x AS DECIMAL(18,6))`` on EVERY input.
+
+    Plain ``round(x·1e6)`` is NOT that: the double 4.0000005 prints as
+    "4.0000005" and HALF_UPs to 4000001 under the decimal cast, but
+    4.0000005·10⁶ in double arithmetic lands just below .5 and rounds
+    DOWN — a silent 1e-6 divergence on 7th-decimal half-way values.
+    Routing every row through the decimal cast fixes that but costs ~1.5×
+    on the flagship agg, so: take the fast double path everywhere EXCEPT
+    the narrow band around .5 where the two can disagree, and evaluate
+    the decimal cast only there. The band is |frac−.5| <
+    max(1e-6, |y|·1e-13): the multiply + shortest-repr error is bounded
+    by |y|·2.3e-16 (≤0.5 ulp each), so the relative term covers it with
+    ~400× margin at any magnitude (above |x|≈5·10⁶ every row takes the
+    decimal branch — far past where the long carrier budget ends anyway),
+    while at money-like magnitudes the band admits ~0.001% of rows, so
+    the hot loop stays double-multiply + long addition."""
+    y = col * 1000000
+    frac = y - F.floor(y)
+    danger = F.abs(frac - 0.5) < F.greatest(F.lit(1e-6), F.abs(y) * 1e-13)
+    # fast path: sign-aware floor(|y|+.5) — pure double ops + a long
+    # negate, no BigDecimal (F.round on doubles goes through
+    # BigDecimal.valueOf per ROW — as expensive as the decimal cast
+    # itself). Outside the band it provably equals decimal HALF_UP.
+    fast = F.when(y >= 0, F.floor(y + 0.5)).otherwise(-F.floor(0.5 - y))
+    return F.when(
+        danger, (col.cast("decimal(18,6)") * 1000000).cast("long")
+    ).otherwise(fast)
 
 
 def _fx_out(s):

@@ -68,9 +68,10 @@ MANIFEST_LOG_SCHEMA = "key string, status string, updated_at timestamp"
 #      fully before the link).
 #
 # A crash before the link leaves an invisible uniquely-named orphan dir
-# (reclaimable by any future GC; it can never be confused with committed
-# data because nothing references it). The head version is the
-# max-numbered log entry — no mutable HEAD file to corrupt.
+# (it can never be confused with committed data because nothing
+# references it; ``vacuum_manifest`` reclaims orphans past a TTL). The
+# head version is the max-numbered log entry — no mutable HEAD file to
+# corrupt.
 #
 # An "append" commit adds rows. A "snapshot" commit (compaction) holds
 # the full last-writer-wins state through its ``base`` version — the head
@@ -365,7 +366,14 @@ def _isna(x) -> bool:
 def _read_log_arrow(data_dirs: list[str]):
     """Union the parquet part-files under commit data dirs into one arrow
     table (driver-side twin of the Spark multi-path read — works on both
-    pyarrow-staged and Spark-written commits)."""
+    pyarrow-staged and Spark-written commits).
+
+    Timestamp columns are normalized to naive microseconds before the
+    concat: Spark-written commits read back as timestamp[ns] naive (UTC
+    wall time under the pinned UTC session), pyarrow-staged commits as
+    timestamp[us, tz=UTC] — the same instant, but arrow refuses to merge
+    tz-aware with naive, so a log mixing Spark and non-Spark writers
+    would crash the driver-side compactor without this cast."""
     import glob as _glob
 
     import pyarrow as pa
@@ -374,40 +382,94 @@ def _read_log_arrow(data_dirs: list[str]):
     files: list[str] = []
     for d in data_dirs:
         files.extend(sorted(_glob.glob(os.path.join(d, "*.parquet"))))
-    return pa.concat_tables(
-        [pq.read_table(f) for f in files], promote_options="permissive"
-    )
+    tables = []
+    for f in files:
+        t = pq.read_table(f)
+        schema = t.schema
+        for i, field in enumerate(schema):
+            if pa.types.is_timestamp(field.type):
+                t = t.set_column(
+                    i,
+                    field.name,
+                    t.column(i).cast(pa.timestamp("us")),
+                )
+        tables.append(t)
+    return pa.concat_tables(tables, promote_options="permissive")
 
 
-def vacuum_manifest(manifest_dir: str, keep: int = 2) -> None:
+def vacuum_manifest(
+    manifest_dir: str, keep: int = 2, orphan_ttl_s: float = 24 * 3600
+) -> None:
     """Reclaim commits no reader inside the retention window can need:
     keep the newest ``keep`` versions readable; everything at-or-below
     the retained snapshot's BASE goes (data dir + log entry) — by
     ``_log_paths`` no reader at a retained version can resolve to those
     commits. Run when no reader predates the retained window — the same
-    contract as Delta VACUUM."""
+    contract as Delta VACUUM.
+
+    Also garbage-collects ORPHANS: uuid-named staging dirs (and log temp
+    files) left by a writer that crashed between staging and claiming.
+    Nothing references them, so they'd otherwise accumulate forever in a
+    long-running multi-writer deployment. Only orphans older than
+    ``orphan_ttl_s`` are removed — an in-flight writer stages then claims
+    within seconds, so the TTL (Delta's deleted-file retention analogue)
+    makes reclaiming safe against concurrent commits."""
     versions = _versions(manifest_dir)
     if not versions:
         return
     cutoff = versions[-1] - max(1, keep) + 1  # oldest version kept readable
+    entries = {v: _read_entry(manifest_dir, v) for v in versions}
     snaps = []
-    for v in versions:
+    for v, e in entries.items():
         if v > cutoff:
             continue
-        e = _read_entry(manifest_dir, v)
         if e["action"] == "snapshot":
             snaps.append((e.get("base", v - 1), v))
-    if not snaps:
-        return
-    base, _sv = max(snaps)
-    for v in versions:
-        if v <= base:
-            e = _read_entry(manifest_dir, v)
-            shutil.rmtree(
-                _entry_data_path(manifest_dir, v, e), ignore_errors=True
-            )
+    if snaps:
+        base, _sv = max(snaps)
+        for v in versions:
+            if v <= base:
+                shutil.rmtree(
+                    _entry_data_path(manifest_dir, v, entries[v]),
+                    ignore_errors=True,
+                )
+                try:
+                    os.remove(
+                        os.path.join(_log_dir(manifest_dir), f"{v:08d}.json")
+                    )
+                except FileNotFoundError:
+                    pass
+
+    # Orphan GC (runs even when no snapshot is old enough to advance the
+    # base): anything under data/ not referenced by a surviving log entry,
+    # plus .tmp-*.json claim temps, older than the TTL.
+    import time as _time
+
+    now = _time.time()
+    referenced = {
+        os.path.normpath(_entry_data_path(manifest_dir, v, e))
+        for v, e in entries.items()
+    }
+    data_root = os.path.join(manifest_dir, "data")
+    if os.path.isdir(data_root):
+        for name in os.listdir(data_root):
+            p = os.path.join(data_root, name)
+            if os.path.normpath(p) in referenced:
+                continue
             try:
-                os.remove(os.path.join(_log_dir(manifest_dir), f"{v:08d}.json"))
+                if now - os.path.getmtime(p) >= orphan_ttl_s:
+                    shutil.rmtree(p, ignore_errors=True)
+            except FileNotFoundError:
+                pass
+    log = _log_dir(manifest_dir)
+    if os.path.isdir(log):
+        for name in os.listdir(log):
+            if not name.startswith(".tmp-"):
+                continue
+            p = os.path.join(log, name)
+            try:
+                if now - os.path.getmtime(p) >= orphan_ttl_s:
+                    os.remove(p)
             except FileNotFoundError:
                 pass
 

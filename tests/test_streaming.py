@@ -343,10 +343,17 @@ def test_streaming_gram_two_ticks_equals_batch(spark, tmp_path):
 
 # --- concurrent-writer torture (module-level workers for mp spawn) --------
 
+import os as _os
+
+# repo root derived from this file, not hardcoded — the spawn-context
+# workers must import the package from THIS checkout wherever it lives
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+
+
 def _torture_appender(mdir: str, tag: str, n: int) -> None:
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, _REPO_ROOT)
     from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.streaming import (
         pipeline as sp2,
     )
@@ -360,7 +367,7 @@ def _torture_compactor(mdir: str, rounds: int) -> None:
     import sys
     import time as _time
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, _REPO_ROOT)
     from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.streaming import (
         pipeline as sp2,
     )
@@ -436,3 +443,76 @@ def test_manifest_concurrent_writers_torture(spark, tmp_path):
         r.key: r.status for r in sp.current_manifest(spark, m).collect()
     }
     assert after == {k: got[k][0] for k in got}
+
+def test_manifest_mixed_writer_compaction(spark, tmp_path):
+    """A log that mixes Spark-written and pyarrow-staged commits must be
+    readable and compactable by BOTH engines: Spark parquet timestamps
+    read back as naive ns, the driver-side staging writes tz-aware us —
+    _read_log_arrow normalizes before the concat (regression: the
+    driver-side compactor crashed with ArrowTypeError on exactly the
+    deployment the spark=None API exists for)."""
+    m = str(tmp_path / "manifest")
+    sp.append_status(spark, m, ["k1", "k2"], "started")  # Spark writer
+    sp.append_status(None, m, ["k2"], "done")  # non-Spark orchestrator
+
+    # driver-side (no-JVM) compaction over the mixed log
+    sp.compact_manifest(None, m)
+    want = {"k1": "started", "k2": "done"}
+    got = {r.key: r.status for r in sp.current_manifest(spark, m).collect()}
+    assert got == want
+
+    # keep mixing after the snapshot; Spark-side compaction of the mix
+    sp.append_status(spark, m, ["k3"], "started")
+    sp.compact_manifest(spark, m)
+    sp.append_status(None, m, ["k1"], "done")
+    want = {"k1": "done", "k2": "done", "k3": "started"}
+    got = {r.key: r.status for r in sp.current_manifest(spark, m).collect()}
+    assert got == want
+    # arrow reader agrees at head (mixed snapshot + arrow append)
+    t = sp._read_log_arrow(
+        sp._log_paths(m, sp._versions(m)[-1])
+    ).to_pandas()
+    arrow_lww = (
+        t.sort_values("updated_at", kind="mergesort")
+        .drop_duplicates("key", keep="last")
+    )
+    assert {
+        r.key: (None if r.status != r.status else r.status)
+        for r in arrow_lww.itertuples()
+    } == want
+
+
+def test_vacuum_reclaims_orphans(tmp_path):
+    """Crashed commits (staged data dir / claim temp, never linked) are
+    reclaimed by vacuum once older than the TTL; fresh orphans and every
+    referenced commit dir survive."""
+    import os
+    import time
+
+    m = str(tmp_path / "manifest")
+    sp.append_status(None, m, ["k1"], "started")
+    sp.append_status(None, m, ["k1"], "done")
+
+    old_orphan = os.path.join(m, "data", "c-deadbeefdeadbeef")
+    os.makedirs(old_orphan)
+    new_orphan = os.path.join(m, "data", "c-cafebabecafebabe")
+    os.makedirs(new_orphan)
+    old_tmp = os.path.join(sp._log_dir(m), ".tmp-crashed.json")
+    with open(old_tmp, "w") as f:
+        f.write("{}")
+    past = time.time() - 7 * 24 * 3600
+    os.utime(old_orphan, (past, past))
+    os.utime(old_tmp, (past, past))
+
+    sp.vacuum_manifest(m, keep=2)  # default 24h TTL
+    assert not os.path.exists(old_orphan)
+    assert not os.path.exists(old_tmp)
+    assert os.path.exists(new_orphan)  # inside TTL: could be in-flight
+    # both committed versions still fully readable
+    for v in sp._versions(m):
+        assert sp._read_log_arrow(sp._log_paths(m, v)).num_rows > 0
+    # ttl=0 reclaims the rest
+    sp.vacuum_manifest(m, keep=2, orphan_ttl_s=0.0)
+    assert not os.path.exists(new_orphan)
+    for v in sp._versions(m):
+        assert sp._read_log_arrow(sp._log_paths(m, v)).num_rows > 0
