@@ -35,14 +35,19 @@ def avg_token_len(text: Column) -> Column:
 def stopword_ratio(text: Column) -> Column:
     toks = tokens(F.lower(text))
     hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
-    return hits / F.size(toks)
+    # token-less text has ratio 0 (an unguarded 0/0 aborts the job under
+    # ANSI mode); NULL text stays NULL
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits / n)
 
 
 def punct_ratio(text: Column) -> Column:
-    """Fraction of characters that are not alphanumeric / whitespace."""
+    """Fraction of characters that are not alphanumeric / whitespace.
+    Empty text → 0.0 (an unguarded 0/0 aborts the job under ANSI mode);
+    NULL text stays NULL."""
     total = F.length(text)
     clean = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
-    return clean / total
+    return F.when(total == 0, F.lit(0.0)).otherwise(clean / total)
 
 
 def normalized(text: Column) -> Column:

@@ -424,6 +424,11 @@ def distinctive_terms(
     in the last ulp); ties break on the token. WindowGroupLimit bounds the
     final per-group sort at k.
     """
+    # NULL groups are excluded up front: groupBy would keep them as a
+    # document-frequency group while countDistinct drops them, letting
+    # df exceed n_groups (negative tfidf for corpus-wide tokens) and
+    # giving the NULL group its own ranked rows.
+    docs = docs.filter(F.col(group_col).isNotNull())
     tok = docs.select(
         F.col(group_col),
         F.explode(T.tokens(F.lower(F.col(text_col)))).alias("token"),
@@ -675,13 +680,16 @@ def contrastive_negatives(
         16,
         10,
     ).cast("bigint")
+    # a single-document corpus has no other document to draw from: emit
+    # no negatives (the unguarded pmod(hv, 0) aborts the job under ANSI)
     draw = F.pmod(hv, F.col("__n") - 1) + 1
     pos = draw + F.when(draw >= F.col("__seq"), 1).otherwise(0)
     lookup = seq.select(
         F.col("__seq").alias("__pos"), F.col(id_col).alias("negative_id")
     )
     return (
-        fan.withColumn("__pos", pos)
+        fan.filter(F.col("__n") > 1)
+        .withColumn("__pos", pos)
         .join(lookup, "__pos")
         .select("anchor_id", "neg_rank", "negative_id")
     )

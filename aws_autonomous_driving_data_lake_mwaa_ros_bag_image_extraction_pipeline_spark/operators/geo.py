@@ -58,6 +58,32 @@ def geo_cell(lat: Column, lon: Column, cell_deg: float) -> Column:
     return (cy * F.lit(rows_per_band) + cx).cast("bigint")
 
 
+def checked_lat(lat: Column, max_abs_lat: float) -> Column:
+    """``lat``, with an IN-PLAN guard: a row whose |lat| exceeds the
+    ``max_abs_lat`` the cell size was derived from fails the job loudly
+    instead of silently vanishing from the candidate ring (beyond the
+    bound the one-cell-step longitude guarantee breaks, so the blocked
+    join would return a silent SUBSET — the worst failure mode). A plain
+    codegen comparison per row, no extra scan. NULL latitudes pass
+    through: their cell key is NULL and the equi-join excludes them, the
+    same complete-cases convention as the rest of the engine."""
+    return F.when(
+        (F.abs(lat) <= F.lit(max_abs_lat)) | lat.isNull(),
+        lat,
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"latitude outside +/-{max_abs_lat} deg: the grid cell "
+                    "size is only radius-covering up to max_abs_lat; rerun "
+                    "with a larger max_abs_lat (coarser grid): lat="
+                ),
+                lat.cast("string"),
+            )
+        )
+    )
+
+
 def radius_cell_deg(radius_km: float, max_abs_lat: float = 60.0) -> float:
     """Smallest safe cell size (degrees) such that any two points within
     ``radius_km`` are in the same or an adjacent cell, for data with
@@ -93,13 +119,21 @@ def geo_radius_join(
         F.col(point_id).alias("__pid"),
         F.col(lat_col).alias("__plat"),
         F.col(lon_col).alias("__plon"),
-        geo_cell(F.col(lat_col), F.col(lon_col), cell_deg).alias("__cell"),
+        geo_cell(
+            checked_lat(F.col(lat_col), max_abs_lat),
+            F.col(lon_col),
+            cell_deg,
+        ).alias("__cell"),
     )
     q = queries.select(
         F.col(query_id).alias("__qid"),
         F.col(lat_col).alias("__qlat"),
         F.col(lon_col).alias("__qlon"),
-        geo_cell(F.col(lat_col), F.col(lon_col), cell_deg).alias("__c0"),
+        geo_cell(
+            checked_lat(F.col(lat_col), max_abs_lat),
+            F.col(lon_col),
+            cell_deg,
+        ).alias("__c0"),
     )
     ring = [
         dy * rows_per_band + dx for dy in (-1, 0, 1) for dx in (-1, 0, 1)
@@ -161,7 +195,11 @@ def colocation_pairs(
         ms.alias("__ms"),
         F.col(lat_col).alias("__lat"),
         F.col(lon_col).alias("__lon"),
-        geo_cell(F.col(lat_col), F.col(lon_col), cell_deg).alias("__c0"),
+        geo_cell(
+            checked_lat(F.col(lat_col), max_abs_lat),
+            F.col(lon_col),
+            cell_deg,
+        ).alias("__c0"),
         F.floor(ms / F.lit(max_dt_s * 1000)).alias("__b0"),
     )
     idx = base.select(

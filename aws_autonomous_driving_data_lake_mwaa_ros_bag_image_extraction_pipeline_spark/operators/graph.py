@@ -79,9 +79,15 @@ def connected_components(
 
     Pass ``stats={}`` to get ``stats["rounds"]`` back — the observed
     round count (adversarial-topology tests assert the O(log n) bound).
+
+    Edges with a NULL endpoint are excluded (explicitly — the inequality
+    predicate would drop them anyway, but silently): an edge to an
+    unknown node connects nothing, and its non-NULL endpoint appears in
+    the output only if some complete edge mentions it.
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .where(F.col("u") != F.col("v"))
         .distinct()
         # materialize once: the input is typically an expensive detector plan
@@ -178,8 +184,16 @@ def pagerank(
     centrality.
     """
     w = F.col(weight) if weight else F.lit(1.0)
+    # drop NULL-endpoint edges and non-positive/NULL weights: a weight
+    # that can't carry probability mass contributes nothing, and a src
+    # whose weights sum to 0 would make the out-normalization divide by
+    # zero (a job abort under ANSI mode)
     e = edges.select(
         F.col(src).alias("__s"), F.col(dst).alias("__d"), w.alias("__w")
+    ).filter(
+        F.col("__s").isNotNull()
+        & F.col("__d").isNotNull()
+        & (F.col("__w") > 0)
     )
     nodes = (
         e.select(F.col("__s").alias("node"))

@@ -26,6 +26,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def complete_cases(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Rows with a usable vector: non-NULL and no NULL elements.
+
+    The whole family (Gram, PCA, Mahalanobis) uses COMPLETE-CASE
+    semantics — a NULL vector would crash the numpy batch conversion and
+    a NULL element would silently poison every Gram cell it touches with
+    NaN, so incomplete rows are excluded up front, and every count/mean
+    in the family is taken over the SAME filtered set (a sum that skips
+    NULLs divided by a count that doesn't would bias the mean low)."""
+    return emb.filter(
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    )
+
+
 def gram_matrix(
     emb: DataFrame,
     vec_col: str = "embedding",
@@ -37,8 +52,10 @@ def gram_matrix(
     One mapInPandas pass (numpy matmul per Arrow batch → d·(d+1)/2 partial
     cells) + one sum by cell. Batch-local accumulation is float64; the
     cross-batch sum is decimal, so the result is independent of
-    partitioning and execution order.
+    partitioning and execution order. Incomplete rows (NULL vector or
+    NULL element) are excluded — see ``complete_cases``.
     """
+    emb = complete_cases(emb, vec_col)
     iu = np.triu_indices(dim)
 
     def _partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -90,14 +107,19 @@ def pca_top_component(
     for r in cells:
         g[r.i, r.j] = r.v
         g[r.j, r.i] = r.v
-    n_vectors = emb.count()
+    n_vectors = complete_cases(emb, vec_col).count()
     v = np.ones(dim) / np.sqrt(dim)  # deterministic start
     lam = 0.0
     for _ in range(iterations):
         w = g @ v
         lam = float(np.linalg.norm(w))
+        if lam == 0.0:
+            break  # zero Gram (empty/all-zero input): v is a unit vector
+            # in the null space — a valid eigenvector with eigenvalue 0
         v = w / lam
-    residual = float(np.linalg.norm(g @ v - lam * v) / lam)
+    residual = (
+        float(np.linalg.norm(g @ v - lam * v) / lam) if lam else 0.0
+    )
     return v, lam, {
         "trace": float(np.trace(g)),
         "residual": residual,
@@ -121,7 +143,6 @@ def project_embeddings(
     whole-stage codegen, no Python in the row path, no join. Appends
     ``out_col`` (array<double>, length k).
     """
-    k = len(components)
     comps = [
         F.array(*[F.lit(float(x)) for x in row]) for row in components
     ]
@@ -133,15 +154,18 @@ def project_embeddings(
             lambda acc, v: acc + v,
         )
 
-    return emb.withColumn(out_col, F.array(*[dot(c) for c in comps[:k]]))
+    return emb.withColumn(out_col, F.array(*[dot(c) for c in comps]))
 
 
 def mean_vector(
     emb: DataFrame, vec_col: str = "embedding", dim: int = 64
 ) -> "np.ndarray":
     """Per-dimension mean as a numpy vector: one posexplode aggregation
-    (decimal-exact sums), collected as d rows."""
-    long = emb.select(F.posexplode(vec_col).alias("pos", "val"))
+    (decimal-exact sums), collected as d rows. Complete cases only, so
+    the per-dimension sum and the row count cover the same rows."""
+    long = complete_cases(emb, vec_col).select(
+        F.posexplode(vec_col).alias("pos", "val")
+    )
     rows = (
         long.groupBy("pos")
         .agg(
@@ -183,23 +207,38 @@ def pca_components(
     for r in cells:
         g[r.i, r.j] = r.v
         g[r.j, r.i] = r.v
-    n = emb.count()
+    n = complete_cases(emb, vec_col).count()
     if center:
         mu = mean_vector(emb, vec_col, dim)
         g = g - n * np.outer(mu, mu)
     trace = float(np.trace(g))
+    # numerical rank tolerance: below this, ||Gv|| is deflation/rounding
+    # noise whose DIRECTION is garbage (it can land parallel to an
+    # extracted component) — stop iterating and keep the orthonormal
+    # pre-iteration vector as an eigenvalue-0 component instead
+    tol = 1e-12 * max(abs(trace), 1.0)
     comps, lams = [], []
     for _ in range(k):
         v = np.ones(dim) / np.sqrt(dim)
         for c in comps:  # start orthogonal to what's already extracted
             v -= (v @ c) * c
-        v /= np.linalg.norm(v)
+        nv = float(np.linalg.norm(v))
+        if nv < 1e-9:  # start vector lies in span(comps): pick any
+            v = np.zeros(dim)  # orthonormal completion deterministically
+            v[len(comps) % dim] = 1.0
+            for c in comps:
+                v -= (v @ c) * c
+            nv = float(np.linalg.norm(v))
+        v /= nv
         lam = 0.0
         for _ in range(iterations):
             w = g @ v
             for c in comps:
                 w -= (w @ c) * c
             lam = float(np.linalg.norm(w))
+            if lam <= tol:
+                lam = 0.0  # rank exhausted: keep v — orthonormal to
+                break  # prior comps and in the numerical null space
             v = w / lam
         comps.append(v)
         lams.append(lam)
@@ -230,6 +269,7 @@ def mahalanobis_scores(
     literals — the same JVM-side fold as ``project_embeddings``, so the
     scoring pass has no Python in the row path. Two data passes total.
     """
+    emb = complete_cases(emb, vec_col)  # incomplete rows can't be scored
     cells = gram_matrix(emb, vec_col, dim).collect()
     g = np.zeros((dim, dim))
     for r in cells:

@@ -50,7 +50,12 @@ def align_series(
 
     Returns (key_col, grid_ts, <one column per series>). The grid spans
     floor(min(ts)) .. max(ts) over ALL the key's series combined.
+    Events with a NULL timestamp are excluded — they have no position on
+    the time axis, and under the window's NULLS-FIRST ordering they
+    would forward-fill into the leading grid points the contract says
+    are NULL.
     """
+    df = df.filter(F.col(ts_col).isNotNull())
     step = int(step_seconds)
     bounds = df.groupBy(key_col).agg(
         F.timestamp_seconds(
@@ -125,8 +130,11 @@ def resample_ffill(
     event — the floor-aligned leading point may precede all observations,
     as in pandas ``asfreq().ffill()``).
 
-    Returns (key_col, grid_ts, value_col).
+    Returns (key_col, grid_ts, value_col). NULL-timestamp events are
+    excluded (no position on the time axis; NULLS-FIRST ordering would
+    otherwise fill them into the leading grid points).
     """
+    df = df.filter(F.col(ts_col).isNotNull())
     step = int(step_seconds)
     bounds = df.groupBy(key_col).agg(
         F.timestamp_seconds(
@@ -204,7 +212,18 @@ def resample_interpolate(
     BOTH neighbors come from the one sorted pass (last-non-null looking
     back, first-non-null looking forward) — not a join against the
     events per grid point. Returns (key_col, grid_ts, value_col).
+
+    Events with a NULL timestamp OR a NULL value are excluded: the
+    neighbor (value, time) pair comes from two independent ignorenulls
+    windows, so a NULL-valued event would advance the neighbor TIME
+    without its VALUE and silently desynchronize the interpolation
+    (e.g. pairing v from t=0 with t of the NULL event). An observation
+    with no value contributes nothing to interpolation, including to the
+    grid bounds.
     """
+    df = df.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    )
     step = int(step_seconds)
     bounds = df.groupBy(key_col).agg(
         F.timestamp_seconds(

@@ -54,7 +54,10 @@ def bm25_topk(
         return F.size(F.filter(F.col("__toks"), lambda x: x == F.lit(term)))
 
     tf_cols = [_tf(t).alias(f"__tf{i}") for i, t in enumerate(query_terms)]
-    per_doc = docs.select(
+    # NULL-text docs are excluded: they can't match any query term, but
+    # left in they'd count toward N while contributing NULL to __sumdl,
+    # deflating avgdl and shifting every real document's score.
+    per_doc = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         T.tokens(F.lower(F.col(text_col))).alias("__toks"),
     ).select(

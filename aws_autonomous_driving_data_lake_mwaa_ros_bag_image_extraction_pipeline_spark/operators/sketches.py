@@ -30,9 +30,19 @@ def kmv_distinct(
 
     Output: (group, n_kept, est_distinct). ``est_distinct`` is exact when
     the group has < k distinct values.
+
+    NULL values are excluded (COUNT(DISTINCT) semantics) — without the
+    filter, md5_long(NULL)=NULL ranks FIRST under Spark's ascending
+    window and both inflates small groups by one and evicts a real hash
+    from saturated ones (and DuckDB's NULLS-LAST default would order the
+    kept set differently, breaking the oracle replay).
     """
     h = (H.md5_long(F.col(value_col)) / F.lit(TWO_POW_60)).alias("h")
-    hashes = df.select(F.col(group_col), h).distinct()
+    hashes = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col), h)
+        .distinct()
+    )
     w = Window.partitionBy(group_col).orderBy("h")
     kept = hashes.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") <= k
@@ -61,11 +71,16 @@ def bottomk_sample(
     per-day, or per-shard samples fold together without resampling.
     WindowGroupLimit pushes the rank filter map-side; a skewed group ships
     k rows per input partition, never its full population.
+
+    Rows with a NULL id are excluded: their hash is NULL, which ranks
+    first and would deterministically hijack the "uniform" sample (k
+    NULL-id rows would BE the sample); sampling needs a defined identity.
     """
     h = (H.md5_long(F.col(id_col).cast("string")) / F.lit(TWO_POW_60)).alias("__h")
     w = Window.partitionBy(group_col).orderBy("__h", id_col)
     return (
-        df.select(F.col(group_col), F.col(id_col), F.col(value_col), h)
+        df.filter(F.col(id_col).isNotNull())
+        .select(F.col(group_col), F.col(id_col), F.col(value_col), h)
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__h", "__rn")
@@ -112,7 +127,13 @@ def cms_build(
     sketch is MERGEABLE by construction — union two sketch tables and sum
     ``c`` per (d, bucket) to get the sketch of the union. Deterministic
     (md5), so an oracle replays it bit-for-bit.
+
+    NULL values are excluded: they'd hash to a NULL bucket no probe can
+    join back to — dead rows that inflate the sketch and break its
+    est ≥ true-count guarantee for the NULL key. With the filter, a NULL
+    probe's estimate of 0 is consistent (NULLs are simply not counted).
     """
+    df = df.filter(F.col(value_col).isNotNull())
     rows = df.select(
         F.explode(
             F.array(
@@ -145,8 +166,16 @@ def cms_estimate(
     value, the MIN bucket count across depths (upward-biased; error ≤
     ε·N with ε = e/width at probability 1 - e^-depth). The probe side
     computes its buckets with the same salted hashes and joins the sketch
-    on (d, bucket) — sketch-size rows, never the original data."""
+    on (d, bucket) — sketch-size rows, never the original data. An EMPTY
+    sketch (built over no rows) estimates 0 for every probe — one row per
+    distinct probe value, same shape as the populated path."""
     depth_count = sketch.select("d").distinct().count()
+    if depth_count == 0:
+        return (
+            probes.select(value_col)
+            .distinct()
+            .withColumn("est_count", F.lit(0).cast("bigint"))
+        )
     probe_buckets = probes.select(
         F.col(value_col),
         F.explode(

@@ -70,8 +70,15 @@ def pearson_correlation(
     addition isn't associative; decimal addition is). One aggregation.
 
     r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+
+    Complete cases only: a row with a NULL x or y is excluded from ALL
+    moments including n (a sum that skips NULLs paired with a count that
+    doesn't yields moments of no actual sample). A group where either
+    column is constant (den = 0) gets r = NULL — under ANSI mode the
+    bare division would abort the job.
     """
     x, y = F.col(x_col), F.col(y_col)
+    df = df.filter(x.isNotNull() & y.isNotNull())
     d = lambda c: F.sum(c.cast("decimal(28,10)")).cast("double")  # noqa: E731
     keys = [group_col] if group_col else []
     agg = (df.groupBy(*keys) if keys else df.groupBy()).agg(
@@ -90,7 +97,7 @@ def pearson_correlation(
     return agg.select(
         *keys,
         F.col("n").cast("long").alias("n"),
-        F.round(num / den, 6).alias("r"),
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("r"),
     )
 
 
@@ -202,7 +209,16 @@ def rfm_scores(
     would funnel every customer through one sort task, while the
     threshold form is one per-customer aggregation plus a broadcast
     probe. Boundary semantics: ties share a score (the meaningful RFM
-    behavior) instead of being split arbitrarily by sort order."""
+    behavior) instead of being split arbitrarily by sort order.
+
+    Complete cases only: an order with a NULL date or NULL amount is
+    excluded from all three metrics (a NULL recency would otherwise
+    band to the BEST score — filter(bounds, NULL > q) is empty, and the
+    recency inversion turns "no data" into 5), and a customer with no
+    complete orders is absent rather than top-scored on missing data."""
+    orders = orders.filter(
+        F.col(ts_col).isNotNull() & F.col(amount_col).isNotNull()
+    )
     qs = [i / n_tiles for i in range(1, n_tiles)]
     qarr = "array(" + ", ".join(str(q) for q in qs) + ")"
     corpus_max = orders.agg(F.max(ts_col).alias("_maxd"))
@@ -254,8 +270,11 @@ def equi_depth_histogram(
     the fact table, no ntile. Bin b holds values in (q_b, q_{b+1}];
     values at or below the first boundary land in bin 0. Ties heavier
     than a bin width simply make that bin heavier — the honest behavior
-    for skewed data.
+    for skewed data. NULL values are excluded (percentile already skips
+    them for the boundaries; without the filter every NULL row would
+    silently inflate bin 0).
     """
+    df = df.filter(F.col(value_col).isNotNull())
     qs = [i / n_bins for i in range(1, n_bins)]
     qarr = "array(" + ", ".join(str(q) for q in qs) + ")"
     bounds = df.agg(F.expr(f"percentile({value_col}, {qarr})").alias("qs"))

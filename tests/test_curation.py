@@ -393,3 +393,22 @@ def test_stratified_exact_split_proportions(spark):
     a = {r.doc_id: r.split for r in out.collect()}
     b = {r.doc_id: r.split for r in stratified_exact_split(docs, stratum_col="lang").collect()}
     assert a == b
+
+
+def test_contrastive_negatives_single_doc_and_null_group_terms(spark):
+    """A 1-document corpus yields no negatives instead of an ANSI
+    pmod-by-zero abort; distinctive_terms excludes NULL groups so df can
+    never exceed n_groups (regression: negative tfidf)."""
+    one = spark.createDataFrame([("d1", "alpha beta")], "doc_id string, text string")
+    assert curation.contrastive_negatives(one, k=3).count() == 0
+
+    docs = spark.createDataFrame(
+        [("a", "common alpha"), ("b", "common beta"), (None, "common gamma")],
+        "src string, text string",
+    )
+    got = curation.distinctive_terms(
+        docs, group_col="src", text_col="text", k=5
+    ).collect()
+    assert all(r.src is not None for r in got)
+    common = [r for r in got if r.token == "common"]
+    assert common and all(r.tfidf == 0.0 for r in common)  # log(2/2), not log(2/3)

@@ -32,7 +32,10 @@ def test_matches_brute_force(spark):
     qs = pts.limit(20).withColumnRenamed("point_id", "query_id")
     got = {
         (r.query_id, r.point_id)
-        for r in geo_radius_join(pts, qs, radius_km=30.0).collect()
+        # fixture reaches |lat| ~60.3 (59.3 + 1), so the bound must say so
+        for r in geo_radius_join(
+            pts, qs, radius_km=30.0, max_abs_lat=61.0
+        ).collect()
     }
     q2 = qs.select(
         F.col("query_id"), F.col("lat").alias("qlat"), F.col("lon").alias("qlon")
@@ -141,3 +144,36 @@ def test_colocation_matches_brute_force(spark):
     )
     want = {(r.ua, r.ub): (r.n, r.fm) for r in brute.collect()}
     assert got == want and len(want) > 5
+
+def test_radius_join_rejects_out_of_bound_latitude(spark):
+    """A latitude beyond max_abs_lat breaks the one-cell-step guarantee,
+    so the blocked join must fail loudly instead of returning a silent
+    subset (regression); NULL latitudes are excluded, not errors."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        geo,
+    )
+
+    pts = spark.createDataFrame(
+        [(1, 72.0, 10.0)], "point_id long, lat double, lon double"
+    )
+    qs = spark.createDataFrame(
+        [(1, 71.99, 10.0)], "query_id long, lat double, lon double"
+    )
+    with pytest.raises(Exception, match="max_abs_lat"):
+        geo.geo_radius_join(pts, qs, 1.0).collect()
+    # raising the bound admits the same data and finds the pair
+    ok = geo.geo_radius_join(pts, qs, 2.0, max_abs_lat=75.0).collect()
+    assert len(ok) == 1
+
+    null_pts = spark.createDataFrame(
+        [(1, None, 10.0), (2, 45.0, 10.0)],
+        "point_id long, lat double, lon double",
+    )
+    q2 = spark.createDataFrame(
+        [(7, 45.0, 10.0)], "query_id long, lat double, lon double"
+    )
+    got = geo.geo_radius_join(null_pts, q2, 1.0).collect()
+    assert [r.point_id for r in got] == [2]  # NULL row silently excluded

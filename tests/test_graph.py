@@ -168,3 +168,23 @@ def test_pagerank_weights_shift_rank(spark):
     got = {r.node: r.pr for r in pagerank(e, weight="w", iterations=8).collect()}
     assert got["a"] > got["b"]
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_null_edges_and_zero_weight_pagerank(spark):
+    """NULL-endpoint edges are excluded from both operators, and zero or
+    NULL weights cannot make pagerank's out-normalization divide by zero
+    (regression: ANSI abort)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    edges = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None)], "src long, dst long"
+    )
+    comp = {r.node for r in graph.connected_components(edges).collect()}
+    assert comp == {1, 2}
+
+    weighted = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 1.0), (3, 1, 0.0), (3, 2, 0.0), (4, 1, None)],
+        "src long, dst long, w double",
+    )
+    pr = graph.pagerank(weighted, weight="w", iterations=2).collect()
+    assert all(r.pr is not None and r.pr == r.pr for r in pr)  # finite, no abort

@@ -168,3 +168,22 @@ def test_schema_diff_reports_drift(spark):
     }
     # no drift → empty report
     assert schema_diff(before, before).count() == 0
+
+
+def test_text_ratios_guard_empty_and_null(spark):
+    """Empty text gets ratio 0.0 instead of an ANSI 0/0 abort; NULL text
+    stays NULL (regression)."""
+    from pyspark.sql import functions as F
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.functions import (
+        text as T,
+    )
+
+    df = spark.createDataFrame([("",), (None,), ("Hi there!",)], "t string")
+    rows = df.select(
+        T.punct_ratio(F.col("t")).alias("p"),
+        T.stopword_ratio(F.col("t")).alias("s"),
+    ).collect()
+    assert rows[0].p == 0.0 and rows[0].s == 0.0
+    assert rows[1].p is None
+    assert rows[2].p > 0

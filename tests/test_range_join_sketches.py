@@ -173,3 +173,62 @@ def test_hll_merge_equals_whole(spark):
     }
     for g, est in whole.items():
         assert abs(est - exact[g]) <= 0.03 * exact[g]
+
+def test_kmv_and_bottomk_exclude_nulls(spark):
+    """NULL values/ids must not enter the sketches: md5_long(NULL)=NULL
+    ranks FIRST under the ascending window, so without the filter a NULL
+    inflates small-group KMV estimates and hijacks the bottom-k sample
+    (regression)."""
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        sketches,
+    )
+
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", "b"), ("g", None), ("h", None)],
+        "grp string, v string",
+    )
+    got = {
+        r.grp: (r.n_kept, r.est_distinct)
+        for r in sketches.kmv_distinct(df, "grp", "v", k=8).collect()
+    }
+    assert got["g"] == (2, 2.0)  # NULL not a third distinct value
+    assert "h" not in got  # all-NULL group vanishes (COUNT DISTINCT = 0)
+
+    ids = spark.createDataFrame(
+        [("g", None, 9.0)] * 5 + [("g", "id1", 1.0), ("g", "id2", 2.0)],
+        "grp string, id string, v double",
+    )
+    sample = sketches.bottomk_sample(ids, "grp", "id", "v", k=2).collect()
+    assert sorted(r.id for r in sample) == ["id1", "id2"]  # no NULL rows
+
+
+def test_cms_empty_sketch_and_null_values(spark):
+    """An empty sketch estimates 0 for every probe (one row per probe,
+    not an empty frame), and NULL values stay out of the sketch so no
+    dead unreachable buckets accumulate (regression)."""
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        sketches,
+    )
+
+    empty = spark.createDataFrame([], "v string")
+    sketch = sketches.cms_build(empty, "v")
+    probes = spark.createDataFrame([("x",), ("y",)], "v string")
+    got = {
+        r.v: r.est_count
+        for r in sketches.cms_estimate(sketch, probes, "v").collect()
+    }
+    assert got == {"x": 0, "y": 0}
+
+    with_nulls = spark.createDataFrame(
+        [("a",), (None,), (None,)], "v string"
+    )
+    s2 = sketches.cms_build(with_nulls, "v", depth=2, width=16)
+    # 2 depths x 1 live value: no NULL-bucket rows
+    assert s2.count() == 2
+    est = {
+        r.v: r.est_count
+        for r in sketches.cms_estimate(
+            s2, spark.createDataFrame([("a",)], "v string"), "v", width=16
+        ).collect()
+    }
+    assert est["a"] >= 1

@@ -168,3 +168,39 @@ def test_resample_interpolate_linear_and_nulls(spark):
     # no extrapolation: leading grid point before the first event is NULL
     lead = dt.datetime(2021, 1, 1, 0, 0, 20)
     assert lead not in out or out[lead] is None
+
+
+def test_resample_excludes_null_timestamps_and_interp_null_values(spark):
+    """NULL-ts events must not forward-fill into leading grid points
+    (NULLS-FIRST window order put them before the grid), and a NULL-valued
+    event must not desynchronize interpolation's (value, time) neighbor
+    pair (regression)."""
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.resample import (
+        resample_interpolate,
+    )
+
+    rows = [
+        ("k", None, 99.0),
+        ("k", T0 + dt.timedelta(seconds=7), 1.0),
+        ("k", T0 + dt.timedelta(seconds=130), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v double")
+    got = {
+        r.grid_ts: r.v
+        for r in resample_ffill(df, "key", "ts", "v", 60).collect()
+    }
+    assert got[T0] is None  # leading point NULL, not 99.0
+
+    rows2 = [
+        ("k", T0, 10.0),
+        ("k", T0 + dt.timedelta(seconds=10), None),  # would desync t0/v0
+        ("k", T0 + dt.timedelta(seconds=20), 30.0),
+    ]
+    df2 = spark.createDataFrame(rows2, "key string, ts timestamp, v double")
+    got2 = {
+        r.grid_ts: r.v
+        for r in resample_interpolate(df2, "key", "ts", "v", 5).collect()
+    }
+    # t=15s: linear between (0s,10) and (20s,30) -> 25.0 (not 20.0)
+    assert got2[T0 + dt.timedelta(seconds=15)] == 25.0
+    assert got2[T0 + dt.timedelta(seconds=10)] == 20.0  # interpolated, not "exact"

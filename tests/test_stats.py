@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
     curation,
     stats,
@@ -136,3 +138,48 @@ def test_chi2_independence_null_categories_excluded(spark):
     assert len(out) == 4
     assert all(r.expected == 4.0 for r in out)
     assert all(r.chi2_term == 0.0 for r in out)
+
+
+def test_pearson_complete_cases_and_constant_column(spark):
+    """Rows with a NULL x or y are excluded from ALL moments including n,
+    and a constant column yields r=NULL instead of an ANSI divide-by-zero
+    abort (regression)."""
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (None, 3.0), (4.0, None)],
+        "x double, y double",
+    )
+    row = stats.pearson_correlation(df, "x", "y").collect()[0]
+    assert row.n == 2
+    assert row.r == 1.0  # perfect correlation over the complete pairs
+
+    const = spark.createDataFrame(
+        [(5.0, 1.0), (5.0, 2.0), (5.0, 3.0)], "x double, y double"
+    )
+    row = stats.pearson_correlation(const, "x", "y").collect()[0]
+    assert row.r is None
+
+
+def test_rfm_excludes_incomplete_orders(spark):
+    """A customer with only NULL-dated orders must not surface with the
+    BEST recency score (regression: NULL banded to r_score=5)."""
+    rows = (
+        [(1, f"2024-01-{d:02d}", 100.0) for d in range(1, 6)]
+        + [(2, "2024-01-01", 50.0)]
+        + [(3, None, 999.0)]
+        + [(2, None, 10.0)]  # incomplete row for an otherwise-valid cust
+    )
+    orders = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate string, o_totalprice double"
+    ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+    got = {r.o_custkey: r for r in stats.rfm_scores(orders).collect()}
+    assert 3 not in got  # no complete orders -> absent, not top-scored
+    assert got[2].frequency == 1  # NULL-dated order not counted
+    assert got[1].r_score >= got[2].r_score
+
+
+def test_equi_depth_histogram_excludes_nulls(spark):
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 11)] + [(None,)] * 5, "v double"
+    )
+    bins = {r.bin: r.n for r in stats.equi_depth_histogram(df, "v", n_bins=2).collect()}
+    assert sum(bins.values()) == 10  # NULLs not silently piled into bin 0

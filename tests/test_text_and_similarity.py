@@ -586,3 +586,68 @@ def test_hnsw_index_lifecycle_and_append(spark, tmp_path):
     ).collect()
     top = [r for r in after if r.rank == 1][0]
     assert top.neighbor_id == 101 and top.cosine == 1.0
+
+
+def test_linalg_complete_cases_and_degenerate_inputs(spark):
+    """NULL vectors / NULL elements are excluded coherently (sum and
+    count over the SAME rows), and zero/rank-deficient Gram matrices
+    yield eigenvalue-0 components instead of NaN (regression)."""
+    import numpy as np
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        linalg,
+    )
+
+    rows = [
+        ([2.0, 0.0],),
+        ([2.0, 2.0],),
+        (None,),
+        ([2.0, None],),
+    ]
+    emb = spark.createDataFrame(rows, "embedding array<double>")
+    mu = linalg.mean_vector(emb, dim=2)
+    assert mu.tolist() == [2.0, 1.0]  # complete cases only, unbiased
+
+    cells = {
+        (r.i, r.j): float(r.v)
+        for r in linalg.gram_matrix(emb, dim=2).collect()
+    }
+    assert cells[(0, 0)] == 8.0  # two complete rows, no NaN poisoning
+
+    v, lam, info = linalg.pca_top_component(emb, dim=2, iterations=50)
+    assert info["n_vectors"] == 2
+    assert np.isfinite(v).all() and np.isfinite(lam)
+
+    # empty input: eigenvalue 0, finite unit vector, residual 0 — not NaN
+    empty = spark.createDataFrame([], "embedding array<double>")
+    v0, lam0, info0 = linalg.pca_top_component(empty, dim=2, iterations=10)
+    assert lam0 == 0.0 and np.isfinite(v0).all()
+    assert info0["residual"] == 0.0
+
+    # k beyond rank: trailing components orthonormal with eigenvalue 0
+    rank1 = spark.createDataFrame(
+        [([1.0, 2.0],), ([2.0, 4.0],)], "embedding array<double>"
+    )
+    comps, lams, _ = linalg.pca_components(
+        rank1, k=2, dim=2, center=False, iterations=200
+    )
+    assert np.isfinite(comps).all()
+    assert lams[1] < 1e-9
+    assert abs(float(comps[0] @ comps[1])) < 1e-9
+
+
+def test_bm25_ignores_null_text_docs(spark):
+    """NULL-text docs must not deflate avgdl (they counted toward N but
+    contributed NULL to sumdl, shifting every real document's score)."""
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        search,
+    )
+
+    base = [(f"d{i}", "spark shuffles data " + "pad " * i) for i in range(4)]
+    clean = spark.createDataFrame(base, "doc_id string, text string")
+    noisy = spark.createDataFrame(
+        base + [("n1", None), ("n2", None)], "doc_id string, text string"
+    )
+    a = {(r.doc_id, r.bm25) for r in search.bm25_topk(clean, ["spark"], k=10).collect()}
+    b = {(r.doc_id, r.bm25) for r in search.bm25_topk(noisy, ["spark"], k=10).collect()}
+    assert a == b
