@@ -21,17 +21,27 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    """L2 norm, with NULL (not 0) for an all-zero or empty vector: every
+    caller uses the norm as a cosine DENOMINATOR, and under ANSI mode
+    (the Spark 4 default) a 0 there aborts the whole job with
+    DIVIDE_BY_ZERO. With NULL the division degrades to a NULL score, so
+    a degenerate vector (a common fill for a missing embedding) simply
+    never matches anything instead of killing the search/dedup job."""
+    return F.nullif(
+        F.sqrt(
+            F.aggregate(
+                F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+        F.lit(0.0),
     )
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity. DuckDB oracle: ``list_cosine_similarity``."""
+    """Cosine similarity (NULL when either vector has zero norm — see
+    ``norm``). DuckDB oracle: ``list_cosine_similarity``."""
     return dot(a, b) / (norm(a) * norm(b))
 
 

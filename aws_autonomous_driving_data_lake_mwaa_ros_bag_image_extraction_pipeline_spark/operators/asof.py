@@ -34,10 +34,21 @@ def asof_join(
     Both directions are the same single sort-shuffle union plan — forward
     just flips the same-ts tiebreak and the window frame (first following
     non-null instead of last preceding).
+
+    NULL semantics (pandas merge_asof / SQL ASOF): a left row with a NULL
+    key or NULL timestamp is KEPT but matches nothing (an equi-join never
+    matches NULL keys; an unknown time has no "nearest" row), and right
+    rows with a NULL key or timestamp match nothing. Without the guards,
+    the union-window formulation would group NULL keys together and —
+    under NULLS-FIRST ordering — hand a NULL-ts left row the minimum-ts
+    right row in forward mode.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     forward = direction == "forward"
+    right = right.filter(
+        F.col(on).isNotNull() & F.col(right_ts).isNotNull()
+    )
     l_tag = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__ts"),
@@ -71,10 +82,14 @@ def asof_join(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    has_ts = F.col("__ts").isNotNull()
     filled = l_tag.unionByName(r_tag).select(
         "*",
-        *[pick(f"__r_{c}").alias(f"__f_{c}") for c in right_vals],
-        pick("__rts").alias("__f_rts"),
+        *[
+            F.when(has_ts, pick(f"__r_{c}")).alias(f"__f_{c}")
+            for c in right_vals
+        ],
+        F.when(has_ts, pick("__rts")).alias("__f_rts"),
     )
     out = filled.filter(F.col("__is_left") == 1)
     if tolerance_ms is not None:

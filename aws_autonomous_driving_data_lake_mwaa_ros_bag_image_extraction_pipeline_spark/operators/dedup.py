@@ -376,14 +376,14 @@ def simhash(
     """
     if repartition_to:
         docs = docs.repartition(repartition_to, F.col(id_col))
-    toks = (
-        docs.select(
-            F.col(id_col),
-            F.explode_outer(
-                F.array_distinct(T.tokens(F.lower(F.col(text_col))))
-            ).alias("t"),
-        )
-        .filter(F.col("t").isNotNull())
+    # plain explode: token-less docs get no signature either way (the
+    # previous explode_outer + isNotNull filter was exactly equivalent
+    # but read as if empty docs were meant to survive)
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(T.tokens(F.lower(F.col(text_col))))
+        ).alias("t"),
     )
     h = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("bigint")
     hashed = toks.select(F.col(id_col), h.alias("h"))
@@ -555,10 +555,25 @@ def embedding_dup_pairs_numpy(
     import numpy as np
     import pandas as pd
 
+    # complete cases, same convention as the relational paths: NULL
+    # vectors would crash the numpy conversion, and zero-norm vectors
+    # can't cosine-match anything (0/0 would silently NaN them here
+    # where the exact path NULL-scores them)
+    emb = emb.filter(
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    )
     rows = emb.select(id_col, vec_col).collect()
+    id_type0 = dict(emb.dtypes)[id_col]
+    if not rows:  # 0-row collect: np.linalg.norm(axis=1) would raise
+        return emb.sparkSession.createDataFrame(
+            [], f"id_a {id_type0}, id_b {id_type0}, cosine double"
+        )
     ids = np.array([r[0] for r in rows])
     mat = np.array([r[1] for r in rows], dtype="float64")
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    live = norms[:, 0] > 0
+    ids, mat = ids[live], mat[live] / norms[live]
     sc = emb.sparkSession.sparkContext
     b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
 
@@ -571,9 +586,13 @@ def embedding_dup_pairs_numpy(
             if len(pdf) == 0:
                 continue
             cm = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
-            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            cn = np.linalg.norm(cm, axis=1, keepdims=True)
+            bl = cn[:, 0] > 0  # zero-norm rows can't match (0/0 → NaN)
+            if not bl.any():
+                continue
+            cm = cm[bl] / cn[bl]
             sims = cm @ all_mat.T
-            my_ids = pdf[id_col].to_numpy()
+            my_ids = pdf[id_col].to_numpy()[bl]
             rr, cc = np.where(sims >= threshold)
             keep = my_ids[rr] < all_ids[cc]
             yield pd.DataFrame(

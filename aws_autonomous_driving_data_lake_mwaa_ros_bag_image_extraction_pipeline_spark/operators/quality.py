@@ -45,9 +45,16 @@ def matches(col: str, pattern: str) -> Rule:
 def check_rules(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """Per-rule violation counts in ONE scan: every rule evaluates as a
     0/1 expression and a single aggregate sums them all (plus the row
-    total) — no per-rule jobs. Returns (rule, n_violations, n_rows)."""
+    total) — no per-rule jobs. Returns (rule, n_violations, n_rows).
+
+    NULL predicate results PASS (SQL CHECK-constraint semantics, and the
+    same convention ``check_foreign_key`` documents): a NULL ``temp`` is
+    not "out of range 0..100" — declare ``not_null`` explicitly to flag
+    missing values, otherwise every NULL would double-count as a
+    violation of each range/set/pattern rule on the column."""
     aggs = [
-        F.sum(F.when(r.predicate, 0).otherwise(1)).alias(r.name) for r in rules
+        F.sum(F.when(~r.predicate, 1).otherwise(0)).alias(r.name)
+        for r in rules
     ]
     row = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
     pairs = []
@@ -61,12 +68,13 @@ def check_rules(df: DataFrame, rules: list[Rule]) -> DataFrame:
 
 def violating_rows(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """The offending rows, tagged with the sorted array of failed rule
-    names — quarantine-table input. Narrow per-row expressions only."""
+    names — quarantine-table input. Narrow per-row expressions only.
+    NULL predicate results pass, as in ``check_rules``."""
     failed = F.array_sort(
         F.filter(
             F.array(
                 *[
-                    F.when(r.predicate, F.lit(None)).otherwise(F.lit(r.name))
+                    F.when(~r.predicate, F.lit(r.name))
                     for r in rules
                 ]
             ),
@@ -186,8 +194,12 @@ def rolling_zscore_anomalies(
     s = F.sum(v.cast("decimal(28,10)")).over(w).cast("double")
     sq = F.sum((v * v).cast("decimal(28,10)")).over(w).cast("double")
     mean = s / n
-    var = F.greatest(
-        (sq - s * s / n) / (n - F.lit(1)), F.lit(0.0)
+    # n >= 2 guard inside var, not delegated to min_history: with
+    # min_history <= 1 the (n-1) denominator would hit an ANSI
+    # divide-by-zero abort on every key's second row
+    var = F.when(
+        n >= 2,
+        F.greatest((sq - s * s / n) / (n - F.lit(1)), F.lit(0.0)),
     )
     z = F.when(
         (n >= min_history) & (var > 0), (v - mean) / F.sqrt(var)
@@ -317,20 +329,31 @@ def table_diff(
     a manifest generation vs the next) that answers "what did this
     pipeline run actually do?".
 
-    One full-outer join on the key; change detection compares md5 over the
-    concatenated compare columns (computed per side BEFORE the join, so
-    wide rows never cross the shuffle - only key + 32-byte digest do).
+    One full-outer join on the key; change detection compares md5 over an
+    UNAMBIGUOUS row encoding computed per side BEFORE the join, so wide
+    rows never cross the shuffle - only key + 32-byte digest do. Each
+    column is length-prefixed (separator injection can't collide: 'a|b'
+    in one column vs 'a','b' split across two encode differently) and
+    NULL gets its own token distinct from any value — a bare concat_ws
+    would SKIP NULLs and report ('x', NULL) -> (NULL, 'x') as unchanged.
     Aggregate with ``groupBy("status").count()`` for the one-line summary.
     """
 
     def _fp(df: DataFrame, out: str) -> DataFrame:
+        enc = [
+            F.coalesce(
+                F.concat(
+                    F.length(F.col(c).cast("string")),
+                    F.lit(":"),
+                    F.col(c).cast("string"),
+                ),
+                F.lit("␀"),
+            )
+            for c in compare_cols
+        ]
         return df.select(
             F.col(key_col),
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(c).cast("string") for c in compare_cols]
-                )
-            ).alias(out),
+            F.md5(F.concat(*enc)).alias(out),
         )
 
     o = _fp(old, "__old_fp")

@@ -33,8 +33,14 @@ def range_join(
     """All (left, right) pairs on the same key within ``tolerance_ms``.
 
     Output: every left column + every right column; right columns whose
-    names collide with left's are suffixed ``_r``.
+    names collide with left's are suffixed ``_r``. ``tolerance_ms=0``
+    means exactly-simultaneous pairs (1 ms buckets + ``|dt| <= 0``);
+    negative tolerances are rejected upfront — the unvalidated division
+    would otherwise abort deep in the plan under ANSI mode.
     """
+    if tolerance_ms < 0:
+        raise ValueError(f"tolerance_ms must be >= 0, got {tolerance_ms}")
+    bucket_w = max(1, tolerance_ms)
     rename = {c: f"{c}_r" for c in right.columns if c in left.columns}
     r = right
     for old, new in rename.items():
@@ -44,9 +50,9 @@ def range_join(
 
     # floor division, not cast-truncation: exact bucketing for negative epochs
     l_binned = left.withColumn(
-        "__lb", F.floor(F.unix_millis(F.col(left_ts)) / tolerance_ms)
+        "__lb", F.floor(F.unix_millis(F.col(left_ts)) / bucket_w)
     )
-    rb = F.floor(F.unix_millis(F.col(r_ts)) / tolerance_ms)
+    rb = F.floor(F.unix_millis(F.col(r_ts)) / bucket_w)
     r_binned = r.withColumn(
         "__rb", F.explode(F.array(rb - 1, rb, rb + 1))
     )
@@ -93,6 +99,8 @@ def interval_overlap_join(
     equi-key here (e.g. same day, different user) so it prunes in the
     join itself.
     """
+    if bucket_ms <= 0:
+        raise ValueError(f"bucket_ms must be > 0, got {bucket_ms}")
     rename = {c: f"{c}_r" for c in right.columns if c in left.columns}
     r = right
     for old, new in rename.items():

@@ -18,6 +18,11 @@ def sessionize(
     ts_col: str = "ts",
     gap_minutes: int = 30,
 ) -> DataFrame:
+    # NULL-timestamp events are excluded: they have no position on the
+    # time axis, and under NULLS-FIRST ordering each would register as
+    # its own session break — phantom singleton sessions with NULL
+    # start/end, shifting every real session_id after them
+    events = events.filter(F.col(ts_col).isNotNull())
     w = Window.partitionBy(key_col).orderBy(ts_col)
     gap_s = gap_minutes * 60
     prev = F.lag(ts_col).over(w)
@@ -115,7 +120,17 @@ def transition_matrix(
     row normalization is a window over that dimension-sized table — the
     probability pass never touches the event-sized data again. At 100 TB
     the output is still |types|² rows.
+
+    Events with a NULL type (or NULL timestamp) are excluded BEFORE
+    pairing: keeping them would drop transitions INTO the NULL event
+    (indistinguishable from end-of-sequence) while still emitting a
+    NULL from_type row — an asymmetry that deflates the real rows'
+    normalization totals. With the filter, [A, NULL, B] reads as the
+    A→B transition of the observable sequence.
     """
+    events = events.filter(
+        F.col(type_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
     w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
     pairs = (
         events.select(

@@ -172,3 +172,68 @@ def test_event_pattern_match_hot_key_cap(spark):
         for r in event_pattern_match(ev, ".*", max_events=None).collect()
     }
     assert len(uncapped[1]) == 50
+
+
+def test_asof_null_keys_and_timestamps_match_nothing(spark):
+    """NULL join keys never match each other, a NULL-ts left row is kept
+    but unmatched (forward mode handed it the min-ts right row), and
+    NULL-ts right rows are ignored (regression)."""
+    import datetime as dt
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.asof import (
+        asof_join,
+    )
+
+    t = lambda s: dt.datetime(2024, 1, 1, 10, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(None, t(10), "null-key"), ("k", None, "null-ts"), ("k", t(10), "ok")],
+        "on string, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(None, t(9), 5.0), ("k", None, 6.0), ("k", t(8), 7.0)],
+        "on string, ts timestamp, v double",
+    )
+    for direction in ("backward", "forward"):
+        got = {
+            r.tag: r.v
+            for r in asof_join(
+                left, right, "on", "ts", "ts", ["v"], direction=direction
+            ).collect()
+        }
+        assert len(got) == 3  # left-join: every left row kept
+        assert got["null-key"] is None
+        assert got["null-ts"] is None
+        assert got["ok"] == (7.0 if direction == "backward" else None)
+
+
+def test_sessionize_and_transitions_exclude_null_rows(spark):
+    """NULL-ts events no longer create phantom singleton sessions, and a
+    NULL event type no longer asymmetrically skews the transition matrix
+    (regression)."""
+    import datetime as dt
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        sessionize as sz,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    ev = spark.createDataFrame(
+        [(1, None), (1, None), (1, t0), (1, t0 + dt.timedelta(minutes=5))],
+        "user_id long, ts timestamp",
+    )
+    stats = sz.session_stats(ev, gap_minutes=30).collect()
+    assert len(stats) == 1 and stats[0].n_events == 2
+
+    ev2 = spark.createDataFrame(
+        [
+            (1, 1, t0, "A"),
+            (1, 2, t0 + dt.timedelta(seconds=1), None),
+            (1, 3, t0 + dt.timedelta(seconds=2), "B"),
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    tm = {
+        (r.from_type, r.to_type): (r.n, r.p)
+        for r in sz.transition_matrix(ev2).collect()
+    }
+    assert tm == {("A", "B"): (1, 1.0)}  # A->B of the observable sequence

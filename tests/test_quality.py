@@ -187,3 +187,48 @@ def test_text_ratios_guard_empty_and_null(spark):
     assert rows[0].p == 0.0 and rows[0].s == 0.0
     assert rows[1].p is None
     assert rows[2].p > 0
+
+
+def test_check_rules_null_passes_and_zscore_min_history_guard(spark):
+    """NULL predicate results PASS (SQL CHECK semantics; not_null is the
+    explicit opt-in), and min_history=1 must not divide by (n-1)=0
+    (regression: ANSI abort on every key's second row)."""
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (200.0,)], "temp double"
+    )
+    got = {
+        r.rule: r.n_violations
+        for r in Q.check_rules(
+            df, [Q.in_range("temp", 0, 100), Q.not_null("temp")]
+        ).collect()
+    }
+    assert got["temp_in_range"] == 1  # only 200.0; NULL is not "out of range"
+    assert got["temp_not_null"] == 1
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("k", t0 + dt.timedelta(seconds=i), i, float(i)) for i in range(4)]
+    z = Q.rolling_zscore_anomalies(
+        spark.createDataFrame(rows, "key string, ts timestamp, tie long, v double"),
+        key_col="key", ts_col="ts", tie_col="tie", value_col="v",
+        min_history=1,
+    ).collect()
+    assert len(z) == 4  # no ANSI abort
+
+
+def test_table_diff_null_and_separator_unambiguous(spark):
+    """(x, NULL) vs (NULL, x) and 'a|b','c' vs 'a','b|c' must read as
+    changed (regression: concat_ws skipped NULLs and '|' was injectable,
+    so both collided to 'unchanged')."""
+    old = spark.createDataFrame(
+        [(1, "x", None), (2, "a|b", "c")], "k long, c1 string, c2 string"
+    )
+    new = spark.createDataFrame(
+        [(1, None, "x"), (2, "a", "b|c")], "k long, c1 string, c2 string"
+    )
+    got = {
+        r.k: r.status
+        for r in Q.table_diff(old, new, "k", ["c1", "c2"]).collect()
+    }
+    assert got == {1: "changed", 2: "changed"}

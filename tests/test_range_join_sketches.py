@@ -232,3 +232,28 @@ def test_cms_empty_sketch_and_null_values(spark):
         ).collect()
     }
     assert est["a"] >= 1
+
+
+def test_range_join_zero_tolerance_and_validation(spark):
+    """tolerance_ms=0 means exactly-simultaneous pairs (previously an
+    ANSI divide-by-zero abort); negatives are rejected upfront."""
+    import datetime as dt
+
+    import pytest
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.range_join import (
+        range_join,
+    )
+
+    t = dt.datetime(2024, 1, 1, 10, 0, 0)
+    left = spark.createDataFrame(
+        [("k", t, 1)], "on string, ts timestamp, lid long"
+    )
+    right = spark.createDataFrame(
+        [("k", t, 10), ("k", t + dt.timedelta(milliseconds=1), 11)],
+        "on string, ts timestamp, rid long",
+    )
+    got = range_join(left, right, "on", "ts", "ts", tolerance_ms=0).collect()
+    assert [r.rid for r in got] == [10]
+    with pytest.raises(ValueError, match="tolerance_ms"):
+        range_join(left, right, "on", "ts", "ts", tolerance_ms=-5)

@@ -651,3 +651,41 @@ def test_bm25_ignores_null_text_docs(spark):
     a = {(r.doc_id, r.bm25) for r in search.bm25_topk(clean, ["spark"], k=10).collect()}
     b = {(r.doc_id, r.bm25) for r in search.bm25_topk(noisy, ["spark"], k=10).collect()}
     assert a == b
+
+
+def test_zero_norm_and_null_embeddings_dont_abort_search(spark):
+    """A zero-norm or NULL embedding must not abort the search/dedup job
+    under ANSI mode: norm() yields NULL so degenerate vectors simply
+    never match; the numpy baseline filters them and handles an empty
+    corpus (regression)."""
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        dedup,
+        similarity,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 0.0]),  # zero-norm: previously DIVIDE_BY_ZERO
+        (4, None),  # NULL vector
+    ]
+    emb = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    queries = emb.filter("doc_id = 1")
+    got = similarity.brute_force_topk(
+        emb, queries, k=2, id_col="doc_id", vec_col="embedding"
+    ).collect()
+    matched = {r.neighbor_id for r in got if r.cosine is not None}
+    assert 2 in matched and 3 not in matched and 4 not in matched
+
+    pairs = dedup.embedding_dup_pairs_numpy(
+        emb, id_col="doc_id", vec_col="embedding", threshold=0.9
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+    empty = spark.createDataFrame([], "doc_id long, embedding array<double>")
+    assert (
+        dedup.embedding_dup_pairs_numpy(
+            empty, id_col="doc_id", vec_col="embedding", threshold=0.9
+        ).count()
+        == 0
+    )
