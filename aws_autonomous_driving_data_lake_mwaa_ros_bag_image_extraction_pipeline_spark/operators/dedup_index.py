@@ -34,26 +34,18 @@ from pyspark.sql import functions as F
 from . import dedup
 
 
-def _banded_long(
-    docs: DataFrame,
+def _buckets_from_sig(
+    sig: DataFrame,
     id_col: str,
-    text_col: str,
-    shingle_len: int,
     num_hashes: int,
     bands: int,
-    repartition_to: int | None = None,
 ) -> DataFrame:
-    """(id, band, bucket, pfx) — one row per (doc, band).
-
-    Same signature→band→md5 pipeline as dedup._candidates_from, with the
-    band index kept explicit (index joins are on (band, bucket)) and a
-    2-hex-char partition prefix."""
+    """(id, band, bucket, pfx) — one row per (doc, band), derived from an
+    ALREADY-COMPUTED signature frame (band md5s over the mh columns are
+    cheap; the expensive shingle→md5→min pipeline runs once per
+    build/append/probe and both the signature store and the bucket store
+    derive from that single pass — previously each ran it twice)."""
     rows_per_band = num_hashes // bands
-    sig = dedup._signatures_from(
-        dedup._shingle_long(docs, id_col, text_col, shingle_len, repartition_to),
-        id_col,
-        num_hashes,
-    )
     per_band = F.array(
         *[
             F.struct(
@@ -110,16 +102,16 @@ def build_minhash_index(
 ) -> None:
     """Materialize the signature + bucket store for ``docs``."""
     spark = docs.sparkSession
-    banded = _banded_long(
-        docs, id_col, text_col, shingle_len, num_hashes, bands, repartition_to
-    )
-    banded.write.mode("overwrite").partitionBy("pfx").parquet(
-        f"{index_path}/buckets"
-    )
     sig = dedup.minhash_signatures(
         docs, id_col, text_col, shingle_len, num_hashes, repartition_to
     )
     sig.write.mode("overwrite").parquet(f"{index_path}/signatures")
+    # buckets derive from the WRITTEN signatures — the shingle pipeline
+    # above ran once, materialized by the write; this read is store-sized
+    sig_stored = spark.read.parquet(f"{index_path}/signatures")
+    _buckets_from_sig(sig_stored, id_col, num_hashes, bands).write.mode(
+        "overwrite"
+    ).partitionBy("pfx").parquet(f"{index_path}/buckets")
     spark.createDataFrame(
         _params_row(shingle_len, num_hashes, bands),
         "shingle_len int, num_hashes int, bands int",
@@ -138,11 +130,14 @@ def append_to_minhash_index(
     """Add a batch's signatures/buckets to an existing index (ids must be
     new — the index does not dedup itself)."""
     _check_params(new_docs.sparkSession, index_path, shingle_len, num_hashes, bands)
-    banded = _banded_long(new_docs, id_col, text_col, shingle_len, num_hashes, bands)
-    banded.write.mode("append").partitionBy("pfx").parquet(f"{index_path}/buckets")
-    dedup.minhash_signatures(
+    sig = dedup.minhash_signatures(
         new_docs, id_col, text_col, shingle_len, num_hashes
-    ).write.mode("append").parquet(f"{index_path}/signatures")
+    ).cache()  # one shingle pass feeds both writes
+    sig.write.mode("append").parquet(f"{index_path}/signatures")
+    _buckets_from_sig(sig, id_col, num_hashes, bands).write.mode(
+        "append"
+    ).partitionBy("pfx").parquet(f"{index_path}/buckets")
+    sig.unpersist()
 
 
 
@@ -171,12 +166,15 @@ def dedup_against_index(
     spark = new_docs.sparkSession
     _check_params(spark, index_path, shingle_len, num_hashes, bands)
 
-    # cached: the prefix collect, the cross probe, and the within self-join
-    # all read it; batch-sized, evicted LRU (the returned plan is lazy, so
-    # an eager unpersist here would silently recompute the shingle pass).
-    new_banded = _banded_long(
-        new_docs, id_col, text_col, shingle_len, num_hashes, bands
+    # cached: the signature frame feeds the bucket derivation AND the
+    # estimator join (one shingle pass, not two); the bucket frame is read
+    # by the prefix collect, the cross probe, and the within self-join.
+    # Batch-sized, evicted LRU (the returned plan is lazy, so an eager
+    # unpersist here would silently recompute the shingle pass).
+    new_sig = dedup.minhash_signatures(
+        new_docs, id_col, text_col, shingle_len, num_hashes
     ).cache()
+    new_banded = _buckets_from_sig(new_sig, id_col, num_hashes, bands).cache()
     pfxs = [r.pfx for r in new_banded.select("pfx").distinct().collect()]
     idx = spark.read.parquet(f"{index_path}/buckets").filter(
         F.col("pfx").isin(pfxs)
@@ -211,9 +209,6 @@ def dedup_against_index(
     )
     cands = cross.unionByName(within).distinct()
 
-    new_sig = dedup.minhash_signatures(
-        new_docs, id_col, text_col, shingle_len, num_hashes
-    )
     all_sig = spark.read.parquet(f"{index_path}/signatures").unionByName(new_sig)
     eq = [
         (F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}")).cast("int")

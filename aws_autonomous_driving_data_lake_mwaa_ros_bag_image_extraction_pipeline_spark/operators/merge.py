@@ -45,8 +45,12 @@ def merge_into(
     the same contract Hive-style MERGE implementations carry).
     """
     if delete_col is not None:
-        deletes = source.filter(F.col(delete_col)).select(*keys, partition_col)
-        source = source.filter(~F.col(delete_col)).drop(delete_col)
+        # NULL flag = plain upsert (the common case of an unset flag
+        # column): without the coalesce, ~NULL is NULL and the row would
+        # satisfy NEITHER branch — silently dropped from the merge
+        flag = F.coalesce(F.col(delete_col), F.lit(False))
+        deletes = source.filter(flag).select(*keys, partition_col)
+        source = source.filter(~flag).drop(delete_col)
 
     # a source with the same key twice is ambiguous (which row wins?) —
     # reject it like Hive/Delta MERGE do rather than silently keeping both
@@ -81,13 +85,34 @@ def merge_into(
             .collect()
         )
     ]
-    old = spark.read.parquet(target_path).filter(
-        F.col(partition_col).isin(touched)
+    # null-safe partition membership: isin() never matches NULL, so a
+    # batch touching the NULL partition (__HIVE_DEFAULT_PARTITION__)
+    # would read no survivors from it yet still dynamically overwrite
+    # it — permanently deleting every pre-existing NULL-partition row
+    non_null = [t for t in touched if t is not None]
+    part_pred = (
+        F.col(partition_col).isin(non_null) if non_null else F.lit(False)
     )
-    # keep old rows whose key is absent from the batch (and not deleted)
-    survivors = old.join(source.select(*keys), keys, "left_anti")
+    if any(t is None for t in touched):
+        part_pred = part_pred | F.col(partition_col).isNull()
+    old = spark.read.parquet(target_path).filter(part_pred)
+
+    # keep old rows whose key is absent from the batch (and not deleted);
+    # the anti-joins compare null-safely so a NULL-key source row REPLACES
+    # a NULL-key target row (matching the groupBy dup-check, which also
+    # treats NULL keys as equal) instead of duplicating it every merge
+    import functools
+
+    def _anti(left: DataFrame, right_keys: DataFrame) -> DataFrame:
+        cond = functools.reduce(
+            lambda a, b: a & b,
+            [left[k].eqNullSafe(right_keys[k]) for k in keys],
+        )
+        return left.join(right_keys, cond, "left_anti")
+
+    survivors = _anti(old, source.select(*keys))
     if delete_col is not None:
-        survivors = survivors.join(deletes.select(*keys), keys, "left_anti")
+        survivors = _anti(survivors, deletes.select(*keys))
     merged = survivors.unionByName(source)
 
     staging = target_path.rstrip("/") + "__staging"
@@ -105,8 +130,12 @@ def merge_into(
     remaining = {r[0] for r in staged.select(partition_col).distinct().collect()}
     for val in touched:
         if val not in remaining:
+            # NULL partitions live under Hive's default-partition dir name
+            leaf = (
+                "__HIVE_DEFAULT_PARTITION__" if val is None else str(val)
+            )
             shutil.rmtree(
-                os.path.join(target_path, f"{partition_col}={val}"),
+                os.path.join(target_path, f"{partition_col}={leaf}"),
                 ignore_errors=True,
             )
     shutil.rmtree(staging, ignore_errors=True)

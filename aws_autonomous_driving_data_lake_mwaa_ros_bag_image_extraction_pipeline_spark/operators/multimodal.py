@@ -124,7 +124,12 @@ def decode_image(
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf[["bag_id", "camera", "frame_index"]].copy()
-            decoded = [codec(c) for c in pdf[content_col]]
+            # NULL blob (failed upstream extraction) -> NULL row fields,
+            # not a bytes(None) TypeError that kills the task
+            decoded = [
+                codec(c) if c is not None else (None, None, None)
+                for c in pdf[content_col]
+            ]
             out["width"] = [d[0] for d in decoded]
             out["height"] = [d[1] for d in decoded]
             out["rgb"] = [d[2] for d in decoded]
@@ -167,7 +172,10 @@ def resize_frames(
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
-            out["content"] = [resizer(c, width, height) for c in pdf["content"]]
+            out["content"] = [
+                resizer(c, width, height) if c is not None else None
+                for c in pdf["content"]
+            ]
             out["width"] = width
             out["height"] = height
             yield out
@@ -211,6 +219,10 @@ def audio_windows(
         for pdf in batches:
             out = {"__id": [], "win_idx": [], "t0_ms": [], "n_samples": [], "samples": []}
             for cid, blob in zip(pdf[id_col], pdf[content_col]):
+                if blob is None:
+                    continue  # NULL clip: no windows (frombuffer(None) raises)
+                if len(blob) % 2:  # truncated upload: drop the odd tail byte
+                    blob = blob[:-1]
                 x = np.frombuffer(blob, dtype="<i2")
                 n_wins = 0 if len(x) < win else (len(x) - win) // hop + 1
                 for w in range(n_wins):
@@ -249,6 +261,8 @@ def audio_features(
         for pdf in batches:
             rms, zcr, peak = [], [], []
             for blob in pdf["samples"]:
+                if blob is None:
+                    blob = b""  # NULL window: degenerate zero features
                 x = np.frombuffer(blob, dtype="<i2").astype("float64") / 32768.0
                 rms.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
                 zcr.append(
@@ -331,6 +345,9 @@ def dhash_frames(
         for pdf in batches:
             hashes = []
             for blob in pdf[content_col]:
+                if blob is None:
+                    hashes.append(None)  # NULL frame: no hash, not a crash
+                    continue
                 arr = png.decode(bytes(blob)).astype("float64")
                 if arr.ndim == 3:
                     gray = (

@@ -44,9 +44,15 @@ def change_intervals(
     """
     order = [ts_col, tie_col] if tie_col else [ts_col]
     w = Window.partitionBy(key_col).orderBy(*order)
+    # null-safe change detection: with a bare !=, a value→NULL transition
+    # yields NULL (not counted — the NULL period vanishes from history)
+    # and NULL→NULL starts a spurious new run. The first event of a key
+    # is detected by lag over a constant (NULL only on row 1), NOT by
+    # lag(attr).isNull() — which can't tell "no previous row" from
+    # "previous attr was NULL".
     changed = (
-        F.lag(attr_col).over(w).isNull()
-        | (F.col(attr_col) != F.lag(attr_col).over(w))
+        F.lag(F.lit(1)).over(w).isNull()
+        | ~F.col(attr_col).eqNullSafe(F.lag(attr_col).over(w))
     ).cast("int")
     runs = events.withColumn(
         "__run",

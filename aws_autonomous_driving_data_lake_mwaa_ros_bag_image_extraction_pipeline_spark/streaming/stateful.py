@@ -46,6 +46,11 @@ def streaming_dedup(
         fresh: list = []
         for pdf in pdfs:
             for i in pdf[id_col].tolist():
+                # NULL/NaN ids have no identity to dedup on: NaN never
+                # equals itself (re-emitted every batch) and None breaks
+                # the sorted() state encoding — exclude them
+                if i is None or i != i:
+                    continue
                 if i not in seen:
                     seen.add(i)
                     fresh.append(i)
@@ -99,6 +104,8 @@ def streaming_dedup_bloom(
         fresh: list = []
         for pdf in pdfs:
             for i in pdf[id_col].tolist():
+                if i is None or i != i:  # NULL/NaN id: same as exact dedup
+                    continue
                 pos = _probes(i)
                 if all(bits[p >> 3] & (1 << (p & 7)) for p in pos):
                     continue  # (probably) seen
@@ -182,6 +189,10 @@ def streaming_transition_counts(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         rows = pd.concat(list(pdfs), ignore_index=True)
+        # NULL ts/tie/type rows are excluded (batch transition_matrix
+        # convention): a NaT frontier would store int64-min and disable
+        # late-event dropping, and a NaN tie crashes the int64 cast
+        rows = rows.dropna(subset=[ts_col, tie_col, type_col])
         rows = rows.sort_values([ts_col, tie_col], kind="mergesort")
         prev_type = None
         if state.exists:
@@ -326,7 +337,13 @@ def streaming_resample_ffill(
     out_schema = (
         f"{key_col} {dt[key_col]}, grid_ts timestamp, {value_col} {value_type}"
     )
-    state_schema = f"next_grid long, last_val {value_type}"
+    # last_s is the event-time frontier: grid points up to it already
+    # emitted with the fill value in force at that time, so an event from
+    # a LATER batch at-or-before the frontier is a late arrival the
+    # emitted chain cannot be rewritten around — drop it instead of
+    # letting it overwrite last_val (the same drop-late contract as
+    # streaming_transition_counts and a watermarked window)
+    state_schema = f"next_grid long, last_val {value_type}, last_s long"
     step = int(step_seconds)
 
     def _fill(
@@ -336,31 +353,44 @@ def streaming_resample_ffill(
         if not parts:
             return
         pdf = pd.concat(parts)
+        pdf = pdf.dropna(subset=[ts_col])  # NULL ts: no time-axis position
+        if not len(pdf):
+            return
         order = [ts_col, tie_col] if tie_col else [ts_col]
         pdf = pdf.sort_values(order, kind="mergesort")
         secs = pdf[ts_col].astype("int64") // 1_000_000_000
         vals = pdf[value_col]
         if state.exists:
-            next_grid, last_val = state.get
+            next_grid, last_val, last_e = state.get
         else:
-            next_grid, last_val = int(secs.iloc[0]) // step * step, None
+            next_grid, last_val, last_e = (
+                int(secs.iloc[0]) // step * step,
+                None,
+                None,
+            )
         out_g: list[int] = []
         out_v: list = []
-        last_e = None
         for e, v in zip(secs.tolist(), vals.tolist()):
-            if last_e is not None and e < last_e:  # defensive; sorted above
-                continue
+            if last_e is not None and e < last_e:
+                continue  # late (cross- or intra-batch): already emitted past it
             while next_grid < e:
                 out_g.append(next_grid)
                 out_v.append(last_val)
                 next_grid += step
-            last_val = v
+            if v is not None and v == v:  # NULL value: observation marks
+                last_val = v  # time but carries no fill (batch ignorenulls)
             last_e = e
         while last_e is not None and next_grid <= last_e:
             out_g.append(next_grid)
             out_v.append(last_val)
             next_grid += step
-        state.update((int(next_grid), last_val))
+        state.update(
+            (
+                int(next_grid),
+                last_val,
+                int(last_e) if last_e is not None else None,
+            )
+        )
         if out_g:
             yield pd.DataFrame(
                 {

@@ -237,3 +237,25 @@ def test_sessionize_and_transitions_exclude_null_rows(spark):
         for r in sz.transition_matrix(ev2).collect()
     }
     assert tm == {("A", "B"): (1, 1.0)}  # A->B of the observable sequence
+
+
+def test_scd_null_value_periods_tracked(spark):
+    """A value→NULL transition starts a NULL validity period (previously
+    absorbed into the prior run), and consecutive NULLs don't split
+    (regression: NULL-unsafe inequality)."""
+    import datetime as dt
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.scd import (
+        change_intervals,
+    )
+
+    t = lambda i: dt.datetime(2024, 1, 1 + i)  # noqa: E731
+    ev = spark.createDataFrame(
+        [(1, t(0), "A"), (1, t(1), None), (1, t(2), None), (1, t(3), "A")],
+        "k long, ts timestamp, attr string",
+    )
+    runs = sorted(
+        (r.valid_from, r.attr)
+        for r in change_intervals(ev, "k", "ts", "attr").collect()
+    )
+    assert runs == [(t(0), "A"), (t(1), None), (t(3), "A")]

@@ -64,3 +64,25 @@ def test_merge_idempotent_replay(spark, tmp_path):
     merge.merge_into(spark, batch, path, keys=["id"], partition_col="day")
     got = sorted((r.id, r.val) for r in spark.read.parquet(path).collect())
     assert got == [(1, "a"), (2, "b")]
+
+
+def test_merge_null_flag_partition_and_keys(spark, tmp_path):
+    """NULL delete flags are plain upserts (not silently dropped), the
+    NULL partition's survivors are preserved, and NULL-key rows REPLACE
+    null-safely instead of duplicating every merge (regression)."""
+    path = str(tmp_path / "t")
+    base = _rows(spark, [(1, "a", "d1"), (2, "b", None), (None, "x", None)])
+    merge.merge_into(spark, base, path, keys=["id"], partition_col="day")
+
+    batch = spark.createDataFrame(
+        [(3, "c", None, None), (None, "X", None, None), (1, None, "d1", True)],
+        "id long, val string, day string, del boolean",
+    ).select("id", "val", "day", F.col("del"))
+    merge.merge_into(
+        spark, batch, path, keys=["id"], partition_col="day", delete_col="del"
+    )
+
+    got = {r.id: (r.val, r.day) for r in spark.read.parquet(path).collect()}
+    # 1 deleted; 2 (NULL partition survivor) kept; 3 inserted despite
+    # NULL flag; NULL key replaced once, not duplicated
+    assert got == {2: ("b", None), 3: ("c", None), None: ("X", None)}

@@ -198,3 +198,45 @@ def test_dhash_near_dup_images(spark):
     }
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_null_blobs_do_not_crash_codec_paths(spark):
+    """NULL content blobs (failed upstream extraction) yield NULL/absent
+    rows instead of bytes(None)/np.frombuffer(None) TypeErrors killing
+    the task (regression); odd-length PCM drops the truncated tail byte."""
+    import numpy as np
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.functions import (
+        png,
+    )
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        multimodal,
+    )
+
+    img = png.encode(np.zeros((4, 4, 3), dtype="uint8"))
+    frames = spark.createDataFrame(
+        [("b1", "cam0", 0, bytearray(img)), ("b1", "cam0", 1, None)],
+        "bag_id string, camera string, frame_index int, content binary",
+    )
+    dec = {r.frame_index: r.width for r in multimodal.decode_image(frames).collect()}
+    assert dec[0] == 4 and dec[1] is None
+
+    dh = multimodal.dhash_frames(
+        frames.withColumn(
+            "fid", F.concat("bag_id", F.col("frame_index").cast("string"))
+        ),
+        id_col="fid",
+    ).collect()
+    assert len(dh) == 2  # no crash
+    assert sorted(r.dhash is None for r in dh) == [False, True]  # NULL row hashless
+
+    pcm = (np.arange(300, dtype="<i2")).tobytes()
+    clips = spark.createDataFrame(
+        [("c1", bytearray(pcm)), ("c2", None), ("c3", bytearray(pcm + b"\x01"))],
+        "clip_id string, content binary",
+    )
+    wins = multimodal.audio_windows(
+        clips, sample_rate=100, win_ms=1000, hop_ms=1000
+    ).collect()
+    ids = {r.clip_id for r in wins}
+    assert "c1" in ids and "c2" not in ids and "c3" in ids

@@ -408,3 +408,54 @@ def test_streaming_transition_counts_drops_cross_batch_late_rows(spark, tmp_path
     _w("b4.json", [(1, 6, "2024-01-01T00:04:00", "d")])
     _tick()
     assert sorted((r.from_type, r.to_type) for r in sink) == [("c", "d")]
+
+
+def test_streaming_resample_drops_cross_batch_late_events(spark, tmp_path):
+    """A late event arriving in a LATER micro-batch must not overwrite
+    the ffill state: the emitted chain already passed it (regression —
+    the intra-batch guard reset per invocation)."""
+    import glob
+    import json as _json
+    import os
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+
+    def tick(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for ts_s, v in rows:
+                f.write(_json.dumps({"key": "k", "ts_s": ts_s, "v": v}) + "\n")
+        events = (
+            spark.readStream.schema("key string, ts_s long, v long")
+            .json(src)
+            .withColumn("ts", F.timestamp_seconds(F.col("ts_s")))
+            .drop("ts_s")
+        )
+        q = (
+            stateful.streaming_resample_ffill(
+                events, key_col="key", ts_col="ts", value_col="v",
+                step_seconds=60, tie_col=None,
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    from pyspark.sql import functions as F
+
+    tick("b1.json", [(65, 1)])
+    tick("b2.json", [(30, 9)])  # late: before the consumed frontier (65)
+    tick("b3.json", [(130, 7)])
+
+    got = {
+        int(r.grid_ts.timestamp()): r.v
+        for r in spark.read.parquet(out).collect()
+        if glob.glob(out + "/*.parquet")
+    }
+    # grid point 120 must carry 1 (the value in force), not the late 9
+    assert got.get(120) == 1
