@@ -161,7 +161,18 @@ def draw_boxes(
     if img.ndim == 2:
         img = np.stack([img] * 3, axis=2)
     h, w = img.shape[:2]
-    col = np.array(color[: img.shape[2]], dtype=np.uint8)
+    ch = img.shape[2]
+    if ch >= 3:
+        # pad with opaque alpha for RGBA — a 3-vector assigned into an
+        # (…,4) image is a numpy broadcast error, and the codec itself
+        # decodes color type 6 to 4 channels
+        col = np.array(
+            (list(color) + [255] * (ch - 3))[:ch], dtype=np.uint8
+        )
+    else:
+        # grey(+alpha): draw the color's luma so the box is visible
+        luma = int(0.299 * color[0] + 0.587 * color[1] + 0.114 * color[2])
+        col = np.array(([luma] + [255])[:ch], dtype=np.uint8)
 
     def span(lo: int, hi: int, limit: int) -> slice:  # inclusive, clipped
         return slice(max(0, lo), min(limit, hi + 1))

@@ -75,9 +75,16 @@ def annotate_frames(frames_with_labels: DataFrame) -> DataFrame:
             out = pdf[["bag_id", "camera", "frame_index"]].copy()
             annotated = []
             for content, bxs in zip(pdf["content"], pdf["boxes"]):
+                if content is None:  # quarantined decode: no pixels to draw
+                    annotated.append(None)
+                    continue
                 arr = png.decode(bytes(content))
                 rel = [
-                    (b["Left"], b["Top"], b["Width"], b["Height"]) for b in bxs
+                    (b["Left"], b["Top"], b["Width"], b["Height"])
+                    for b in bxs
+                    # NULL BoundingBox struct or NULL coordinate: no box
+                    if b is not None
+                    and None not in (b["Left"], b["Top"], b["Width"], b["Height"])
                 ]
                 annotated.append(png.encode(png.draw_boxes(arr, rel)))
             out["annotated"] = annotated

@@ -70,7 +70,13 @@ def widen_topic(messages: DataFrame, topic: str, fields: dict[str, str] | None =
     cols = [F.col("bag_id"), F.col("rosbagTimestamp"), F.col("seq")]
     for name, typ in fields.items():
         safe = name.replace(".", "_")
-        cols.append(F.col("payload").getItem(name).cast(typ).alias(safe))
+        # try_cast: one malformed payload value (corrupt bag garbage)
+        # yields NULL in that cell instead of an ANSI CAST_INVALID_INPUT
+        # abort of the whole flatten — the per-file coercion tolerance
+        # the reference's pandas path had (bag_to_csv.py)
+        cols.append(
+            F.col("payload").getItem(name).try_cast(typ).alias(safe)
+        )
     return messages.filter(F.col("topic") == topic).select(*cols)
 
 

@@ -23,8 +23,16 @@ COUNTED = {"Person": "Ped_Count", "Bicycle": "Bike_Count", "Motorcycle": "Motorb
 
 
 def exploded_labels(labels: DataFrame, frame_cols: list[str] | None = None) -> DataFrame:
+    """One row per (frame, label). explode_OUTER + a NULL-name filter
+    inside the aggregations' inputs: a frame with NULL/empty labels keeps
+    one all-NULL label row, so it still gets its zero-count output row
+    (the reference writes counts for every processed frame,
+    processing.py:272-283) instead of silently vanishing; label entries
+    with a NULL Name are dropped (they can't key a map or a pivot)."""
     frame_cols = frame_cols or ["bag_id", "camera", "frame_index"]
-    return labels.select(*frame_cols, F.explode("labels").alias("label")).select(
+    return labels.select(
+        *frame_cols, F.explode_outer("labels").alias("label")
+    ).select(
         *frame_cols,
         F.regexp_replace(F.col("label.Name"), " ", "_").alias("name"),  # P9
         F.col("label.Confidence").alias("confidence"),
@@ -54,10 +62,22 @@ def max_confidence_map(labels: DataFrame, frame_cols: list[str] | None = None) -
     """
     frame_cols = frame_cols or ["bag_id", "camera", "frame_index"]
     ex = exploded_labels(labels, frame_cols)
-    per_label = ex.groupBy(*frame_cols, "name").agg(F.max("confidence").alias("conf"))
+    # NULL names can't key a map ([NULL_MAP_KEY] aborts the job) — the
+    # outer-exploded placeholder rows and nameless label entries drop
+    # here, but collect_list of zero entries still yields the frame's
+    # row with an EMPTY map
+    per_label = (
+        ex.groupBy(*frame_cols, "name")
+        .agg(F.max("confidence").alias("conf"))
+    )
     return per_label.groupBy(*frame_cols).agg(
         F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("name", "conf")))
+            F.array_sort(
+                F.filter(
+                    F.collect_list(F.struct("name", "conf")),
+                    lambda e: e["name"].isNotNull(),
+                )
+            )
         ).alias("label_conf")
     )
 

@@ -23,16 +23,21 @@ def parse_camera(filename: Column) -> Column:
 
 
 def parse_frame_index(filename: Column) -> Column:
-    """First 4-digit run = frame index (processing.py:207 — P7)."""
-    return F.regexp_extract(filename, r"(\d{4})", 1).cast("int")
+    """First 4-digit run = frame index (processing.py:207 — P7).
+    A filename with no 4-digit run yields NULL — regexp_extract's
+    no-match empty string through a plain cast would abort the whole
+    scan under ANSI mode on one stray file."""
+    return F.regexp_extract(filename, r"(\d{4})", 1).try_cast("int")
 
 
 def parse_bag_time(prefix: Column) -> Column:
     """``YYYY-MM-DD-HH-MM-SS`` from the bag's S3 prefix dir
     (processing.py:210-213 — P8)."""
-    return F.to_timestamp(
+    # try_to_timestamp: a prefix without the date segment yields NULL
+    # instead of an ANSI CANNOT_PARSE_TIMESTAMP job abort
+    return F.try_to_timestamp(
         F.regexp_extract(prefix, r"(\d{4}-\d{2}-\d{2}-\d{2}-\d{2}-\d{2})", 1),
-        "yyyy-MM-dd-HH-mm-ss",
+        F.lit("yyyy-MM-dd-HH-mm-ss"),
     )
 
 
@@ -49,11 +54,16 @@ def strip_bag_suffix(key: Column) -> Column:
 
 
 def with_frame_identity(files: DataFrame, path_col: str = "path") -> DataFrame:
-    """binaryFile-style listing → typed frame rows (S10 + P5 + P7 + P8)."""
+    """binaryFile-style listing → typed frame rows (S10 + P5 + P7 + P8).
+    ``bag_id`` = the containing directory name (the bag's output prefix,
+    engine.py:148) — derived here so ``gap_audit``'s default
+    (bag_id, camera) partitioning composes directly with this scan."""
     fname = F.element_at(F.split(F.col(path_col), "/"), -1)
+    bag_dir = F.element_at(F.split(F.col(path_col), "/"), -2)
     return (
         files.filter(F.col(path_col).endswith(".png"))  # P5
         .withColumn("filename", fname)
+        .withColumn("bag_id", bag_dir)
         .withColumn("camera", parse_camera(F.col("filename")))
         .withColumn("frame_index", parse_frame_index(F.col("filename")))
         .withColumn("bag_time", parse_bag_time(F.col(path_col)))

@@ -71,6 +71,10 @@ def read_evolved(spark, paths: list[str], strict_types: bool = True):
     """
     from pyspark.sql import functions as F  # noqa: F401
 
+    if not paths:  # a glob that matched nothing: clear error, not IndexError
+        raise ValueError(
+            "read_evolved: no generation paths given (empty listing?)"
+        )
     dfs = [spark.read.parquet(p) for p in paths]
     if strict_types:
         seen: dict[str, tuple[str, str]] = {}

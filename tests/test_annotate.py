@@ -159,3 +159,47 @@ def test_detect_color_blobs_components():
         for i in road["Instances"]
     )
     assert areas == [96, 160]
+
+
+def test_draw_boxes_rgba_and_null_content(spark):
+    """draw_boxes on a 4-channel image pads the color with opaque alpha
+    (previously a numpy broadcast crash on any RGBA PNG the codec itself
+    decodes), and annotate_frames passes NULL content through as a NULL
+    annotated cell instead of bytes(None) (regression)."""
+    import numpy as np
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.functions import (
+        png,
+    )
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        annotate,
+    )
+
+    rgba = np.zeros((10, 10, 4), dtype="uint8")
+    rgba[:, :, 3] = 255
+    out = png.draw_boxes(rgba, [(0.1, 0.1, 0.5, 0.5)])
+    assert out.shape == (10, 10, 4)
+    assert out[1, 3, 1] == png.GREEN[1]  # green channel written
+    assert out[1, 3, 3] == 255  # alpha stays opaque
+
+    grey = np.zeros((10, 10), dtype="uint8")
+    out2 = png.draw_boxes(grey, [(0.1, 0.1, 0.5, 0.5)])
+    assert out2[1, 3].max() > 0  # visible luma box, not black-on-black
+
+    img = png.encode(np.zeros((6, 6, 3), dtype="uint8"))
+    rows = [
+        (
+            "b", "left", 1, bytearray(img),
+            [([((0.1, 0.1, 0.3, 0.3),)],), ([(None,)],)],
+        ),
+        ("b", "left", 2, None, None),
+    ]
+    schema = (
+        "bag_id string, camera string, frame_index int, content binary, "
+        "labels array<struct<Instances array<struct<BoundingBox "
+        "struct<Left double, Top double, Width double, Height double>>>>>"
+    )
+    frames = spark.createDataFrame(rows, schema)
+    got = {r.frame_index: r.annotated for r in annotate.annotate_frames(frames).collect()}
+    assert got[1] is not None
+    assert got[2] is None

@@ -101,3 +101,31 @@ def test_fixture_pivot_vs_python(spark):
         for k, v in want_counts.items():
             assert got_counts[key][k] == v, (key, k)
         assert got_maps[key] == pytest.approx(want_conf), key
+
+
+def test_frames_without_labels_get_zero_rows_and_null_names_drop(spark):
+    """A frame with NULL (or empty) labels still gets its zero-count row
+    (reference writes counts for every processed frame), and a NULL label
+    Name can't crash the map build with NULL_MAP_KEY (regression)."""
+    rows = [
+        ("b", "left", 1, [(("Person"), 90.0, [((0.1, 0.1, 0.2, 0.2),)]), ((None), 50.0, [])]),
+        ("b", "left", 2, None),
+    ]
+    schema = (
+        "bag_id string, camera string, frame_index int, labels array<struct<"
+        "Name string, Confidence double, Instances array<struct<"
+        "BoundingBox struct<Left double, Top double, Width double, Height double>>>>>"
+    )
+    labels = spark.createDataFrame(rows, schema)
+    counts = {
+        r.frame_index: r.Ped_Count
+        for r in frame_stats.instance_counts(labels).collect()
+    }
+    assert counts == {1: 1, 2: 0}  # label-less frame present with zeros
+
+    maps = {
+        r.frame_index: dict(r.label_conf)
+        for r in frame_stats.max_confidence_map(labels).collect()
+    }
+    assert maps[1] == {"Person": 90.0}  # NULL name dropped, no crash
+    assert maps[2] == {}  # empty map, frame row kept

@@ -59,3 +59,25 @@ def test_strip_bag_suffix(spark):
     df = spark.createDataFrame([("drives/x_bag0000.bag",), ("drives/keep.txt",)], "key string")
     got = [r[0] for r in df.select(fr.strip_bag_suffix(F.col("key"))).collect()]
     assert got == ["drives/x_bag0000", "drives/keep.txt"]
+
+
+def test_identity_parses_tolerate_nonconforming_paths(spark):
+    """A filename without a 4-digit run or a path without a date segment
+    yields NULL fields instead of an ANSI cast/parse abort of the whole
+    scan (regression); bag_id is derived so gap_audit composes."""
+    files = spark.createDataFrame(
+        [
+            ("s3://b/2020-11-19-09-30-01/left0001.png",),
+            ("s3://b/misc/calib.png",),  # no digits, no date
+        ],
+        "path string",
+    )
+    got = {r.filename: r for r in fr.with_frame_identity(files).collect()}
+    ok = got["left0001.png"]
+    assert ok.frame_index == 1 and ok.bag_time is not None
+    assert ok.bag_id == "2020-11-19-09-30-01"
+    bad = got["calib.png"]
+    assert bad.frame_index is None and bad.bag_time is None
+    assert bad.frame_time is None
+    # composition: the audit's default (bag_id, camera) partitioning works
+    fr.gap_audit(fr.with_frame_identity(files)).collect()
