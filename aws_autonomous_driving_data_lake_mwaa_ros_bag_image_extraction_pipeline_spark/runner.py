@@ -61,6 +61,13 @@ def process_bags(
     failed paths ride back on the write job's ``observe()`` metrics (no
     extra pass, no driver-side per-bag loop). Returns the failed bag paths
     (O2: the caller records them as ``failure`` in the manifest).
+
+    REPLAY-IDEMPOTENT sinks: every landing table partitions by bag_id and
+    writes as a DYNAMIC partition overwrite, so a bag re-run after
+    ``clear_status`` (or a tick retried after a mid-pipeline failure)
+    rewrites ITS OWN partitions instead of appending duplicates — a bag
+    whose telemetry landed but whose frames stage failed would otherwise
+    double its topic_messages on replay.
     """
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
@@ -82,9 +89,13 @@ def process_bags(
         F.approx_count_distinct(F.when(~bad, F.col("topic"))).alias("n_topics"),
         failed_set.alias("failed_paths"),
     )
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     msgs.filter(~bad).drop("bag_path", "decode_error").write.partitionBy(
-        "topic"
-    ).mode("append").option("compression", "snappy").parquet(
+        "bag_id", "topic"
+    ).mode("overwrite").option("compression", "snappy").parquet(
         f"{cfg.output_dir}/topic_messages"
     )
     cfg.extra["last_metrics"] = obs.get
@@ -94,31 +105,45 @@ def process_bags(
     if failed:
         good = batch.filter(~F.col("path").isin(failed))
     frames_obs = Observation("frame_decode")
+    # persist: the bag parse + per-frame PNG encode is the most expensive
+    # stage, and frames feeds THREE sinks (stats, labels, annotated) —
+    # uncached it would re-decode every bag once per sink
     frames = (
         frames_source.decode_bag_frames(good, on_error="quarantine")
         .observe(frames_obs, failed_set.alias("failed_paths"))
         .filter(~bad)
         .drop("bag_path", "decode_error")
-    )
-    labels = annotate.infer_labels(frames, model_fn=cfg.model_fn)
-    stats = frame_stats.pivot_stats(labels)
-    stats.write.mode("append").parquet(f"{cfg.output_dir}/frame_stats")
-    failed += [p for p in frames_obs.get["failed_paths"] if p not in failed]
-    labels.write.partitionBy("bag_id", "camera").mode("append").json(
-        f"{cfg.output_dir}/labels"
-    )
-
-    annotated = annotate.annotate_frames(
-        frames.join(labels, ["bag_id", "camera", "frame_index"])
-    )
-    annotated.write.partitionBy("bag_id", "camera").mode("append").parquet(
-        f"{cfg.output_dir}/annotated"
-    )
-    if cfg.sync_dir is not None:
-        sinks.export_binary_files(
-            annotated.withColumn("filename", sinks.frame_filename()),
-            cfg.sync_dir,
+    ).persist()
+    labels = annotate.infer_labels(frames, model_fn=cfg.model_fn).persist()
+    try:
+        stats = frame_stats.pivot_stats(labels)
+        stats.write.partitionBy("bag_id").mode("overwrite").parquet(
+            f"{cfg.output_dir}/frame_stats"
         )
+        failed += [
+            p for p in frames_obs.get["failed_paths"] if p not in failed
+        ]
+        labels.write.partitionBy("bag_id", "camera").mode("overwrite").json(
+            f"{cfg.output_dir}/labels"
+        )
+
+        annotated = annotate.annotate_frames(
+            frames.join(labels, ["bag_id", "camera", "frame_index"])
+        )
+        annotated.write.partitionBy("bag_id", "camera").mode(
+            "overwrite"
+        ).parquet(f"{cfg.output_dir}/annotated")
+        if cfg.sync_dir is not None:
+            sinks.export_binary_files(
+                annotated.withColumn("filename", sinks.frame_filename()),
+                cfg.sync_dir,
+            )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_mode
+        )
+        frames.unpersist()
+        labels.unpersist()
     return failed
 
 

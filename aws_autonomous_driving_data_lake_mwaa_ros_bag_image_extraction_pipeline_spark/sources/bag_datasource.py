@@ -47,6 +47,29 @@ TOPIC_MESSAGES_DDL = (
     "payload map<string,string>"
 )
 
+# Quarantine row for a bag whose decode raises: the reserved topic marks
+# it, payload carries the error. Without this, one corrupt bag fails the
+# task — and in the STREAMING form the checkpointed offset replays the
+# same bag forever (a permanent poison pill that blocks every later bag).
+DECODE_ERROR_TOPIC = "__decode_error__"
+
+
+def _decode_or_quarantine(path: str, topics):
+    from .rosbag_format import rosbag_decoder
+
+    with open(path, "rb") as f:
+        content = f.read()
+    try:
+        pdf = rosbag_decoder(path, content, topics)
+    except Exception as exc:  # noqa: BLE001 — quarantine boundary (same
+        import os  # contract as frames_source._quarantined)
+
+        stem = os.path.basename(path).split(".bag")[0]
+        yield (stem, DECODE_ERROR_TOPIC, None, None, {"error": str(exc)[:500]})
+        return
+    for row in pdf.itertuples(index=False):
+        yield tuple(row)
+
 
 class BagInputPartition(InputPartition):
     def __init__(self, path: str):
@@ -65,24 +88,20 @@ class BagDataSourceReader(DataSourceReader):
         """One bag = one partition (the reference's unit of work)."""
         import os
 
-        out = []
+        paths = []
         for dirpath, _dirs, files in os.walk(self.root):
             for f in sorted(files):
                 if ".bag" in f:
-                    out.append(BagInputPartition(os.path.join(dirpath, f)))
-        if not out:
+                    paths.append(os.path.join(dirpath, f))
+        if not paths:
             raise FileNotFoundError(f"no bag files under {self.root}")
-        return out
+        _check_unique_stems(paths)
+        return [BagInputPartition(p) for p in paths]
 
     def read(self, partition: BagInputPartition) -> Iterator[tuple]:
-        # Executor-side: parse one bag, applying the topic pushdown.
-        from .rosbag_format import rosbag_decoder
-
-        with open(partition.path, "rb") as f:
-            content = f.read()
-        pdf = rosbag_decoder(partition.path, content, self.topics)
-        for row in pdf.itertuples(index=False):
-            yield tuple(row)
+        # Executor-side: parse one bag, applying the topic pushdown; a
+        # corrupt bag yields one quarantine row instead of a task failure.
+        yield from _decode_or_quarantine(partition.path, self.topics)
 
 
 def _list_bags(root: str) -> list[str]:
@@ -93,7 +112,27 @@ def _list_bags(root: str) -> list[str]:
         for f in files:
             if ".bag" in f:
                 out.append(os.path.join(dirpath, f))
+    _check_unique_stems(out)
     return sorted(out)
+
+
+def _check_unique_stems(paths: list[str]) -> None:
+    """The bag filename stem IS the bag's identity (bag_id keys the
+    per-topic partition layout downstream), so two files sharing a stem
+    in different directories would silently overwrite each other's
+    partitions — fail the listing loudly instead."""
+    import os
+
+    seen: dict[str, str] = {}
+    for p in paths:
+        stem = os.path.basename(p).split(".bag")[0]
+        if stem in seen and seen[stem] != p:
+            raise ValueError(
+                f"duplicate bag stem {stem!r}: {seen[stem]} vs {p} — "
+                "bag_id is the filename stem, so stems must be unique "
+                "across the ingest tree"
+            )
+        seen.setdefault(stem, p)
 
 
 class BagStreamReader(DataSourceStreamReader):
@@ -125,13 +164,7 @@ class BagStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: BagInputPartition) -> Iterator[tuple]:
-        from .rosbag_format import rosbag_decoder
-
-        with open(partition.path, "rb") as f:
-            content = f.read()
-        pdf = rosbag_decoder(partition.path, content, self.topics)
-        for row in pdf.itertuples(index=False):
-            yield tuple(row)
+        yield from _decode_or_quarantine(partition.path, self.topics)
 
     def commit(self, end: dict) -> None:
         pass  # nothing external to clean up; files stay in place

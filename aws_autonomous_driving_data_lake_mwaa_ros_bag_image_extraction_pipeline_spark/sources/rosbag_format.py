@@ -77,28 +77,61 @@ def iter_records(
     while pos < end:
         start = pos
         (hlen,) = _U32.unpack_from(buf, pos)
+        if pos + 4 + hlen > end:  # truncated mid-header: fail loudly so
+            raise ValueError(  # the quarantine boundary records it —
+                f"truncated bag record header at {start}"  # a silent
+            )  # partial decode would commit a half-uploaded bag as final
         hdr = _parse_header(buf, pos + 4, pos + 4 + hlen)
         pos += 4 + hlen
         (dlen,) = _U32.unpack_from(buf, pos)
+        if pos + 4 + dlen > end:
+            raise ValueError(f"truncated bag record data at {start}")
         data = buf[pos + 4 : pos + 4 + dlen]
         pos += 4 + dlen
         yield hdr, data, start
 
 
 def _decompress_chunk(hdr: dict[str, bytes], data: bytes) -> bytes:
+    """Decompress one chunk, BOUNDED by the header's declared
+    uncompressed ``size``: a crafted/corrupt chunk can otherwise expand
+    KBs into GBs (a decompression bomb that burns CPU/memory for hours
+    in the pure-Python LZ4 loop, which the quarantine boundary — catching
+    exceptions only — never sees). Output exceeding or missing the
+    declared size raises, so the bag quarantines instead."""
     comp = hdr.get("compression", b"none").decode("ascii")
+    declared = (
+        _U32.unpack(hdr["size"])[0] if "size" in hdr else None
+    )
     if comp == "none":
         return data
+    cap = declared if declared is not None else (1 << 30)
     if comp == "bz2":
-        return bz2.decompress(data)
-    if comp == "lz4":
+        dec = bz2.BZ2Decompressor()
+        out = dec.decompress(data, cap + 1)
+        if len(out) > cap:
+            raise ValueError(
+                f"bz2 chunk expands past declared size {declared}"
+            )
+        result = out
+    elif comp == "lz4":
         try:
             import lz4.frame  # type: ignore[import-not-found]
 
-            return lz4.frame.decompress(data)
+            result = lz4.frame.decompress(data)
         except ImportError:
-            return lz4_frame_decompress(data)
-    raise ValueError(f"unknown chunk compression {comp!r}")
+            result = lz4_frame_decompress(data, max_out=cap)
+        if len(result) > cap:
+            raise ValueError(
+                f"lz4 chunk expands past declared size {declared}"
+            )
+    else:
+        raise ValueError(f"unknown chunk compression {comp!r}")
+    if declared is not None and len(result) != declared:
+        raise ValueError(
+            f"chunk decompressed to {len(result)} bytes, header declares "
+            f"{declared} — corrupt chunk"
+        )
+    return result
 
 
 # ---------------------------------------------------------------------------
@@ -112,8 +145,11 @@ _LZ4_LEGACY_MAGIC = 0x184C2102
 _LZ4_FRAME_MAGIC = 0x184D2204
 
 
-def lz4_block_decompress(src: bytes) -> bytes:
-    """Decompress one raw LZ4 block (token / literals / offset+match)."""
+def lz4_block_decompress(src: bytes, max_out: int | None = None) -> bytes:
+    """Decompress one raw LZ4 block (token / literals / offset+match).
+    ``max_out`` caps the output INSIDE the copy loops — the bomb shape is
+    a tiny block whose match sequences each expand ~255x, so checking
+    only after the loop would do the work before failing."""
     out = bytearray()
     i, n = 0, len(src)
     while i < n:
@@ -129,6 +165,8 @@ def lz4_block_decompress(src: bytes) -> bytes:
                     break
         out += src[i : i + lit]
         i += lit
+        if max_out is not None and len(out) > max_out:
+            raise ValueError("LZ4 block exceeds declared output size")
         if i >= n:  # last sequence: literals only
             break
         offset = src[i] | (src[i + 1] << 8)
@@ -146,14 +184,17 @@ def lz4_block_decompress(src: bytes) -> bytes:
         start = len(out) - offset
         if start < 0:
             raise ValueError("corrupt LZ4 block (offset past start)")
+        if max_out is not None and len(out) + mlen > max_out:
+            raise ValueError("LZ4 block exceeds declared output size")
         for _ in range(mlen):  # byte-wise: matches may overlap themselves
             out.append(out[start])
             start += 1
     return bytes(out)
 
 
-def lz4_frame_decompress(data: bytes) -> bytes:
-    """Decompress an LZ4 legacy frame (roslz4) or standard frame."""
+def lz4_frame_decompress(data: bytes, max_out: int | None = None) -> bytes:
+    """Decompress an LZ4 legacy frame (roslz4) or standard frame.
+    ``max_out`` bounds the total output (decompression-bomb guard)."""
     (magic,) = _U32.unpack_from(data, 0)
     out = bytearray()
     if magic == _LZ4_LEGACY_MAGIC:
@@ -166,7 +207,8 @@ def lz4_frame_decompress(data: bytes) -> bytes:
                 pos += 4
                 continue
             pos += 4
-            out += lz4_block_decompress(data[pos : pos + blen])
+            rem = None if max_out is None else max_out + 1 - len(out)
+            out += lz4_block_decompress(data[pos : pos + blen], max_out=rem)
             pos += blen
         return bytes(out)
     if magic == _LZ4_FRAME_MAGIC:
@@ -189,7 +231,12 @@ def lz4_frame_decompress(data: bytes) -> bytes:
             pos += bsize
             if block_checksums:
                 pos += 4
-            out += block if uncompressed else lz4_block_decompress(block)
+            rem = None if max_out is None else max_out + 1 - len(out)
+            out += block if uncompressed else lz4_block_decompress(
+                block, max_out=rem
+            )
+            if max_out is not None and len(out) > max_out:
+                raise ValueError("LZ4 frame exceeds declared output size")
         return bytes(out)
     raise ValueError(f"not an LZ4 frame (magic {magic:#x})")
 
@@ -322,6 +369,16 @@ def make_reader(
                     off += 4
                 else:
                     n = f.array_len
+                if n > len(buf) - off:
+                    # a corrupt/crafted count (e.g. 0xFFFFFFFF over an
+                    # empty sub-message) would otherwise spin billions of
+                    # zero-byte iterations without ever raising — every
+                    # genuine element consumes >= 1 byte, so the count
+                    # can never exceed the remaining buffer
+                    raise ValueError(
+                        f"corrupt bag: array count {n} exceeds "
+                        f"{len(buf) - off} remaining bytes at field {key!r}"
+                    )
                 if f.type in ("uint8", "char", "byte", "int8"):
                     out[key] = bytes(buf[off : off + n])
                     off += n
@@ -898,7 +955,11 @@ def rosbag_frame_decoder(path: str, content: bytes):
             arr = np.frombuffer(data, dtype=np.uint8).reshape(h, w)
         else:
             raise ValueError(f"unsupported image encoding {enc!r} at {path}")
-        camera = conn.topic.strip("/").split("/")[1]
+        segs = conn.topic.strip("/").split("/")
+        # '/camera/left/image_raw' -> 'left'; a single-segment topic
+        # ('/image_raw', common on single-camera rigs) keys on that
+        # segment instead of IndexError-quarantining the whole bag
+        camera = segs[1] if len(segs) > 1 else segs[0]
         seq = int(flat.get("header.seq", 0))
         stamp_us = (
             int(flat.get("header.stamp.secs", 0)) * 1_000_000

@@ -234,8 +234,12 @@ def clear_status(spark: SparkSession, manifest_dir: str, keys: list[str]) -> Non
     append_status(spark, manifest_dir, keys, None)
 
 
-def _log_paths(manifest_dir: str, version: int) -> list[str]:
-    """Data dirs a reader at ``version`` must union: the snapshot ≤
+def _log_paths(
+    manifest_dir: str, version: int
+) -> list[tuple[int, str]]:
+    """(rank, data dir) pairs a reader at ``version`` must union — rank
+    is the commit version (a snapshot ranks at its BASE), ascending, and
+    is the LWW tie-break order. Content: the snapshot ≤
     version with the HIGHEST base (its rows cover every commit ≤ base),
     plus every append commit in (base, version]. Keying on the
     snapshot's ``base`` — the head its compactor actually read — rather
@@ -262,8 +266,16 @@ def _log_paths(manifest_dir: str, version: int) -> list[str]:
         ]
     else:
         keep = versions
+    # rank snapshots by their BASE for ordering purposes: a snapshot's
+    # rows fold commits <= base, so any append with version > base must
+    # outrank them in the LWW tie-break
+    rank = {
+        v: (entries[v].get("base", v - 1) if entries[v]["action"] == "snapshot" else v)
+        for v in keep
+    }
     return [
-        _entry_data_path(manifest_dir, v, entries[v]) for v in sorted(set(keep))
+        (rank[v], _entry_data_path(manifest_dir, v, entries[v]))
+        for v in sorted(set(keep))
     ]
 
 
@@ -272,19 +284,39 @@ def _log_frame(
 ) -> DataFrame:
     """The raw transition log visible at ``version`` (see ``_log_paths``
     for the snapshot/append resolution — that's what makes compaction
-    O(live keys) to read while leaving history untouched)."""
-    paths = _log_paths(manifest_dir, version)
-    if not paths:
-        return spark.createDataFrame([], MANIFEST_LOG_SCHEMA)
-    return spark.read.schema(MANIFEST_LOG_SCHEMA).parquet(*paths)
+    O(live keys) to read while leaving history untouched). Each row
+    carries ``__v`` (its commit's version; a snapshot's rows carry its
+    base) so last-writer-wins can break equal-timestamp ties by COMMIT
+    ORDER — two appends in the same microsecond (e.g. _process_batch's
+    back-to-back status calls, or two racing writers) would otherwise
+    resolve nondeterministically."""
+    sources = _log_paths(manifest_dir, version)
+    if not sources:
+        return spark.createDataFrame([], MANIFEST_LOG_SCHEMA + ", __v long")
+    frames = [
+        spark.read.schema(MANIFEST_LOG_SCHEMA)
+        .parquet(path)
+        .withColumn("__v", F.lit(int(v)))
+        for v, path in sources
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
 
 
 def _last_writer_wins(log: DataFrame) -> DataFrame:
-    w = Window.partitionBy("key").orderBy(F.desc("updated_at"))
+    """One row per key: latest ``updated_at`` wins (event-time LWW — the
+    documented semantic; writers with skewed clocks should use one clock
+    source), with the commit version as the deterministic tie-break."""
+    order = [F.desc("updated_at")]
+    if "__v" in log.columns:
+        order.append(F.desc("__v"))
+    w = Window.partitionBy("key").orderBy(*order)
     return (
         log.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", *(["__v"] if "__v" in log.columns else []))
     )
 
 
@@ -381,6 +413,10 @@ def _read_log_arrow(data_dirs: list[str]):
 
     files: list[str] = []
     for d in data_dirs:
+        if isinstance(d, tuple):  # (rank, path) from _log_paths — the
+            d = d[1]  # ascending rank order IS the concat order, so the
+            # stable mergesort in the arrow compactor resolves equal
+            # timestamps to the later commit, same as the Spark LWW
         files.extend(sorted(_glob.glob(os.path.join(d, "*.parquet"))))
     tables = []
     for f in files:
@@ -520,6 +556,19 @@ def _process_batch(
     return statuses
 
 
+def _await_tick(q, timeout_s: int) -> None:
+    """awaitTermination with the timeout treated as a FAILURE: returning
+    silently would leave the query running and the tick half-done (the
+    next tick against the same checkpoint then hits a concurrent-query
+    error, or the process exits mid-write). Stop the query and raise."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming tick did not finish within {timeout_s}s "
+            "(query stopped; checkpoint will resume it next tick)"
+        )
+
+
 def run_available_now(
     spark: SparkSession,
     source_dir: str,
@@ -550,7 +599,7 @@ def run_available_now(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    _await_tick(q, timeout_s)
 
 
 def zonemap_maintaining_sink(
@@ -605,7 +654,7 @@ def run_zonemap_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    _await_tick(q, timeout_s)
 
 
 def windowed_event_counts(
@@ -946,7 +995,7 @@ def streaming_bag_ingest(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    _await_tick(q, timeout_s)
 
 
 def gram_fold_batch(

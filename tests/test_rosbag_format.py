@@ -228,14 +228,14 @@ def test_chunk_info_skips_whole_chunks(monkeypatch):
     data = fixtures.rosbag_bytes(
         0, duration_s=1, frames_per_camera=2, compression="bz2"
     )
-    real_decompress = rb.bz2.decompress
+    real_cls = rb.bz2.BZ2Decompressor
     calls = []
 
-    def counting(payload):
-        calls.append(1)
-        return real_decompress(payload)
+    def counting():  # the bomb-capped path decompresses via
+        calls.append(1)  # BZ2Decompressor, one instance per chunk
+        return real_cls()
 
-    monkeypatch.setattr(rb.bz2, "decompress", counting)
+    monkeypatch.setattr(rb.bz2, "BZ2Decompressor", counting)
 
     rb.rosbag_decoder("x/bag0000.bag", data, None)
     n_all = len(calls)
@@ -335,3 +335,84 @@ def test_read_bag_messages_seq_gaps_surface(spark, tmp_path):
     assert seqs == sorted(
         r[3] for r in fixtures._bag_rows(0, 4) if r[1] == "/imu"
     )
+
+
+def test_truncated_bag_raises_not_partial_decode():
+    """A bag cut at a record boundary must raise (so the quarantine
+    boundary records it) instead of parsing cleanly to a partial result —
+    a bag listed mid-upload would otherwise commit half its messages as
+    final (regression)."""
+    data = fixtures.rosbag_bytes(0, duration_s=1, frames_per_camera=0)
+    with pytest.raises(Exception):
+        rb.rosbag_decoder("x/bag0000.bag", data[: len(data) - 40], None)
+
+
+def test_corrupt_array_count_bounded():
+    """A crafted u32 array count larger than the remaining bytes raises
+    immediately instead of spinning billions of no-op iterations that pin
+    the executor without ever failing (regression)."""
+    import struct
+
+    reader = rb.make_reader(rb.parse_definition("float64[] x\n"))
+    buf = struct.pack("<I", 0xFFFFFFFF) + b"\x00" * 64
+    out: dict = {}
+    with pytest.raises(ValueError, match="array count"):
+        reader(buf, 0, "", out)
+
+
+def test_lz4_block_output_cap():
+    """The pure-Python LZ4 block loop enforces max_out INSIDE the copy
+    loops — a tiny crafted block expanding ~255x per extension byte is a
+    decompression bomb the post-hoc size check would only catch after
+    doing the work (regression)."""
+    # literals: 1 byte 'A'; then a match with huge run-length extension
+    block = bytes([0x1F, ord("A"), 0x01, 0x00]) + b"\xff" * 200 + b"\x00"
+    with pytest.raises(ValueError, match="declared output"):
+        rb.lz4_block_decompress(block, max_out=10_000)
+
+
+def test_datasource_quarantines_corrupt_bag(spark, tmp_path):
+    """One corrupt bag in the tree yields a quarantine row instead of
+    failing the task — in the streaming form a raise would replay the
+    same bag forever off the checkpointed offset (regression)."""
+    import os
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.sources.bag_datasource import (
+        DECODE_ERROR_TOPIC,
+        BagDataSource,
+    )
+
+    root = str(tmp_path / "bags")
+    os.makedirs(root)
+    with open(os.path.join(root, "bag0000.bag"), "wb") as f:
+        f.write(fixtures.rosbag_bytes(0, duration_s=1, frames_per_camera=0))
+    with open(os.path.join(root, "badbag.bag"), "wb") as f:
+        f.write(b"#ROSBAG V2.0\x0agarbage-after-magic")
+
+    spark.dataSource.register(BagDataSource)
+    df = spark.read.format("rosbag").option("path", root).load()
+    rows = df.collect()
+    errs = [r for r in rows if r.topic == DECODE_ERROR_TOPIC]
+    assert len(errs) == 1 and errs[0].bag_id == "badbag"
+    assert "error" in errs[0].payload
+    assert any(r.topic != DECODE_ERROR_TOPIC for r in rows)  # good bag decoded
+
+
+def test_duplicate_bag_stems_rejected(tmp_path):
+    """Two bag files sharing a stem in different directories would
+    silently overwrite each other's bag_id partitions downstream — the
+    listing fails loudly instead (regression)."""
+    import os
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.sources.bag_datasource import (
+        _list_bags,
+    )
+
+    root = str(tmp_path / "bags")
+    os.makedirs(os.path.join(root, "a"))
+    os.makedirs(os.path.join(root, "b"))
+    for d in ("a", "b"):
+        with open(os.path.join(root, d, "run0001.bag"), "wb") as f:
+            f.write(b"x")
+    with pytest.raises(ValueError, match="duplicate bag stem"):
+        _list_bags(root)

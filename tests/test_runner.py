@@ -136,3 +136,36 @@ def test_failure_isolation_is_one_job_per_tick(spark, tmp_path):
     big = tick_jobs("tick-big", 4, True)
     assert small > 0
     assert big == small  # 4 bags: same job count as 1 (both with a corrupt bag)
+
+
+def test_replay_is_idempotent_no_duplicate_rows(spark, tmp_path):
+    """clear_status + re-run rewrites the bag's own partitions instead of
+    appending duplicates — a bag whose telemetry landed but whose frames
+    stage failed would otherwise double its topic_messages on replay
+    (regression)."""
+    bags = str(tmp_path / "bags")
+    out = str(tmp_path / "out")
+    manifest = str(tmp_path / "manifest")
+    fixtures.write_bag_dir(bags, n_bags=2, tar_gz=())
+    cfg = runner.PipelineConfig(
+        bags_dir=bags, output_dir=out, manifest_dir=manifest
+    )
+    assert len(runner.run_once(spark, cfg)) == 2
+
+    def counts():
+        msgs = spark.read.parquet(f"{out}/topic_messages")
+        stats = spark.read.parquet(f"{out}/frame_stats")
+        return (
+            msgs.count(),
+            msgs.select("bag_id").distinct().count(),
+            stats.count(),
+        )
+
+    before = counts()
+    # replay ONE bag through the reference's clear-tag path
+    key = sorted(
+        r.key for r in sp.current_manifest(spark, manifest).collect()
+    )[0]
+    sp.clear_status(spark, manifest, [key])
+    assert runner.run_once(spark, cfg) == {key: "complete"}
+    assert counts() == before  # rewrote its partitions; zero duplicates

@@ -516,3 +516,25 @@ def test_vacuum_reclaims_orphans(tmp_path):
     assert not os.path.exists(new_orphan)
     for v in sp._versions(m):
         assert sp._read_log_arrow(sp._log_paths(m, v)).num_rows > 0
+
+
+def test_lww_equal_timestamps_resolve_by_commit_order(spark, tmp_path):
+    """Two appends carrying the SAME updated_at must resolve to the later
+    COMMIT deterministically, in both the Spark reader and the driver-side
+    arrow compactor (regression: row_number over updated_at alone picked
+    an arbitrary winner)."""
+    import datetime as dt
+
+    m = str(tmp_path / "manifest")
+    ts = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rel = sp._stage_rows(None, m, [("k", "first", ts)])
+    sp._claim_commit(m, "append", rel)
+    rel = sp._stage_rows(None, m, [("k", "second", ts)])
+    sp._claim_commit(m, "append", rel)
+
+    got = {r.key: r.status for r in sp.current_manifest(spark, m).collect()}
+    assert got == {"k": "second"}
+
+    sp.compact_manifest(None, m)  # arrow compactor must agree
+    got = {r.key: r.status for r in sp.current_manifest(spark, m).collect()}
+    assert got == {"k": "second"}
