@@ -49,14 +49,23 @@ def export_binary_files(
     rows = df.select(path_col, content_col)
     allowed = tuple(suffixes)
 
+    root = os.path.abspath(dest_dir)
+
     def _write(it) -> None:
         for row in it:
             name = row[0]
-            if not name.endswith(allowed):
-                continue  # filtered sync (engine.py:282-300)
+            if name is None or not name.endswith(allowed):
+                continue  # filtered sync (engine.py:282-300); a NULL
+                # filename (NULL identity upstream) is skipped like a
+                # non-whitelisted suffix, not an AttributeError task kill
             # relative paths (e.g. "<bag_id>/left0193.png") mirror the
-            # reference's per-prefix layout and prevent cross-bag collisions
-            target = os.path.join(dest_dir, name)
+            # reference's per-prefix layout and prevent cross-bag
+            # collisions; resolve and confine to the export root — an
+            # absolute or '..'-bearing name from corrupt data must not
+            # write outside dest_dir (os.path.join would let it)
+            target = os.path.abspath(os.path.join(root, name.lstrip("/")))
+            if not target.startswith(root + os.sep):
+                continue
             os.makedirs(os.path.dirname(target), exist_ok=True)
             with open(target, "wb") as f:
                 f.write(row[1] or b"")
@@ -84,9 +93,14 @@ def frame_filename(
     bag_col: str | None = "bag_id",
 ) -> Column:
     """``[<bag_id>/]<camera><%04d idx>.png`` — the reference's frame naming
-    (export.launch:2-9) under the bag's prefix, for the file-tree export."""
+    (export.launch:2-9) under the bag's prefix, for the file-tree export.
+    format_string, not lpad: lpad TRUNCATES strings longer than the pad
+    width, so frame 10000 would silently collide with (and overwrite)
+    frame 1000's exported file; %04d never shortens."""
     name = F.concat(
-        F.col(camera_col), F.lpad(F.col(idx_col).cast("string"), 4, "0"), F.lit(".png")
+        F.col(camera_col),
+        F.format_string("%04d", F.col(idx_col).cast("int")),
+        F.lit(".png"),
     )
     if bag_col is None:
         return name

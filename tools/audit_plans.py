@@ -6,7 +6,11 @@ Flags plan smells that break at 100 TB:
 - BroadcastNestedLoopJoin outside the queries that document it (exact
   brute-force paths)
 - row-at-a-time Python UDFs (BatchEvalPython) — Arrow paths are fine
-- parquet scans with no ReadSchema pruning (reading every column)
+- full-width parquet scans (ReadSchema covering EVERY column of a wide
+  table — no column pruning)
+- MORE BroadcastNestedLoopJoins than a query's documented allowance (the
+  allowance is a per-query COUNT, so a regression that adds a second,
+  unbounded nested loop to an allowlisted query is still flagged)
 
 Usage: python tools/audit_plans.py [query ...]   (default: all)
 Exit code 1 if an unexpected smell appears — wire into CI next to pytest.
@@ -34,6 +38,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # - lm_fluency_scores: cross join against a broadcast 1-row vocab-size agg
 # - funnel_stages: three broadcast 1-row stage-count aggregates joined
 # - tfidf_cosine_pairs: cross join against a broadcast 1-row corpus-count agg
+# name -> max allowed BNLJ operator count in the plan (measured from the
+# documented-contract plans; a regression ADDING a nested loop beyond the
+# allowance is flagged even for allowlisted queries)
 ALLOWED_BNLJ = {
     "brute_force_topk",
     "similar_nation_names",
@@ -134,6 +141,57 @@ ALLOWED_BNLJ = {
     # count (the modulus for the md5 draws)
     "contrastive_negatives",
 }
+
+
+# measured operator counts for the documented-contract plans: a
+# regression ADDING a nested loop beyond these is flagged even for
+# allowlisted queries (set exempted the whole plan before)
+_BNLJ_ALLOWANCE = {
+    "ann_recall_at5": 1,
+    "benchmark_contamination_bloom": 1,
+    "benford_first_digit": 1,
+    "bigram_pmi": 2,
+    "bloom_prune_join": 1,
+    "bm25_topk": 1,
+    "brute_force_topk": 1,
+    "chi2_lang_source": 1,
+    "contrastive_negatives": 1,
+    "cosine_similarity_histogram": 1,
+    "daily_autocorrelation": 1,
+    "distinctive_terms": 1,
+    "dow_effect_size": 3,
+    "embedding_dup_pairs": 1,
+    "equi_depth_price_histogram": 1,
+    "event_type_pagerank": 22,
+    "funnel_stages": 2,
+    "hnsw_recall_at5": 1,
+    "idle_rich_customers": 1,
+    "important_parts": 1,
+    "ivf_recall_at5": 3,
+    "ivf_topk": 2,
+    "ivf_topk_fast": 2,
+    "km_time_to_purchase": 1,
+    "knn_graph_clustering": 2,
+    "lines_per_order_poisson_gof": 1,
+    "lm_fluency_scores": 1,
+    "minhash_recall_audit": 1,
+    "part_basket_lift": 1,
+    "pq_recall_at5": 1,
+    "price_quartiles": 1,
+    "psi_value_drift": 6,
+    "rfm_scores": 3,
+    "semantic_dedup_survivors": 3,
+    "session_impl_consistency": 1,
+    "session_type_lift": 1,
+    "simhash_recall_audit": 2,
+    "similar_nation_names": 1,
+    "source_kl_divergence": 4,
+    "tfidf_cosine_pairs": 4,
+    "type_cross_correlation": 1,
+    "value_histogram": 1,
+    "winsorized_value_stats": 1,
+}
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
@@ -148,6 +206,14 @@ def main() -> int:
     spark = get_spark("plan_audit")
     spark.sparkContext.setLogLevel("ERROR")
     names = sys.argv[1:] or list(registry.QUERIES)
+
+    import re
+
+    widths = {
+        t: len(spark.read.parquet(f"{SF_DIR}/{t}.parquet").columns)
+        for t in _TABLES
+    }
+
     failures = 0
     for name in names:
         df = registry.QUERIES[name].fn(spark, SF_DIR)
@@ -158,15 +224,71 @@ def main() -> int:
         smells = []
         if "CartesianProduct" in plan:
             smells.append("CartesianProduct")
-        if "BroadcastNestedLoopJoin" in plan and name not in ALLOWED_BNLJ:
-            smells.append("BroadcastNestedLoopJoin")
+        n_bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
+        allowed = _BNLJ_ALLOWANCE.get(name, 0)
+        if n_bnlj > allowed:
+            smells.append(
+                f"BroadcastNestedLoopJoin x{n_bnlj} (allowed {allowed})"
+            )
         if "BatchEvalPython" in plan:
             smells.append("row-at-a-time Python UDF")
+        smells += _full_width_scans(plan, widths, name)
         status = "ok" if not smells else "SMELL: " + ", ".join(smells)
         print(f"{name:<26} {status}")
         failures += bool(smells)
     print(f"\n{len(names) - failures} clean / {len(names)} audited")
     return 1 if failures else 0
+
+
+_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# queries that legitimately need EVERY column of a wide table
+ALLOWED_FULL_SCAN: set[str] = set()
+
+_FULL_SCAN_MIN_WIDTH = 8  # narrow dims reading all columns is fine
+
+
+def _top_level_fields(struct_body: str) -> int:
+    """Count top-level fields of a ReadSchema struct<...> body (nested
+    structs/arrays contain commas — count at bracket depth 0)."""
+    depth, n = 0, 0
+    if not struct_body.strip():
+        return 0
+    for ch in struct_body:
+        if ch in "<([":
+            depth += 1
+        elif ch in ">)]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            n += 1
+    return n + 1
+
+
+def _full_width_scans(plan: str, widths: dict, name: str) -> list[str]:
+    """Flag parquet scans whose ReadSchema covers EVERY column of a wide
+    gate table — no column pruning reached the scan."""
+    import re
+
+    if name in ALLOWED_FULL_SCAN:
+        return []
+    out = []
+    table = None
+    for line in plan.splitlines():
+        m = re.search(r"/([a-z_]+)\.parquet", line)
+        if "Location" in line and m:
+            table = m.group(1)
+            continue
+        m = re.search(r"ReadSchema: struct<(.*)>\s*$", line)
+        if m and table in widths:
+            w = widths[table]
+            n = _top_level_fields(m.group(1))
+            if w >= _FULL_SCAN_MIN_WIDTH and n >= w:
+                out.append(f"full-width scan of {table} ({n}/{w} cols)")
+            table = None
+    return sorted(set(out))
 
 
 if __name__ == "__main__":

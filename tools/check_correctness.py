@@ -32,21 +32,40 @@ TABLES = [
 
 
 def canon(v) -> str:
+    """UNAMBIGUOUS canonical rendering — the gate's hash is only as good
+    as this encoding, so every token is self-delimiting:
+
+    - strings are length-prefixed ("3:a|b" can never collide with two
+      fields "a" and "b" across the unescaped "|" join);
+    - SQL NULL is a reserved token distinct from any length-prefixed
+      string (the literal string "NULL" renders "4:NULL");
+    - ±inf handled before the int-collapse check (int(inf) raised
+      OverflowError and killed the whole gate run mid-loop);
+    - tz-aware timestamps normalize to UTC before dropping tzinfo
+      (replace() alone collapsed distinct instants on non-UTC hosts).
+    """
     if v is None:
-        return "NULL"
+        return "␀"  # ␀ — reserved NULL token (strings are prefixed)
+    if isinstance(v, bool):
+        return str(int(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if math.isinf(v):
+            return "inf" if v > 0 else "-inf"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(round(v, 9))
     if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, bool):
-        return str(int(v))
+        if v.tzinfo is not None:
+            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
     if isinstance(v, (list, tuple)):
+        # "," between self-delimiting tokens: ["a,b"] → "[3:a,b]" vs
+        # ["a","b"] → "[1:a,1:b]", and [1,23] vs [12,3] differ too
         return "[" + ",".join(canon(x) for x in v) + "]"
-    return str(v)
+    s = str(v)
+    return f"{len(s)}:{s}"
 
 
 def table_digest(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
@@ -121,8 +140,13 @@ def main() -> None:
             results[name] = f"ORACLE-ERR {type(e).__name__}: {str(e)[:200]}"
             records[name] = _rec(spark_rows=len(s_rows), err=results[name])
             continue
-        s_hash, s_n = table_digest(s_cols, s_rows)
-        d_hash, d_n = table_digest(d_cols, d_rows)
+        try:  # a digest crash must fail THIS query, not abort the gate
+            s_hash, s_n = table_digest(s_cols, s_rows)
+            d_hash, d_n = table_digest(d_cols, d_rows)
+        except Exception as e:  # noqa: BLE001
+            results[name] = f"DIGEST-ERR {type(e).__name__}: {str(e)[:200]}"
+            records[name] = _rec(spark_rows=len(s_rows), err=results[name])
+            continue
         records[name] = _rec(
             rows_match=s_n == d_n,
             schema_match=sorted(s_cols) == sorted(d_cols),

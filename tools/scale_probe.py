@@ -115,9 +115,17 @@ def replicate_points(pts: DataFrame, k: int) -> DataFrame:
 
 def main() -> None:
     multiples = [1, 2, 5, 10]
-    for a in sys.argv[1:]:
-        if a.startswith("--multiples"):
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
+        if a == "--multiples" and i + 1 < len(argv):  # space-separated
+            multiples = [int(x) for x in argv[i + 1].split(",")]
+        elif a.startswith("--multiples="):
             multiples = [int(x) for x in a.split("=", 1)[1].split(",")]
+    if len(multiples) < 2:
+        raise SystemExit(
+            "--multiples needs >= 2 points (the exponent is a fit "
+            "between the lowest and highest multiple)"
+        )
 
     from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.functions import (
         text as T,
