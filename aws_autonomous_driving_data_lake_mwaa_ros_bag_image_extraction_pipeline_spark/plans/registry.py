@@ -4893,7 +4893,8 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag, CAST(n AS BIGINT) AS n,
            ROUND((n * sxy - sx * sy)
-                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r
+                 / NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0),
+                 6) AS r
     FROM a
     """,
 )
@@ -7100,10 +7101,12 @@ def q_pq_recall_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cur, b GROUP BY 1
     ),
     j AS (
-      SELECT rb.bin,
-             CAST(rb.n AS DOUBLE) / (SELECT SUM(n) FROM rb) AS p,
-             CAST(cb.n AS DOUBLE) / (SELECT SUM(n) FROM cb) AS q
-      FROM rb JOIN cb ON rb.bin = cb.bin
+      SELECT COALESCE(rb.bin, cb.bin) AS bin,
+             GREATEST(CAST(COALESCE(rb.n, 0) AS DOUBLE)
+                      / (SELECT SUM(n) FROM rb), 0.000001) AS p,
+             GREATEST(CAST(COALESCE(cb.n, 0) AS DOUBLE)
+                      / (SELECT SUM(n) FROM cb), 0.000001) AS q
+      FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
            ROUND(CAST(SUM(CAST((p - q) * ln(p / q) AS DECIMAL(28,12)))
@@ -7118,7 +7121,13 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact deciles (1-row broadcast — the same no-sort banding as the
     equi-depth histogram); each period then takes one count aggregation,
     and the PSI fold is a 10-row decimal-exact sum. Two scans total, both
-    with the period predicate pushed down."""
+    with the period predicate pushed down.
+
+    Zero-bin handling per the published definition: bins are FULL-OUTER
+    joined and empty proportions floored at ε=1e-6 before the log — an
+    inner join silently dropped any decile the current period emptied,
+    which understates drift exactly when drift is extreme (the dominant
+    (p−q)·ln(p/q) term is the one a vanished bin contributes)."""
     ev = _t(spark, sf_dir, "events")
     cut = F.lit("2024-01-16").cast("timestamp")
     ref = ev.filter(F.col("ts") < cut).select("value")
@@ -7142,13 +7151,18 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct = cb.agg(F.sum("n").alias("_ct"))
     j = (
         rb.withColumnRenamed("n", "rn")
-        .join(cb.withColumnRenamed("n", "cn"), "bin")
+        .join(cb.withColumnRenamed("n", "cn"), "bin", "full_outer")
+        .fillna(0, subset=["rn", "cn"])
         .join(F.broadcast(rt))
         .join(F.broadcast(ct))
         .select(
             "bin",
-            (F.col("rn") / F.col("_rt")).alias("p"),
-            (F.col("cn") / F.col("_ct")).alias("q"),
+            F.greatest(
+                F.col("rn") / F.col("_rt"), F.lit(0.000001)
+            ).alias("p"),
+            F.greatest(
+                F.col("cn") / F.col("_ct"), F.lit(0.000001)
+            ).alias("q"),
         )
     )
     term = ((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).cast(
@@ -7176,11 +7190,15 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY event_type ORDER BY day)
     )
     SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_days,
-           ROUND(AVG(CAST(abs(y - y_hat) AS DOUBLE)), 6) AS mae_seasonal,
+           CAST(COUNT(*) FILTER (WHERE y_hat IS NOT NULL) AS BIGINT)
+             AS n_days,
            ROUND(AVG(CAST(abs(y - y_hat) AS DOUBLE))
-                 / AVG(CAST(abs(y - y_prev) AS DOUBLE)), 6) AS mase
-    FROM f WHERE y_hat IS NOT NULL AND y_prev IS NOT NULL
+                   FILTER (WHERE y_hat IS NOT NULL), 6) AS mae_seasonal,
+           ROUND(AVG(CAST(abs(y - y_hat) AS DOUBLE))
+                   FILTER (WHERE y_hat IS NOT NULL)
+                 / AVG(CAST(abs(y - y_prev) AS DOUBLE))
+                   FILTER (WHERE y_prev IS NOT NULL), 6) AS mase
+    FROM f
     GROUP BY event_type
     """,
 )
@@ -7189,7 +7207,13 @@ def q_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     last week) scored as MASE against the one-step naive — the number any
     capacity-planning forecast must beat (<1 means weekly seasonality is
     real signal). Daily counts are one aggregation; both lags ride one
-    window over the |types|×|days| table."""
+    window over the |types|×|days| table.
+
+    Per Hyndman & Koehler, the scaling denominator is the in-sample
+    one-step naive MAE over t=2..n (ALL lag-1 pairs) — restricting it to
+    the days where the lag-7 forecast also exists (the earlier form,
+    mirrored in the oracle so the gate couldn't see it) dropped the
+    first week's ramp errors and inflated the reported MASE."""
     ev = _t(spark, sf_dir, "events")
     d = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
@@ -7201,11 +7225,13 @@ def q_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         F.lag("y", 7).over(w).alias("y_hat"),
         F.lag("y", 1).over(w).alias("y_prev"),
-    ).filter(F.col("y_hat").isNotNull() & F.col("y_prev").isNotNull())
+    )
+    # avg() skips NULLs, so each estimator covers exactly its own
+    # defined support: seasonal errors over t=8..n, naive over t=2..n
     mae_s = F.avg(F.abs(F.col("y") - F.col("y_hat")).cast("double"))
     mae_1 = F.avg(F.abs(F.col("y") - F.col("y_prev")).cast("double"))
     return f.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.count("y_hat").cast("bigint").alias("n_days"),
         F.round(mae_s, 6).alias("mae_seasonal"),
         F.round(mae_s / mae_1, 6).alias("mase"),
     )
@@ -7433,7 +7459,8 @@ def q_pareto_frontier_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     SELECT CAST(lag_days AS INTEGER) AS lag_days, CAST(n AS BIGINT) AS n_days,
            ROUND((n * sxy - sx * sy)
-                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r
+                 / NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0),
+                 6) AS r
     FROM m
     """,
 )
@@ -7483,7 +7510,7 @@ def q_type_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "lag_days",
         F.col("n").cast("bigint").alias("n_days"),
-        F.round(num / den, 6).alias("r"),
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("r"),
     )
 
 
@@ -7502,7 +7529,7 @@ def q_type_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
                   - CAST(SUM(CAST(y AS DECIMAL(28,10))) AS DOUBLE)
                     * CAST(SUM(CAST(y AS DECIMAL(28,10))) AS DOUBLE)
                     / COUNT(*))
-                 / (COUNT(*) - 1)
+                 / NULLIF(COUNT(*) - 1, 0)
                  / (CAST(SUM(CAST(y AS DECIMAL(28,10))) AS DOUBLE)
                     / COUNT(*)), 6) AS fano_factor
     FROM d GROUP BY event_type
@@ -7513,7 +7540,9 @@ def q_count_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     type: ≈1 is Poisson-like arrivals, ≫1 is bursty (incident storms),
     ≪1 is rate-limited — the arrival-process fingerprint that picks the
     right capacity model. Sum/sum-of-squares identity over the
-    |types|×|days| table, decimal-exact."""
+    |types|×|days| table, decimal-exact. A type seen on a single day
+    gets fano_factor NULL (variance undefined at n=1) — the unguarded
+    (n−1) denominator was an ANSI divide-by-zero job abort."""
     ev = _t(spark, sf_dir, "events")
     d = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
@@ -7523,7 +7552,7 @@ def q_count_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     sy = dec(F.col("y"))
     syy = dec(F.col("y") * F.col("y"))
     mean = sy / n
-    var = (syy - sy * sy / n) / (n - 1)
+    var = (syy - sy * sy / n) / F.nullif((n - 1).cast("double"), F.lit(0.0))
     return d.groupBy("event_type").agg(
         n.cast("bigint").alias("n_days"),
         F.round(mean, 6).alias("mean_daily"),
@@ -8067,8 +8096,10 @@ def q_user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(n1 AS BIGINT) AS n_weekend, CAST(n2 AS BIGINT) AS n_weekday,
            ROUND(s1 / n1 - s2 / n2, 6) AS mean_diff,
            ROUND((s1 / n1 - s2 / n2)
-                 / sqrt(((sq1 - s1 * s1 / n1) / (n1 - 1)) / n1
-                        + ((sq2 - s2 * s2 / n2) / (n2 - 1)) / n2), 6)
+                 / NULLIF(sqrt(((sq1 - s1 * s1 / n1) / NULLIF(n1 - 1, 0))
+                                 / n1
+                               + ((sq2 - s2 * s2 / n2) / NULLIF(n2 - 1, 0))
+                                 / n2), 0), 6)
              AS welch_t
     FROM w
     """,
@@ -8092,13 +8123,18 @@ def q_weekend_spend_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec(F.when(~is_we, v * v)).alias("sq2"),
     )
     mean_diff = F.col("s1") / F.col("n1") - F.col("s2") / F.col("n2")
-    var1 = (F.col("sq1") - F.col("s1") * F.col("s1") / F.col("n1")) / (
-        F.col("n1") - 1
+    # NULLIF guards (ANSI mode): a single-row group makes (n-1) zero and
+    # a constant series makes the pooled standard error zero — both get
+    # welch_t NULL instead of aborting the job
+    var1 = (F.col("sq1") - F.col("s1") * F.col("s1") / F.col("n1")) / F.nullif(
+        F.col("n1") - 1, F.lit(0.0)
     )
-    var2 = (F.col("sq2") - F.col("s2") * F.col("s2") / F.col("n2")) / (
-        F.col("n2") - 1
+    var2 = (F.col("sq2") - F.col("s2") * F.col("s2") / F.col("n2")) / F.nullif(
+        F.col("n2") - 1, F.lit(0.0)
     )
-    t = mean_diff / F.sqrt(var1 / F.col("n1") + var2 / F.col("n2"))
+    t = mean_diff / F.nullif(
+        F.sqrt(var1 / F.col("n1") + var2 / F.col("n2")), F.lit(0.0)
+    )
     return m.select(
         F.col("n1").cast("bigint").alias("n_weekend"),
         F.col("n2").cast("bigint").alias("n_weekday"),
@@ -8331,11 +8367,14 @@ def q_isotonic_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass_in = float((w * y).sum())
     mass_fit = float(sum(v * ww for v, ww in zip(vals, wts)))
     mass_preserved = abs(mass_in - mass_fit) <= 1e-6 * abs(mass_in)
+    # empty series: still emit the 1-row certificate (n_days=0, mean
+    # NULL) instead of a driver-side ZeroDivisionError
+    mean = round(mass_in / total_w, 6) if total_w else None
     return spark.createDataFrame(
         [
             (
                 len(d),
-                round(mass_in / total_w, 6),
+                mean,
                 bool(fit_monotone),
                 bool(mass_preserved),
             )
@@ -8361,28 +8400,36 @@ def q_isotonic_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN d b ON b.day = a.day + CAST(l.lag_days AS INTEGER)
                                   * INTERVAL '1 day'
     ),
+    g AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS gsy,
+             CAST(SUM(CAST(y * y AS DECIMAL(28,10))) AS DOUBLE) AS gsyy
+      FROM d
+    ),
     m AS (
-      SELECT lag_days, CAST(COUNT(*) AS DOUBLE) AS n,
+      SELECT lag_days, CAST(COUNT(*) AS DOUBLE) AS c,
              CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(y * y AS DECIMAL(28,10))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS syp,
              CAST(SUM(CAST(x * y AS DECIMAL(28,10))) AS DOUBLE) AS sxy
       FROM j GROUP BY lag_days
     )
-    SELECT CAST(lag_days AS INTEGER) AS lag_days, CAST(n AS BIGINT) AS n_pairs,
-           ROUND((n * sxy - sx * sy)
-                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
-             AS acf
-    FROM m
+    SELECT CAST(lag_days AS INTEGER) AS lag_days, CAST(c AS BIGINT) AS n_pairs,
+           ROUND((sxy - (gsy / n) * sx - (gsy / n) * syp
+                  + c * (gsy / n) * (gsy / n))
+                 / NULLIF(gsyy - gsy * gsy / n, 0), 6) AS acf
+    FROM m, g
     """,
 )
 def q_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation of the total daily event count at lags 1–7 — the
     seasonality detector (a weekly cycle surfaces as an ACF peak at 7)
     feeding the seasonal-naive forecaster's lag choice. Same |days|-table
-    lag join + decimal Pearson identity as `type_cross_correlation`, with
-    the series correlated against itself."""
+    lag join as `type_cross_correlation`, but the statistic is the
+    STANDARD ACF (Box–Jenkins): deviations from the SINGLE series mean,
+    denominator = the full-series sum of squares — not a per-lag Pearson
+    of the pair sets, which re-centers each segment and reports 1.0 at
+    every lag for a plain trend (useless as a seasonality detector).
+    Constant series → NULL (zero variance), not an ANSI abort."""
     ev = _t(spark, sf_dir, "events")
     d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.count(F.lit(1)).cast("double").alias("y")
@@ -8401,23 +8448,29 @@ def q_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lag_days", F.col("y").alias("x"), F.col("yb").alias("y"))
     )
     dec = lambda c: F.sum(c.cast("decimal(28,10)")).cast("double")  # noqa: E731
-    m = j.groupBy("lag_days").agg(
+    g = d.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
+        dec(F.col("y")).alias("gsy"),
+        dec(F.col("y") * F.col("y")).alias("gsyy"),
+    )
+    m = j.groupBy("lag_days").agg(
+        F.count(F.lit(1)).cast("double").alias("c"),
         dec(F.col("x")).alias("sx"),
-        dec(F.col("y")).alias("sy"),
-        dec(F.col("x") * F.col("x")).alias("sxx"),
-        dec(F.col("y") * F.col("y")).alias("syy"),
+        dec(F.col("y")).alias("syp"),
         dec(F.col("x") * F.col("y")).alias("sxy"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    mean = F.col("gsy") / F.col("n")
+    num = (
+        F.col("sxy")
+        - mean * F.col("sx")
+        - mean * F.col("syp")
+        + F.col("c") * mean * mean
     )
-    return m.select(
+    ss = F.col("gsyy") - F.col("gsy") * F.col("gsy") / F.col("n")
+    return m.join(F.broadcast(g)).select(
         "lag_days",
-        F.col("n").cast("bigint").alias("n_pairs"),
-        F.round(num / den, 6).alias("acf"),
+        F.col("c").cast("bigint").alias("n_pairs"),
+        F.round(num / F.nullif(ss, F.lit(0.0)), 6).alias("acf"),
     )
 
 
@@ -8584,7 +8637,8 @@ def q_time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(n AS BIGINT) AS n_shared_keys,
            ROUND((n * sxy - sx * sy)
-                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r
+                 / NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0),
+                 6) AS r
     FROM m
     """,
 )
@@ -8625,7 +8679,7 @@ def q_purchase_event_order_correlation(
     )
     return m.select(
         F.col("n").cast("bigint").alias("n_shared_keys"),
-        F.round(num / den, 6).alias("r"),
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("r"),
     )
 
 
@@ -8740,10 +8794,8 @@ def q_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs AS (SELECT k, COUNT(*) AS o FROM lp GROUP BY k)
     SELECT CAST(obs.k AS INTEGER) AS k, o AS observed,
            ROUND(n * exp(-l) * pow(l, obs.k)
-                 / CASE obs.k WHEN 1 THEN 1.0 WHEN 2 THEN 2.0 WHEN 3 THEN 6.0
-                              WHEN 4 THEN 24.0 WHEN 5 THEN 120.0
-                              WHEN 6 THEN 720.0 WHEN 7 THEN 5040.0
-                              ELSE 1.0 END, 6) AS expected_poisson
+                 / CAST(factorial(CAST(obs.k AS INTEGER)) AS DOUBLE),
+                 6) AS expected_poisson
     FROM obs, lam
     """,
 )
@@ -8753,7 +8805,11 @@ def q_lines_per_order_poisson_gof(spark: SparkSession, sf_dir: str) -> DataFrame
     factorials as a literal CASE over the bounded 1–7 support) — the
     distributional-assumption audit behind every capacity model that
     treats order size as Poisson. The deviation pattern (uniform data
-    here, so expected ≠ observed) is the finding."""
+    here, so expected ≠ observed) is the finding. k! via the engines'
+    exact factorial builtin over the FULL observed support — the earlier
+    literal CASE stopped at 7! and silently emitted values off by k! for
+    every k ≥ 8 (both engines encoded the same wrong ELSE, so the hash
+    gate couldn't see it)."""
     li = _t(spark, sf_dir, "lineitem")
     lp = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("k"))
     lam = lp.agg(
@@ -8761,16 +8817,7 @@ def q_lines_per_order_poisson_gof(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("double").alias("n"),
     )
     obs = lp.groupBy("k").agg(F.count(F.lit(1)).alias("observed"))
-    fact = (
-        F.when(F.col("k") == 1, 1.0)
-        .when(F.col("k") == 2, 2.0)
-        .when(F.col("k") == 3, 6.0)
-        .when(F.col("k") == 4, 24.0)
-        .when(F.col("k") == 5, 120.0)
-        .when(F.col("k") == 6, 720.0)
-        .when(F.col("k") == 7, 5040.0)
-        .otherwise(1.0)
-    )
+    fact = F.factorial(F.col("k").cast("int")).cast("double")
     return (
         obs.join(F.broadcast(lam))
         .select(
@@ -9098,7 +9145,8 @@ def q_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, CAST(n AS BIGINT) AS n_lines,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6)
+             AS slope,
            ROUND(sy / n, 6) AS mean_qty
     FROM m
     """,
@@ -9120,8 +9168,8 @@ def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec(x * x).alias("sxx"),
         dec(x * y).alias("sxy"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
     )
     return m.select(
         "l_returnflag",

@@ -157,7 +157,9 @@ _BNLJ_ALLOWANCE = {
     "chi2_lang_source": 1,
     "contrastive_negatives": 1,
     "cosine_similarity_histogram": 1,
-    "daily_autocorrelation": 1,
+    # 2: the lag-pair broadcast + the 1-row global-moments broadcast the
+    # standard-ACF form adds (single series mean / sum of squares)
+    "daily_autocorrelation": 2,
     "distinctive_terms": 1,
     "dow_effect_size": 3,
     "embedding_dup_pairs": 1,
