@@ -6819,7 +6819,7 @@ def _minhash_recall_sql() -> str:
     SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
            (SELECT COUNT(*) FROM mh) AS n_detected,
            ROUND(CAST((SELECT COUNT(*) FROM mh) AS DOUBLE)
-                 / (SELECT COUNT(*) FROM exact), 6) AS recall
+                 / NULLIF((SELECT COUNT(*) FROM exact), 0), 6) AS recall
     """
 
 
@@ -6845,8 +6845,12 @@ def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_exact",
             "n_detected",
+            # NULL recall when there is no ground-truth pair at all
+            # (vacuous audit) — an ANSI divide-by-zero would abort it
             F.round(
-                F.col("n_detected") / F.col("n_exact"), 6
+                F.col("n_detected")
+                / F.nullif(F.col("n_exact").cast("double"), F.lit(0.0)),
+                6,
             ).alias("recall"),
         )
     )
@@ -7183,11 +7187,12 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2
     ),
     f AS (
-      SELECT event_type, day, y,
-             lag(y, 7) OVER w AS y_hat,
-             lag(y, 1) OVER w AS y_prev
-      FROM d
-      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+      SELECT a.event_type, a.day, a.y, b7.y AS y_hat, b1.y AS y_prev
+      FROM d a
+      LEFT JOIN d b7 ON b7.event_type = a.event_type
+                    AND b7.day = a.day - INTERVAL '7 days'
+      LEFT JOIN d b1 ON b1.event_type = a.event_type
+                    AND b1.day = a.day - INTERVAL '1 day'
     )
     SELECT event_type,
            CAST(COUNT(*) FILTER (WHERE y_hat IS NOT NULL) AS BIGINT)
@@ -7196,8 +7201,9 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                    FILTER (WHERE y_hat IS NOT NULL), 6) AS mae_seasonal,
            ROUND(AVG(CAST(abs(y - y_hat) AS DOUBLE))
                    FILTER (WHERE y_hat IS NOT NULL)
-                 / AVG(CAST(abs(y - y_prev) AS DOUBLE))
-                   FILTER (WHERE y_prev IS NOT NULL), 6) AS mase
+                 / NULLIF(AVG(CAST(abs(y - y_prev) AS DOUBLE))
+                            FILTER (WHERE y_prev IS NOT NULL), 0),
+                 6) AS mase
     FROM f
     GROUP BY event_type
     """,
@@ -7213,18 +7219,41 @@ def q_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-step naive MAE over t=2..n (ALL lag-1 pairs) — restricting it to
     the days where the lag-7 forecast also exists (the earlier form,
     mirrored in the oracle so the gate couldn't see it) dropped the
-    first week's ramp errors and inflated the reported MASE."""
+    first week's ramp errors and inflated the reported MASE.
+
+    Alignment is by CALENDAR day (a self-join on day−7/day−1), not row
+    offset: lag(7) over only the PRESENT rows silently forecast from an
+    arbitrary earlier day whenever a series has a gap. A constant series
+    (one-step MAE exactly 0) gets mase NULL, not an ANSI abort."""
     ev = _t(spark, sf_dir, "events")
     d = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("y"))
-    w = Window.partitionBy("event_type").orderBy("day")
-    f = d.select(
-        "event_type",
-        "day",
-        "y",
-        F.lag("y", 7).over(w).alias("y_hat"),
-        F.lag("y", 1).over(w).alias("y_prev"),
+    day_s = F.unix_seconds(F.col("day"))
+    b7 = d.select(
+        F.col("event_type").alias("_t7"),
+        day_s.alias("_d7"),
+        F.col("y").alias("y_hat"),
+    )
+    b1 = d.select(
+        F.col("event_type").alias("_t1"),
+        day_s.alias("_d1"),
+        F.col("y").alias("y_prev"),
+    )
+    f = (
+        d.join(
+            b7,
+            (F.col("event_type") == F.col("_t7"))
+            & (F.col("_d7") == day_s - 7 * 86400),
+            "left",
+        )
+        .join(
+            b1,
+            (F.col("event_type") == F.col("_t1"))
+            & (F.col("_d1") == day_s - 86400),
+            "left",
+        )
+        .select("event_type", "day", "y", "y_hat", "y_prev")
     )
     # avg() skips NULLs, so each estimator covers exactly its own
     # defined support: seasonal errors over t=8..n, naive over t=2..n
@@ -7233,7 +7262,7 @@ def q_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.groupBy("event_type").agg(
         F.count("y_hat").cast("bigint").alias("n_days"),
         F.round(mae_s, 6).alias("mae_seasonal"),
-        F.round(mae_s / mae_1, 6).alias("mase"),
+        F.round(mae_s / F.nullif(mae_1, F.lit(0.0)), 6).alias("mase"),
     )
 
 
@@ -8000,7 +8029,7 @@ def q_promo_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
              pow(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
                       AS BIGINT) / 1152921504606846976.0,
                  1.0 / n_chars) AS k
-      FROM documents
+      FROM documents WHERE n_chars > 0
     )
     ORDER BY k DESC, doc_id
     LIMIT 50
@@ -8013,8 +8042,10 @@ def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exponential-clocks argument, done with one TakeOrderedAndProject
     (no per-group state, no rejection loop). The weighted counterpart of
     `group_topk_sample`'s uniform reservoir; weight = document length, so
-    long documents are proportionally favored but never guaranteed."""
-    docs = _t(spark, sf_dir, "documents")
+    long documents are proportionally favored but never guaranteed.
+    Zero-weight (empty) documents are A-ES key 0 — never sampled — so
+    they filter out up front rather than ANSI-aborting on 1/0."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     u = H.md5_long(F.col("doc_id").cast("string")) / F.lit(float(1 << 60))
     key = F.pow(u, 1.0 / F.col("n_chars"))
     return (
@@ -8496,7 +8527,8 @@ def q_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ranked
     )
     SELECT CAST(n AS BIGINT) AS vocab_size,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+           ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6)
+             AS zipf_slope
     FROM m
     """,
 )
@@ -8531,7 +8563,10 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("vocab_size"),
         F.round(
             (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            / F.nullif(
+                F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
+                F.lit(0.0),
+            ),
             6,
         ).alias("zipf_slope"),
     )
@@ -9053,6 +9088,11 @@ def q_mahalanobis_identity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("m2").cast("decimal(28,9)")).cast("double").alias("s"),
     ).collect()[0]
+    if not row.n:  # empty corpus: certificate row, not ZeroDivisionError
+        return spark.createDataFrame(
+            [(0, None, False)],
+            "n_vectors bigint, mean_m2 double, identity_holds boolean",
+        )
     n, mean_m2 = row.n, row.s / row.n
     expected = 64.0 * (n - 1) / n
     return spark.createDataFrame(
@@ -9201,9 +9241,9 @@ def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(SUM(CAST(nk * (mk - (SELECT gm FROM g))
                                   * (mk - (SELECT gm FROM g))
                                AS DECIMAL(28,10))) AS DOUBLE)
-                 / (SELECT CAST(SUM(CAST((y - gm) * (y - gm)
+                 / NULLIF((SELECT CAST(SUM(CAST((y - gm) * (y - gm)
                                AS DECIMAL(28,10))) AS DOUBLE)
-                    FROM d, g), 6) AS eta_squared
+                    FROM d, g), 0), 6) AS eta_squared
     FROM b
     """,
 )
@@ -9263,7 +9303,10 @@ def q_dow_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         ss_between.join(F.broadcast(ss_total))
         .select(
             F.col("n").cast("bigint").alias("n_days"),
-            F.round(F.col("ssb") / F.col("sst"), 6).alias("eta_squared"),
+            # constant series: SS_total = 0, eta^2 undefined -> NULL
+            F.round(
+                F.col("ssb") / F.nullif(F.col("sst"), F.lit(0.0)), 6
+            ).alias("eta_squared"),
         )
     )
 
