@@ -283,6 +283,93 @@ def passage_dup_stats(
 # ---------------------------------------------------------------------------
 
 
+def scrub_duplicate_passages(
+    docs: DataFrame,
+    n: int = 3,
+    max_df: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boilerplate REMOVAL — the scrub counterpart of the measure-only
+    :func:`passage_dup_stats`: delete every n-token passage whose corpus
+    document-frequency exceeds ``max_df`` (navigation chrome, license
+    headers, repeated disclaimers — the CCNet/RefinedWeb "shared lines"
+    filter at passage granularity) and rebuild each document's text from
+    the surviving passages.
+
+    Returns ``(id, n_passages, n_dropped, scrubbed)``. Passages are the
+    same non-overlapping n-token chunks as ``passage_hashes`` over the
+    NORMALIZED (lowercased, whitespace-split) text — the scrubbed output
+    is normalized too, the standard shape for downstream tokenization.
+    The trailing partial chunk (< n tokens) is never a passage, so it is
+    always kept; documents shorter than ``n`` tokens pass through whole.
+    Rows with NULL text are excluded (complete cases).
+
+    Plan shape (100 TB): one chunk explode → distinct → per-passage
+    doc-frequency aggregation (map-side combined, md5-uniform keys) →
+    join back on the chunk text → per-doc ordered reassembly
+    (array_sort(collect_list) over struct(pos, chunk) — each doc's chunks
+    only). Two shuffles on uniform keys; no window over the corpus, no
+    Python.
+    """
+    toks = T.tokens(F.lower(F.col(text_col)))
+
+    def _parts(tk):
+        nc = F.floor(F.size(tk) / F.lit(n)).cast("int")
+        idx = F.when(nc >= 1, F.sequence(F.lit(0), nc - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        chunks = F.transform(
+            idx, lambda i: F.array_join(F.slice(tk, i * n + 1, n), " ")
+        )
+        tail = F.array_join(
+            F.slice(tk, nc * n + 1, F.size(tk) - nc * n), " "
+        )
+        return F.struct(chunks.alias("chunks"), tail.alias("tail"))
+
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), T.bind(toks, _parts).alias("p")
+    )
+    ex = base.select(
+        id_col,
+        F.col("p.tail").alias("__tail"),
+        F.posexplode_outer("p.chunks").alias("__pos", "__chunk"),
+    )
+    dfreq = (
+        ex.filter(F.col("__chunk").isNotNull())
+        .select(id_col, "__chunk")
+        .distinct()
+        .groupBy("__chunk")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    marked = ex.join(dfreq, "__chunk", "left")
+    kept_piece = F.when(F.col("__df") <= max_df, F.col("__chunk"))
+    agg = marked.groupBy(id_col).agg(
+        F.max("__tail").alias("__t"),
+        F.sum(
+            F.when(F.col("__chunk").isNotNull(), 1).otherwise(0)
+        ).alias("n_passages"),
+        F.sum(F.when(F.col("__df") > max_df, 1).otherwise(0)).alias(
+            "n_dropped"
+        ),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", kept_piece.alias("c")))
+                ),
+                lambda x: x["c"],
+            ),
+            " ",
+        ).alias("__kept"),
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("n_passages").cast("int").alias("n_passages"),
+        F.col("n_dropped").cast("int").alias("n_dropped"),
+        F.trim(F.concat_ws(" ", "__kept", "__t")).alias("scrubbed"),
+    )
+
+
 def heavy_hitters(
     docs: DataFrame,
     k: int = 5,

@@ -2113,6 +2113,66 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "passage_scrub",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {_D_TOKS} AS toks FROM documents WHERE text IS NOT NULL
+    ),
+    base AS (
+      SELECT doc_id, toks,
+             CAST(floor(len(toks) / 3) AS INTEGER) AS nc
+      FROM tk
+    ),
+    chunks AS (
+      SELECT doc_id, c.pos AS pos, c.chunk AS chunk
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(0, nc),
+                 i -> struct_pack(
+                   pos := i,
+                   chunk := array_to_string(
+                     list_slice(toks, i * 3 + 1, i * 3 + 3), ' ')))) AS c
+        FROM base)
+    ),
+    dfreq AS (
+      SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY 1
+    ),
+    kept AS (
+      SELECT c.doc_id,
+             COUNT(*) AS n_passages,
+             COUNT(*) FILTER (WHERE d.df > 1) AS n_dropped,
+             string_agg(c.chunk, ' ' ORDER BY c.pos)
+               FILTER (WHERE d.df <= 1) AS kept_txt
+      FROM chunks c JOIN dfreq d USING (chunk)
+      GROUP BY 1
+    ),
+    tails AS (
+      SELECT doc_id,
+             array_to_string(list_slice(toks, nc * 3 + 1, len(toks)), ' ')
+               AS tail
+      FROM base
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(k.n_passages, 0) AS INTEGER) AS n_passages,
+           CAST(coalesce(k.n_dropped, 0) AS INTEGER) AS n_dropped,
+           trim(concat_ws(' ', coalesce(k.kept_txt, ''), t.tail)) AS scrubbed
+    FROM tails t LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def q_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate passage REMOVAL (curation.scrub_duplicate_passages):
+    delete every 3-token chunk shared by ≥2 documents and rebuild the
+    scrubbed text — the CCNet/RefinedWeb shared-lines filter at passage
+    granularity, and the removal counterpart of `passage_dup_stats`. The
+    value hash covers the full reconstructed strings, so chunking, the
+    df threshold, ordered reassembly, and tail handling are all pinned."""
+    return curation.scrub_duplicate_passages(
+        _t(spark, sf_dir, "documents"), n=3, max_df=1
+    )
+
+
+@register(
     "distinctive_terms",
     f"""
     WITH tok AS (SELECT source, unnest({_D_TOKS}) AS token FROM documents),

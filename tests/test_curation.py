@@ -412,3 +412,62 @@ def test_contrastive_negatives_single_doc_and_null_group_terms(spark):
     assert all(r.src is not None for r in got)
     common = [r for r in got if r.token == "common"]
     assert common and all(r.tfidf == 0.0 for r in common)  # log(2/2), not log(2/3)
+
+
+def test_scrub_duplicate_passages_removes_shared_keeps_tail(spark):
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.curation import (
+        scrub_duplicate_passages,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # chunks (n=3): "nav home about" (shared), "alpha beta gamma"; tail "x y"
+            (1, "nav home about alpha beta gamma x y"),
+            # chunks: "nav home about" (shared), "delta eps zeta"; no tail
+            (2, "NAV Home About delta eps zeta"),
+            # shorter than n=3: passes through whole (normalized)
+            (3, "hi there"),
+            # NULL text: excluded
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in scrub_duplicate_passages(docs, n=3, max_df=1).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_passages == 2 and out[1].n_dropped == 1
+    assert out[1].scrubbed == "alpha beta gamma x y"
+    assert out[2].n_passages == 2 and out[2].n_dropped == 1
+    assert out[2].scrubbed == "delta eps zeta"
+    assert out[3].n_passages == 0 and out[3].n_dropped == 0
+    assert out[3].scrubbed == "hi there"
+
+
+def test_scrub_duplicate_passages_df_threshold_and_order(spark):
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.curation import (
+        scrub_duplicate_passages,
+    )
+
+    # the shared chunk appears in 2 docs; max_df=2 keeps it everywhere,
+    # and within-doc repetition alone never triggers the corpus filter
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),          # same chunk twice WITHIN one doc
+            (2, "a b c p q r a b c"),    # shared chunk at both ends
+        ],
+        "doc_id long, text string",
+    )
+    strict = {
+        r.doc_id: r
+        for r in scrub_duplicate_passages(docs, n=3, max_df=1).collect()
+    }
+    assert strict[1].scrubbed == "" and strict[1].n_dropped == 2
+    assert strict[2].scrubbed == "p q r" and strict[2].n_dropped == 2
+    loose = {
+        r.doc_id: r
+        for r in scrub_duplicate_passages(docs, n=3, max_df=2).collect()
+    }
+    assert loose[1].scrubbed == "a b c a b c" and loose[1].n_dropped == 0
+    assert loose[2].scrubbed == "a b c p q r a b c"
