@@ -50,8 +50,9 @@ _FUNCS: dict[str, tuple[str, str, str]] = {
         r" / CAST(size(split(trim(lower(s)), '\\s+')) AS DOUBLE)",
         "functions/text.py::stopword_ratio",
     ),
-    # hashing.md5_long — the deterministic 63-bit hash used across
-    # sampling/sharding (same substring/bit-range as functions/hashing.py)
+    # hashing.md5_long — the deterministic 60-bit hash used across
+    # sampling/sharding (same substring/bit-range as functions/hashing.py;
+    # the name says 63 for the int64 carrier, the value occupies 60 bits)
     "aads_hash63": (
         "(s STRING)",
         "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)",

@@ -370,6 +370,82 @@ def scrub_duplicate_passages(
     )
 
 
+def trim_repeated_passages(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WITHIN-document repetition trimming — the removal counterpart of
+    ``textstats.repetition_scores`` (which only measures): keep the FIRST
+    occurrence of each n-token chunk inside a document and delete every
+    later repeat (looping boilerplate, stuttering generation, copy-pasted
+    paragraphs), then rebuild the text. Corpus-level sharing is
+    :func:`scrub_duplicate_passages`'s job; this one never looks across
+    documents.
+
+    Returns ``(id, n_passages, n_dropped, trimmed)`` with the same
+    normalization, chunking, tail and NULL conventions as
+    ``scrub_duplicate_passages``.
+
+    Plan shape: the chunk explode is the same; "first occurrence" is a
+    min(pos) per (doc, chunk) — an aggregation whose key is confined to
+    one document, so it shuffles on the doc-sized (id, chunk) key and
+    reassembly reuses the id partitioning. No corpus-wide state at all —
+    this one scales embarrassingly.
+    """
+    toks = T.tokens(F.lower(F.col(text_col)))
+
+    def _parts(tk):
+        nc = F.floor(F.size(tk) / F.lit(n)).cast("int")
+        idx = F.when(nc >= 1, F.sequence(F.lit(0), nc - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        chunks = F.transform(
+            idx, lambda i: F.array_join(F.slice(tk, i * n + 1, n), " ")
+        )
+        tail = F.array_join(
+            F.slice(tk, nc * n + 1, F.size(tk) - nc * n), " "
+        )
+        return F.struct(chunks.alias("chunks"), tail.alias("tail"))
+
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), T.bind(toks, _parts).alias("p")
+    )
+    ex = base.select(
+        id_col,
+        F.col("p.tail").alias("__tail"),
+        F.posexplode_outer("p.chunks").alias("__pos", "__chunk"),
+    )
+    w = Window.partitionBy(id_col, "__chunk")
+    marked = ex.withColumn("__first", F.min("__pos").over(w))
+    kept_piece = F.when(F.col("__pos") == F.col("__first"), F.col("__chunk"))
+    agg = marked.groupBy(id_col).agg(
+        F.max("__tail").alias("__t"),
+        F.sum(
+            F.when(F.col("__chunk").isNotNull(), 1).otherwise(0)
+        ).alias("n_passages"),
+        F.sum(
+            F.when(F.col("__pos") > F.col("__first"), 1).otherwise(0)
+        ).alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", kept_piece.alias("c")))
+                ),
+                lambda x: x["c"],
+            ),
+            " ",
+        ).alias("__kept"),
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("n_passages").cast("int").alias("n_passages"),
+        F.col("n_dropped").cast("int").alias("n_dropped"),
+        F.trim(F.concat_ws(" ", "__kept", "__t")).alias("trimmed"),
+    )
+
+
 def heavy_hitters(
     docs: DataFrame,
     k: int = 5,

@@ -2173,6 +2173,67 @@ def q_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "passage_trim_within_doc",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {_D_TOKS} AS toks FROM documents WHERE text IS NOT NULL
+    ),
+    base AS (
+      SELECT doc_id, toks,
+             CAST(floor(len(toks) / 3) AS INTEGER) AS nc
+      FROM tk
+    ),
+    chunks AS (
+      SELECT doc_id, c.pos AS pos, c.chunk AS chunk
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(0, nc),
+                 i -> struct_pack(
+                   pos := i,
+                   chunk := array_to_string(
+                     list_slice(toks, i * 3 + 1, i * 3 + 3), ' ')))) AS c
+        FROM base)
+    ),
+    marked AS (
+      SELECT doc_id, pos, chunk,
+             min(pos) OVER (PARTITION BY doc_id, chunk) AS first_pos
+      FROM chunks
+    ),
+    kept AS (
+      SELECT doc_id,
+             COUNT(*) AS n_passages,
+             COUNT(*) FILTER (WHERE pos > first_pos) AS n_dropped,
+             string_agg(chunk, ' ' ORDER BY pos)
+               FILTER (WHERE pos = first_pos) AS kept_txt
+      FROM marked
+      GROUP BY 1
+    ),
+    tails AS (
+      SELECT doc_id,
+             array_to_string(list_slice(toks, nc * 3 + 1, len(toks)), ' ')
+               AS tail
+      FROM base
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(k.n_passages, 0) AS INTEGER) AS n_passages,
+           CAST(coalesce(k.n_dropped, 0) AS INTEGER) AS n_dropped,
+           trim(concat_ws(' ', coalesce(k.kept_txt, ''), t.tail)) AS trimmed
+    FROM tails t LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def q_passage_trim_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition trimming (curation.trim_repeated_passages):
+    keep the first occurrence of each 3-token chunk inside a doc, delete
+    later repeats, rebuild the text — the removal counterpart of the
+    Gopher repetition signals. Shuffles only on doc-confined keys, so it
+    scales with zero corpus-wide state."""
+    return curation.trim_repeated_passages(
+        _t(spark, sf_dir, "documents"), n=3
+    )
+
+
+@register(
     "distinctive_terms",
     f"""
     WITH tok AS (SELECT source, unnest({_D_TOKS}) AS token FROM documents),

@@ -471,3 +471,25 @@ def test_scrub_duplicate_passages_df_threshold_and_order(spark):
     }
     assert loose[1].scrubbed == "a b c a b c" and loose[1].n_dropped == 0
     assert loose[2].scrubbed == "a b c p q r a b c"
+
+
+def test_trim_repeated_passages_first_occurrence_wins(spark):
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.curation import (
+        trim_repeated_passages,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # chunks: "a b c", "x y z", "a b c" (repeat) + tail "q"
+            (1, "a b c x y z a b c q"),
+            # cross-document sharing must NOT trigger within-doc trim
+            (2, "a b c p q r"),
+            (3, "hi"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in trim_repeated_passages(docs, n=3).collect()}
+    assert out[1].n_passages == 3 and out[1].n_dropped == 1
+    assert out[1].trimmed == "a b c x y z q"
+    assert out[2].n_dropped == 0 and out[2].trimmed == "a b c p q r"
+    assert out[3].n_passages == 0 and out[3].trimmed == "hi"
