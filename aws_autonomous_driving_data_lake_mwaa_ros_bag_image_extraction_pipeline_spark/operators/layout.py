@@ -410,3 +410,61 @@ def write_range_sorted(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def rendezvous_shard(
+    df: "DataFrame",
+    key_col: str,
+    n_shards: int,
+    shard_name: str = "shard",
+) -> "DataFrame":
+    """Rendezvous (highest-random-weight) shard assignment: ``shard =
+    argmax_i md5(key # i)`` (Thaler & Ravishankar, "Using Name-Based
+    Mappings to Increase Hit Rates", IEEE/ACM ToN 1998 — public
+    literature, the scheme behind consistent object placement in Riak /
+    Ceph-style systems).
+
+    Why not ``hash(key) mod n``: growing a mod-sharded lake from n to n+1
+    shards remaps an expected n/(n+1) of ALL keys (at n=8, 89% of the
+    corpus rewrites); under rendezvous a key moves ONLY if the new
+    shard's weight beats its current maximum — an expected 1/(n+1)
+    fraction, the provable minimum for uniform placement. That is the
+    difference between "add a shard, rewrite everything" and "add a
+    shard, move one shard's worth" for a partitioned corpus, feature
+    store, or embedding index.
+
+    Narrow per-row expression (n md5s per row, whole-stage codegen, no
+    shuffle) — cost is O(n_shards) per row, the textbook HRW trade-off:
+    intended for moderate shard counts (≲ a few thousand); beyond that,
+    use mod-hash inside rendezvous-assigned super-shards. Ties (60-bit
+    md5 collisions within one key's weight set, ~n²/2⁶¹) break to the
+    LARGER shard index on both engines. NULL keys get shard NULL — a
+    row with no identity has no stable placement.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions import hashing as H
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    ws = F.array(
+        *[
+            F.struct(
+                H.md5_long(
+                    F.concat(
+                        F.col(key_col).cast("string"),
+                        F.lit("#"),
+                        F.lit(str(i)),
+                    )
+                ).alias("w"),
+                F.lit(i).alias("i"),
+            )
+            for i in range(n_shards)
+        ]
+    )
+    return df.withColumn(
+        shard_name,
+        F.when(
+            F.col(key_col).isNotNull(), F.array_max(ws)["i"]
+        ).cast("int"),
+    )

@@ -2294,6 +2294,88 @@ def lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RDV_W = (
+    "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#', "
+    "CAST(i AS VARCHAR))), 1, 15)) AS BIGINT)"
+)
+
+
+@register(
+    "rendezvous_shards",
+    f"""
+    WITH w AS (
+      SELECT doc_id, i, {_RDV_W} AS w
+      FROM documents, unnest(range(0, 8)) AS u(i)
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS shard FROM w
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY w DESC, i DESC) = 1
+    """,
+)
+def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous/HRW shard assignment (layout.rendezvous_shard, n=8):
+    shard = argmax_i md5(key#i). Narrow codegen expression, no shuffle;
+    the oracle replays the argmax as a window rank over the same md5
+    weights. See `rendezvous_reshard_moves` for the property that makes
+    HRW worth its O(n) per-row cost."""
+    from ..operators import layout
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return layout.rendezvous_shard(docs, "doc_id", 8)
+
+
+@register(
+    "rendezvous_reshard_moves",
+    f"""
+    WITH w AS (
+      SELECT doc_id, i, {_RDV_W} AS w
+      FROM documents, unnest(range(0, 9)) AS u(i)
+    ),
+    s8 AS (
+      SELECT doc_id, i AS shard FROM w WHERE i < 8
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY w DESC, i DESC) = 1
+    ),
+    s9 AS (
+      SELECT doc_id, i AS shard FROM w
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY w DESC, i DESC) = 1
+    )
+    SELECT COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE s8.shard <> s9.shard) AS n_moved,
+           COUNT(*) FILTER (WHERE s8.shard <> s9.shard
+                            AND s9.shard <> 8) AS n_moved_wrong,
+           floor(COUNT(*) FILTER (WHERE s8.shard <> s9.shard) * 1.0
+                 / COUNT(*) * 10000 + 0.5) / 10000.0 AS moved_share
+    FROM s8 JOIN s9 USING (doc_id)
+    """,
+)
+def q_rendezvous_reshard_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reason rendezvous sharding exists: growing 8 → 9 shards moves
+    only the keys whose NEW shard's weight beats their old maximum — an
+    expected 1/9 ≈ 11% of the corpus, every one of them moving TO the new
+    shard (n_moved_wrong is structurally 0; mod-hash would remap ~89%).
+    One narrow pass computes both assignments; the single-row aggregate
+    is the whole shuffle."""
+    from ..operators import layout
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    both = layout.rendezvous_shard(
+        layout.rendezvous_shard(docs, "doc_id", 8, "s8"), "doc_id", 9, "s9"
+    )
+    moved = F.col("s8") != F.col("s9")
+    return both.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(moved.cast("int")).alias("n_moved"),
+        F.sum((moved & (F.col("s9") != 8)).cast("int")).alias(
+            "n_moved_wrong"
+        ),
+        H.quantize(
+            F.sum(moved.cast("int")) / F.count(F.lit(1)), 4
+        ).alias("moved_share"),
+    )
+
+
 @register(
     "shuffle_assignment",
     f"""

@@ -345,3 +345,36 @@ def test_streaming_zonemap_matches_batch_rebuild(spark, tmp_path):
     )
     # second refresh with nothing new is a no-op (idempotent fold)
     assert layout.zonemap_refresh(spark, lake, zm_dir, ["k", "v"]) == 0
+
+
+def test_rendezvous_shard_stability_and_minimal_movement(spark):
+    from pyspark.sql import functions as F
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.layout import (
+        rendezvous_shard,
+    )
+
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    both = rendezvous_shard(
+        rendezvous_shard(df, "k", 8, "s8"), "k", 9, "s9"
+    ).cache()
+    # every key lands in range on both sizes
+    assert both.filter((F.col("s8") < 0) | (F.col("s8") > 7)).count() == 0
+    assert both.filter((F.col("s9") < 0) | (F.col("s9") > 8)).count() == 0
+    moved = both.filter(F.col("s8") != F.col("s9"))
+    n_moved = moved.count()
+    # HRW guarantee: every moved key moved TO the new shard (index 8) ...
+    assert moved.filter(F.col("s9") != 8).count() == 0
+    # ... and the moved fraction is ~1/9 (binomial, 2000 draws: ±4 sigma)
+    import math
+
+    exp, sigma = 2000 / 9, math.sqrt(2000 * (1 / 9) * (8 / 9))
+    assert abs(n_moved - exp) < 4 * sigma
+    # deterministic: recomputation reproduces the assignment exactly
+    again = rendezvous_shard(df, "k", 8, "s8b")
+    joined = both.join(again, "k")
+    assert joined.filter(F.col("s8") != F.col("s8b")).count() == 0
+    # NULL keys get NULL shard
+    nulls = spark.createDataFrame([(None,)], "k long")
+    assert rendezvous_shard(nulls, "k", 8).first().shard is None
+    both.unpersist()

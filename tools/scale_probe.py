@@ -131,6 +131,7 @@ def main() -> None:
         text as T,
     )
     from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        curation,
         dedup,
         fuzzy,
         geo,
@@ -199,6 +200,12 @@ def main() -> None:
                 ),
                 src="id_a",
                 dst="id_b",
+            ),
+            # corpus-frequency passage scrub: rotated-alphabet replicas
+            # share no vocabulary, so cross-replica passage collisions are
+            # impossible and true scrub work scales linearly with k
+            "passage_scrub": lambda: curation.scrub_duplicate_passages(
+                docs, n=3, max_df=1
             ),
             "geo_radius_pairs": lambda: geo.geo_radius_join(
                 pts, geo_qs0, radius_km=50.0
