@@ -468,3 +468,55 @@ def rendezvous_shard(
             F.col(key_col).isNotNull(), F.array_max(ws)["i"]
         ).cast("int"),
     )
+
+
+def weighted_rendezvous_shard(
+    df: "DataFrame",
+    key_col: str,
+    weights: list[int],
+    shard_name: str = "shard",
+) -> "DataFrame":
+    """Capacity-proportional rendezvous placement: shard ``i`` with
+    integer weight ``w_i`` receives exactly ``w_i / Σw`` of the keys, in
+    expectation, while keeping HRW's minimal-movement property per unit
+    of weight (raise one shard's weight by 1 and only ~1/(Σw+1) of keys
+    move, all onto that shard).
+
+    Implemented as HRW over VIRTUAL nodes — shard ``i`` fields ``w_i``
+    salted candidates ``md5(key # i ~ j)`` and the global argmax wins —
+    rather than the float-ranked straw2 form (``ln(u_i)/w_i``), because
+    the integer/md5 comparison is bit-exact in any engine: placement is
+    reproducible across runs, clusters, and the SQL oracle with no libm
+    last-ulp risk. Cost is O(Σ weights) md5s per row, so weights are
+    capacity RATIOS (keep them small and coprime), not absolute byte
+    counts. Zero-weight shards receive nothing; NULL keys get shard NULL.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions import hashing as H
+
+    if not weights or any(w < 0 for w in weights) or sum(weights) < 1:
+        raise ValueError(
+            f"weights must be non-negative with a positive sum: {weights}"
+        )
+    ws = F.array(
+        *[
+            F.struct(
+                H.md5_long(
+                    F.concat(
+                        F.col(key_col).cast("string"),
+                        F.lit(f"#{i}~{j}"),
+                    )
+                ).alias("w"),
+                F.lit(i).alias("i"),
+            )
+            for i, wt in enumerate(weights)
+            for j in range(wt)
+        ]
+    )
+    return df.withColumn(
+        shard_name,
+        F.when(
+            F.col(key_col).isNotNull(), F.array_max(ws)["i"]
+        ).cast("int"),
+    )

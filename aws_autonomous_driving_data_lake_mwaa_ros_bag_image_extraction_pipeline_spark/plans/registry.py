@@ -2376,6 +2376,49 @@ def q_rendezvous_reshard_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WRDV_WEIGHTS = [1, 2, 3]
+_WRDV_VALUES = ", ".join(
+    f"('#{i}~{j}', {i})"
+    for i, wt in enumerate(_WRDV_WEIGHTS)
+    for j in range(wt)
+)
+
+
+@register(
+    "weighted_shard_shares",
+    f"""
+    WITH v(salt, i) AS (VALUES {_WRDV_VALUES}),
+    w AS (
+      SELECT doc_id, i,
+             CAST(concat('0x', substr(md5(concat(
+               CAST(doc_id AS VARCHAR), salt)), 1, 15)) AS BIGINT) AS w
+      FROM documents CROSS JOIN v
+    ),
+    pick AS (
+      SELECT doc_id, i FROM w
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY w DESC, i DESC) = 1
+    )
+    SELECT CAST(i AS INTEGER) AS shard, COUNT(*) AS n_docs
+    FROM pick GROUP BY 1
+    """,
+)
+def q_weighted_shard_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-proportional placement (layout.weighted_rendezvous_shard,
+    weights 1:2:3): per-shard key counts land on the weight ratios in
+    expectation. Virtual-node HRW keeps the comparison integer/md5-exact,
+    so the oracle replays placement bit-for-bit — no float-ranking
+    (straw2) last-ulp risk."""
+    from ..operators import layout
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        layout.weighted_rendezvous_shard(docs, "doc_id", _WRDV_WEIGHTS)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 @register(
     "shuffle_assignment",
     f"""

@@ -378,3 +378,34 @@ def test_rendezvous_shard_stability_and_minimal_movement(spark):
     nulls = spark.createDataFrame([(None,)], "k long")
     assert rendezvous_shard(nulls, "k", 8).first().shard is None
     both.unpersist()
+
+
+def test_weighted_rendezvous_proportional_and_guarded(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.layout import (
+        weighted_rendezvous_shard,
+    )
+
+    df = spark.range(3000).withColumnRenamed("id", "k")
+    shares = {
+        r.shard: r["count"]
+        for r in weighted_rendezvous_shard(df, "k", [1, 2, 1])
+        .groupBy("shard")
+        .count()
+        .collect()
+    }
+    # expected 750/1500/750; binomial 4-sigma envelopes
+    import math
+
+    for shard, p in [(0, 0.25), (1, 0.5), (2, 0.25)]:
+        exp, sigma = 3000 * p, math.sqrt(3000 * p * (1 - p))
+        assert abs(shares[shard] - exp) < 4 * sigma, (shard, shares)
+    # zero-weight shard receives nothing (virtual-node set is empty for it)
+    z = weighted_rendezvous_shard(df, "k", [1, 0, 1])
+    assert z.filter(F.col("shard") == 1).count() == 0
+    with pytest.raises(ValueError):
+        weighted_rendezvous_shard(df, "k", [0, 0])
+    with pytest.raises(ValueError):
+        weighted_rendezvous_shard(df, "k", [-1, 2])
