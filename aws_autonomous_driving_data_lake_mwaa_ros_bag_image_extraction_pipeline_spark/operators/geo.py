@@ -15,9 +15,18 @@ haversine. Everything is whole-stage codegen and DuckDB-replayable.
 Longitude degrees shrink with latitude (cos(lat)), so the lossless cell
 resolution must come from the WORST latitude the data can reach —
 ``max_abs_lat`` (default 60°, cos = 0.5). Polar data (|lat| beyond the
-bound) would need a coarser grid. The ring does NOT wrap the antimeridian:
-pairs straddling lon ±180 need a pre-shift (rotate longitudes) or a second
-pass — documented limitation, matching fleet data that stays continental.
+bound) would need a coarser grid.
+
+The blocking keys wrap the antimeridian: longitude columns divide the
+circle into ``floor(360/cell_deg)`` EQUAL columns (each >= cell_deg wide —
+a ceil split would leave a narrower final column that two within-radius
+points could straddle two column-steps apart, a silent subset), the column
+index is taken mod that count (lon +180 == lon -180), and the probe ring
+wraps per-axis instead of adding a scalar offset to the combined id (the
+scalar form mis-keyed cx=0's west neighbor into the ADJACENT LATITUDE
+BAND's easternmost cell). Pairs straddling lon ±180 now block correctly;
+the brute-force oracle (haversine is periodic in Δlon, so it was always
+wrap-correct) proves losslessness on a straddling fixture.
 """
 
 from __future__ import annotations
@@ -51,11 +60,60 @@ def haversine_km(
 def geo_cell(lat: Column, lon: Column, cell_deg: float) -> Column:
     """Integer grid-cell id for a ``cell_deg``-degree lat/lon grid — one
     BIGINT join key (row-major over the 360/cell_deg-wide grid). Pure
-    floor arithmetic: bit-identical across engines, no trig."""
+    floor arithmetic: bit-identical across engines, no trig.
+
+    This is the plain SNAP function (od_matrix buckets fixes with it and
+    its oracle replays the exact formula); the radius/colocation joins key
+    on the wrap-aware ``_cell_yx`` grid instead, whose lon columns are
+    equal-width and taken mod the column count."""
     rows_per_band = int(math.ceil(360.0 / cell_deg))
     cy = F.floor((lat + F.lit(90.0)) / F.lit(cell_deg))
     cx = F.floor((lon + F.lit(180.0)) / F.lit(cell_deg))
     return (cy * F.lit(rows_per_band) + cx).cast("bigint")
+
+
+def lon_cells(cell_deg: float) -> int:
+    """Number of longitude columns for the wrap-correct blocking grid: the
+    circle splits into ``floor(360/cell_deg)`` EQUAL columns, each
+    ``360/n >= cell_deg`` wide, so the one-column-step guarantee holds on
+    every column INCLUDING across ±180 (ceil would leave a narrower final
+    column — see module docstring). >= 1 so a radius wider than the planet
+    degenerates to a single all-candidates column instead of dividing by
+    zero."""
+    return max(1, int(math.floor(360.0 / cell_deg)))
+
+
+def _cell_yx(
+    lat: Column, lon: Column, cell_deg: float, n_lon: int
+) -> tuple[Column, Column]:
+    """(latitude band, wrapped longitude column) for the blocking grid.
+    ``pmod`` folds lon = +180 (and any out-of-range input) onto the same
+    column as -180 — the two names for one meridian must share a key."""
+    cy = F.floor((lat + F.lit(90.0)) / F.lit(cell_deg))
+    cx = F.pmod(
+        F.floor((lon + F.lit(180.0)) / F.lit(360.0 / n_lon)), F.lit(n_lon)
+    )
+    return cy, cx
+
+
+def _ring_cells(cy: Column, cx: Column, n_lon: int) -> Column:
+    """The 9-cell probe ring as an array of combined BIGINT cell ids, with
+    the longitude step wrapped mod ``n_lon`` (never a scalar offset on the
+    combined id). ``array_distinct`` because at n_lon <= 2 the wrapped
+    east/west neighbors coincide and a duplicate key would duplicate
+    candidate pairs."""
+    return F.array_distinct(
+        F.array(
+            *[
+                (
+                    (cy + F.lit(dy)) * F.lit(n_lon)
+                    + F.pmod(cx + F.lit(dx), F.lit(n_lon))
+                ).cast("bigint")
+                for dy in (-1, 0, 1)
+                for dx in (-1, 0, 1)
+            ]
+        )
+    )
 
 
 def checked_lat(lat: Column, max_abs_lat: float) -> Column:
@@ -114,37 +172,26 @@ def geo_radius_join(
     at the worst latitude — see ``radius_cell_deg``.
     """
     cell_deg = radius_cell_deg(radius_km, max_abs_lat)
-    rows_per_band = int(math.ceil(360.0 / cell_deg))
+    n_lon = lon_cells(cell_deg)
+    pcy, pcx = _cell_yx(
+        checked_lat(F.col(lat_col), max_abs_lat), F.col(lon_col), cell_deg,
+        n_lon,
+    )
     p = points.select(
         F.col(point_id).alias("__pid"),
         F.col(lat_col).alias("__plat"),
         F.col(lon_col).alias("__plon"),
-        geo_cell(
-            checked_lat(F.col(lat_col), max_abs_lat),
-            F.col(lon_col),
-            cell_deg,
-        ).alias("__cell"),
+        (pcy * F.lit(n_lon) + pcx).cast("bigint").alias("__cell"),
+    )
+    qcy, qcx = _cell_yx(
+        checked_lat(F.col(lat_col), max_abs_lat), F.col(lon_col), cell_deg,
+        n_lon,
     )
     q = queries.select(
         F.col(query_id).alias("__qid"),
         F.col(lat_col).alias("__qlat"),
         F.col(lon_col).alias("__qlon"),
-        geo_cell(
-            checked_lat(F.col(lat_col), max_abs_lat),
-            F.col(lon_col),
-            cell_deg,
-        ).alias("__c0"),
-    )
-    ring = [
-        dy * rows_per_band + dx for dy in (-1, 0, 1) for dx in (-1, 0, 1)
-    ]
-    q = q.select(
-        "__qid",
-        "__qlat",
-        "__qlon",
-        F.explode(
-            F.array(*[F.col("__c0") + F.lit(d) for d in ring])
-        ).alias("__cell"),
+        F.explode(_ring_cells(qcy, qcx, n_lon)).alias("__cell"),
     )
     dist = haversine_km(
         F.col("__qlat"), F.col("__qlon"), F.col("__plat"), F.col("__plon")
@@ -183,23 +230,24 @@ def colocation_pairs(
     worst latitude and bucket width = ``max_dt_s`` — so any qualifying
     fix-pair shares a key. Candidates equi-join, haversine + |dt| verify,
     fix-pair dedup (a pair can collide under several keys), then one
-    aggregation per track pair. Same antimeridian caveat as
-    ``geo_radius_join``.
+    aggregation per track pair. The cell ring wraps the antimeridian the
+    same way as ``geo_radius_join`` (per-axis mod, equal lon columns).
     """
     cell_deg = radius_cell_deg(radius_km, max_abs_lat)
-    rows_per_band = int(math.ceil(360.0 / cell_deg))
+    n_lon = lon_cells(cell_deg)
     ms = F.unix_millis(F.col(ts_col))
+    bcy, bcx = _cell_yx(
+        checked_lat(F.col(lat_col), max_abs_lat), F.col(lon_col), cell_deg,
+        n_lon,
+    )
     base = fixes.select(
         F.col(track_col).alias("__trk"),
         F.col(fix_id).alias("__fid"),
         ms.alias("__ms"),
         F.col(lat_col).alias("__lat"),
         F.col(lon_col).alias("__lon"),
-        geo_cell(
-            checked_lat(F.col(lat_col), max_abs_lat),
-            F.col(lon_col),
-            cell_deg,
-        ).alias("__c0"),
+        bcy.alias("__cy"),
+        bcx.alias("__cx"),
         F.floor(ms / F.lit(max_dt_s * 1000)).alias("__b0"),
     )
     idx = base.select(
@@ -208,10 +256,11 @@ def colocation_pairs(
         F.col("__ms").alias("ms_a"),
         F.col("__lat").alias("lat_a"),
         F.col("__lon").alias("lon_a"),
-        F.col("__c0").alias("__cell"),
+        (F.col("__cy") * F.lit(n_lon) + F.col("__cx"))
+        .cast("bigint")
+        .alias("__cell"),
         F.col("__b0").alias("__bkt"),
     )
-    ring = [dy * rows_per_band + dx for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
     probe = base.select(
         F.col("__trk").alias("trk_b"),
         F.col("__fid").alias("fid_b"),
@@ -219,7 +268,7 @@ def colocation_pairs(
         F.col("__lat").alias("lat_b"),
         F.col("__lon").alias("lon_b"),
         F.explode(
-            F.array(*[F.col("__c0") + F.lit(d) for d in ring])
+            _ring_cells(F.col("__cy"), F.col("__cx"), n_lon)
         ).alias("__cell"),
         "__b0",
     ).select(

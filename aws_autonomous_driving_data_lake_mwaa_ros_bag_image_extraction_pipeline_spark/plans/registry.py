@@ -4353,6 +4353,60 @@ def q_geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "geo_radius_pairs_antimeridian",
+    """
+    WITH pts AS (
+      SELECT event_id AS pid,
+             CAST(user_id % 1200 AS DOUBLE) / 10 - 60 AS lat,
+             CASE WHEN CAST(event_id % 3400 AS DOUBLE) / 10 + 10 >= 180
+                  THEN CAST(event_id % 3400 AS DOUBLE) / 10 + 10 - 360
+                  ELSE CAST(event_id % 3400 AS DOUBLE) / 10 + 10 END AS lon
+      FROM events
+    ),
+    q AS (SELECT * FROM pts WHERE abs(lon) >= 179.5),
+    d AS (
+      SELECT q.pid AS qid, p.pid AS pid2,
+             2 * 6371.0088 * asin(sqrt(
+               sin(radians(p.lat - q.lat) / 2) * sin(radians(p.lat - q.lat) / 2)
+               + cos(radians(q.lat)) * cos(radians(p.lat))
+                 * sin(radians(p.lon - q.lon) / 2)
+                 * sin(radians(p.lon - q.lon) / 2)
+             )) AS dist
+      FROM q, pts p
+    )
+    SELECT qid AS query_id, pid2 AS point_id,
+           floor(dist * 10000 + 0.5) / 10000.0 AS dist_km
+    FROM d WHERE dist <= 50
+    """,
+)
+def q_geo_radius_pairs_antimeridian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_radius_pairs with the longitude field rotated +180° (wrapped into
+    [-180, 180)), so the fixture clusters AROUND lon ±180 and the query set
+    is exactly the fixes within half a degree of the line: the losslessness
+    proof for the wrap-aware blocking grid (operators/geo._cell_yx /
+    _ring_cells — equal-width lon columns taken mod the column count). The
+    brute-force haversine oracle needs no wrap handling at all: sin²(Δlon/2)
+    is periodic, so a Δlon of 359.9° scores identically to 0.1° — which is
+    what makes it the independent referee here."""
+    from ..operators import geo
+
+    ev = _t(spark, sf_dir, "events")
+    shifted = F.pmod(F.col("event_id"), F.lit(3400)).cast("double") / 10 + 10
+    pts = ev.select(
+        F.col("event_id").alias("point_id"),
+        (F.pmod(F.col("user_id"), F.lit(1200)).cast("double") / 10 - 60).alias("lat"),
+        F.when(shifted >= 180, shifted - 360).otherwise(shifted).alias("lon"),
+    )
+    qs = pts.filter(F.abs(F.col("lon")) >= 179.5).withColumnRenamed(
+        "point_id", "query_id"
+    )
+    out = geo.geo_radius_join(pts, qs, radius_km=50.0)
+    return out.select(
+        "query_id", "point_id", H.quantize(F.col("dist_km"), 4).alias("dist_km")
+    )
+
+
+@register(
     "track_path_lengths",
     f"""
     WITH pts AS (

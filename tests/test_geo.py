@@ -1,6 +1,7 @@
 """Geo radius join: cell blocking must be lossless vs brute-force
-haversine within the documented bounds (|lat| <= max_abs_lat, no
-antimeridian straddle)."""
+haversine within the documented bound (|lat| <= max_abs_lat), INCLUDING
+pairs straddling the antimeridian (the lon columns wrap mod the column
+count)."""
 
 from __future__ import annotations
 
@@ -68,6 +69,69 @@ def test_cell_resolution_covers_high_latitude(spark):
         for r in geo_radius_join(pts, qs, radius_km=50.0).collect()
     }
     assert got == {1, 2}
+
+
+def test_matches_brute_force_across_antimeridian(spark):
+    """Losslessness where it used to be a documented gap: a cluster
+    straddling lon ±180 (Fiji-ish), with both lon spellings of the line
+    itself (+180 and -180 must share a cell key)."""
+    rng = random.Random(23)
+    rows = [(900, -17.0, 180.0), (901, -17.0, -180.0)]
+    for i in range(300):
+        lon = 179.3 + rng.uniform(0, 1.4)  # [179.3, 180.7) -> straddles
+        if lon >= 180.0:
+            lon -= 360.0
+        rows.append((i, -17.0 + rng.uniform(-0.7, 0.7), lon))
+    pts = _pts(spark, rows)
+    qs = pts.limit(25).withColumnRenamed("point_id", "query_id")
+    got = {
+        (r.query_id, r.point_id)
+        for r in geo_radius_join(pts, qs, radius_km=30.0).collect()
+    }
+    q2 = qs.select(
+        F.col("query_id"), F.col("lat").alias("qlat"), F.col("lon").alias("qlon")
+    )
+    brute = (
+        q2.crossJoin(pts)
+        .withColumn(
+            "d",
+            haversine_km(
+                F.col("qlat"), F.col("qlon"), F.col("lat"), F.col("lon")
+            ),
+        )
+        .filter(F.col("d") <= 30.0)
+    )
+    want = {(r.query_id, r.point_id) for r in brute.collect()}
+    # the fixture must actually exercise the wrap: some surviving pair has
+    # its two ends on opposite lon signs
+    lons = {r[0]: r[2] for r in rows}
+    assert any(lons[q] * lons[p] < 0 for q, p in want)
+    assert got == want and len(want) > 25
+
+
+def test_colocation_across_antimeridian(spark):
+    """Two tracks meeting AT the line within the time window pair up; a
+    third track at the same spot a decade earlier does not."""
+    import datetime as dt
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.geo import (
+        colocation_pairs,
+    )
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0)
+    df = spark.createDataFrame(
+        [
+            (1, 10, t0, -16.9, 179.95),
+            (2, 20, t0 + dt.timedelta(minutes=10), -16.9, -179.95),
+            (3, 30, t0 - dt.timedelta(days=3650), -16.9, -179.95),
+        ],
+        "user_id long, event_id long, ts timestamp, lat double, lon double",
+    )
+    got = {
+        (r.user_id_a, r.user_id_b)
+        for r in colocation_pairs(df, radius_km=20.0, max_dt_s=3600).collect()
+    }
+    assert got == {(1, 2)}
 
 
 def test_haversine_known_distance(spark):
