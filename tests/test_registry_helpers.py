@@ -56,3 +56,75 @@ def test_fx_long_matches_decimal_cast_rowwise(spark):
     ).collect()
     for r in rows:
         assert r.fx == r.dec
+
+
+# --- gsum: the auto-carrier guard (footer-stats budget) ---------------------
+
+def test_long_carrier_budget_decision():
+    # unknown stats never earn the long carrier
+    assert not registry.long_carrier_ok(None, 100.0)
+    assert not registry.long_carrier_ok(1000, None)
+    # money-like magnitudes at bench row counts: comfortably inside
+    assert registry.long_carrier_ok(600_000, 1e5)
+    # 200 rows of 1e11 need 2e19 carrier units — past 2^63
+    assert not registry.long_carrier_ok(200, 1e11)
+    # the headroom factor bites BEFORE the hard 2^63 edge: a magnitude
+    # that fits the raw long but not the 8x margin is rejected, one
+    # safely inside the margin is accepted
+    hard_edge = float(2**63) / 1e6
+    assert not registry.long_carrier_ok(1, hard_edge * 0.99)
+    assert registry.long_carrier_ok(
+        1, hard_edge / registry.FSUM_HEADROOM * 0.9
+    )
+
+
+def test_footer_stats_pick_long_carrier_on_real_lineitem():
+    """The guard's metadata-only read on the actual bench table must both
+    return usable stats and land on the fast carrier (else the flagship
+    would silently regress to decimal accumulation)."""
+    n, mx = registry._footer_stats("/root/testdata/sf0.001/lineitem.parquet")
+    assert n and n > 1000
+    for col in ("l_quantity", "l_extendedprice", "l_discount"):
+        assert col in mx and mx[col] > 0
+    assert registry.long_carrier_ok(n, mx["l_extendedprice"])
+    # and the derived-column bound used by pricing_summary
+    dp = mx["l_extendedprice"] * (1 + mx["l_discount"])
+    assert registry.long_carrier_ok(n, dp)
+
+
+def test_gsum_picks_by_budget():
+    """gsum/gavg return the fsum/favg expression inside budget and the
+    dsum/davg expression outside it — compared on the expression tree."""
+    from pyspark.sql import functions as F
+
+    c = F.col("x")
+    assert str(registry.gsum(c, "s", n_rows=1000, max_abs=100.0)) == str(
+        registry.fsum(c, "s")
+    )
+    assert str(registry.gsum(c, "s", n_rows=200, max_abs=1e11)) == str(
+        registry.dsum(c, "s")
+    )
+    assert str(registry.gavg(c, "a", n_rows=200, max_abs=1e11)) == str(
+        registry.davg(c, "a")
+    )
+    assert str(registry.gavg(c, "a", n_rows=None, max_abs=None)) == str(
+        registry.davg(c, "a")
+    )
+
+
+def test_fsum_overflow_aborts_loudly_and_gsum_survives(spark):
+    """At adversarial magnitude the UNGUARDED long carrier must fail the
+    job (ANSI long-sum overflow), never wrap silently — and gsum at the
+    same magnitude must downgrade to the decimal path and return the
+    exact sum."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1.0e11,)] * 200, "x double")
+    with pytest.raises(Exception, match="(?i)overflow|arithmetic"):
+        df.agg(registry.fsum(F.col("x"), "s")).collect()
+    row = df.agg(
+        registry.gsum(F.col("x"), "s", n_rows=200, max_abs=1e11),
+        registry.dsum(F.col("x"), "exact"),
+    ).collect()[0]
+    assert row.s == row.exact == 2.0e13
