@@ -69,20 +69,40 @@ def main() -> None:
             timings[name] = min(timings[name], time.time() - t0)
     timings = {n: round(v, 3) for n, v in timings.items()}
 
-    # Per-round history: compare against the latest recorded BENCH_r{N}.json
-    # so each round's line carries its own deltas (extra keys; the driver's
-    # parser only needs metric/value/unit/queries/sf).
-    prev_round, prev_queries = None, {}
-    here = os.path.dirname(os.path.abspath(__file__))
+    # Per-round history. Determine THIS round first (next after the highest
+    # driver-recorded BENCH_r{N}.json, overridable via SPARK_GRAFT_ROUND),
+    # then diff against the latest artifact from an EARLIER round —
+    # preferring the committed BENCH_full_r{M}.json (it always carries every
+    # per-query time; the driver's own BENCH_r file keeps only a bounded
+    # output tail and has truncated before), falling back to driver records
+    # when no full artifact exists. Extra keys; the driver's parser only
+    # needs metric/value/unit/queries/sf.
     import glob
 
-    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+    here = os.path.dirname(os.path.abspath(__file__))
+    rnd_env = os.environ.get("SPARK_GRAFT_ROUND")
+    recorded = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    rnd = int(rnd_env) if rnd_env else max(recorded, default=0) + 1
+    prev_round, prev_queries = None, {}
+    candidates = []
+    for pat, is_full in (("BENCH_r*.json", False), ("BENCH_full_r*.json", True)):
+        for path in glob.glob(os.path.join(here, pat)):
+            m = re.search(r"r(\d+)\.json$", path)
+            if m and int(m.group(1)) < rnd:
+                candidates.append((int(m.group(1)), is_full, path))
+    # ascending (round, is_full): the last parseable record wins, so the
+    # highest earlier round is chosen and its full artifact beats the
+    # driver's possibly-truncated one
+    for r, _is_full, path in sorted(candidates):
         try:
             rec = json.load(open(path))
             parsed = rec.get("parsed", rec)
             if parsed and parsed.get("queries"):
-                prev_round = int(re.search(r"BENCH_r(\d+)", path).group(1))
-                prev_queries = parsed["queries"]
+                prev_round, prev_queries = r, parsed["queries"]
         except Exception:
             continue
 
@@ -270,6 +290,56 @@ def main() -> None:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    # --- graph-ANN index: build vs search, measured separately ------------
+    # hnsw_topk in the scaling block times the INLINE path (graph build +
+    # search in one plan), which conflates the one-time NN-descent build
+    # with the per-query beam search. The index's serving contract is
+    # "build once (amortized across every query batch), search at
+    # O(hops·beam·degree) score evals per query independent of corpus
+    # size" — so time the persisted-index path on each side of that line.
+    if os.environ.get("SPARK_GRAFT_HNSW_BENCH", "1") != "0":
+        import shutil
+        import tempfile
+
+        from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.similarity import (
+            build_hnsw_index,
+            search_hnsw_index,
+        )
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        qs = emb.filter(F.col("vec_id") < 10)
+        tmp = tempfile.mkdtemp(prefix="hnsw_bench_")
+        idx = os.path.join(tmp, "idx")
+        try:
+            t0 = time.time()
+            build_hnsw_index(emb, idx)
+            build_sec = time.time() - t0
+            search_hnsw_index(spark, idx, qs, k=5).write.format(
+                "noop"
+            ).mode("overwrite").save()  # warm (codegen + JIT)
+            s = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                search_hnsw_index(spark, idx, qs, k=5).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                s = min(s, time.time() - t0)
+            out["hnsw_index"] = {
+                "build_sec": round(build_sec, 3),
+                "search_sec": round(s, 3),
+                "n_queries": 10,
+                "note": "persisted-index path (similarity.build_hnsw_index"
+                        " / search_hnsw_index): build is the one-time"
+                        " amortized cost, search is the per-batch serving"
+                        " cost; the scaling block's hnsw_topk times the"
+                        " inline build+search plan instead",
+            }
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     if prev_queries:
         out["prev_round"] = prev_round
         out["delta_vs_prev"] = {
@@ -285,15 +355,7 @@ def main() -> None:
     # BENCH_full_r{N}.json where N = this round (next after the highest
     # recorded driver round, overridable via SPARK_GRAFT_ROUND).
     try:
-        rnd = os.environ.get("SPARK_GRAFT_ROUND")
-        if rnd is None:
-            recorded = [
-                int(m.group(1))
-                for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
-                if (m := re.search(r"BENCH_r(\d+)\.json$", p))
-            ]
-            rnd = str(max(recorded, default=0) + 1)
-        full_path = os.path.join(here, f"BENCH_full_r{int(rnd):02d}.json")
+        full_path = os.path.join(here, f"BENCH_full_r{rnd:02d}.json")
         with open(full_path, "w") as f:
             json.dump(out, f, indent=2, sort_keys=True)
             f.write("\n")

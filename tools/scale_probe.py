@@ -1,6 +1,9 @@
 """Scale probe BEYOND the bench gate: sf0.1 × {1, 2, 5, 10} synthetic
 multiples of the documents/embeddings tables, timing the heavy dedup/ANN
-family and fitting per-query growth exponents.
+family, the chunk-key text/curation family (passage stats + scrub,
+decontamination, BM25), and the persisted graph-ANN index (build timed per
+multiple — near-linear; search timed against it — must stay flat), and
+fitting per-query growth exponents.
 
     python tools/scale_probe.py [--multiples 1,2,5,10]
 
@@ -45,7 +48,11 @@ ID_STRIDE = 100_000_000
 
 
 def replicate_docs(docs: DataFrame, k: int) -> DataFrame:
-    """k replicas with rotated alphabets (disjoint vocabularies)."""
+    """k replicas with rotated alphabets (disjoint vocabularies). ``source``
+    rides along unchanged so the contamination probe can split each
+    replica into its own training/benchmark halves (replica i's benchmark
+    passages can only hit replica i's training docs — true contamination
+    work scales linearly with k)."""
     parts = []
     alpha = string.ascii_lowercase
     for i in range(k):
@@ -54,6 +61,7 @@ def replicate_docs(docs: DataFrame, k: int) -> DataFrame:
             docs.select(
                 (F.col("doc_id") + F.lit(i * ID_STRIDE)).alias("doc_id"),
                 F.translate(F.col("text"), alpha, rot).alias("text"),
+                "source",
             )
         )
     out = parts[0]
@@ -136,6 +144,7 @@ def main() -> None:
         fuzzy,
         geo,
         graph,
+        search as search_op,
         similarity,
     )
     from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.plans.registry import (
@@ -148,7 +157,7 @@ def main() -> None:
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
-        "doc_id", "text"
+        "doc_id", "text", "source"
     )
     emb0 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
         "vec_id", "embedding"
@@ -170,12 +179,32 @@ def main() -> None:
         "point_id", "query_id"
     )
     par = spark.sparkContext.defaultParallelism
+    import shutil
+    import tempfile
+
+    hnsw_tmp = tempfile.mkdtemp(prefix="hnsw_probe_")
+    # throwaway build: NN-descent's generated code JITs on first execution
+    # (~5-10s) — absorb it here so the k=1 build isn't inflated and the
+    # build exponent measures data growth, not compiler warm-up
+    similarity.build_hnsw_index(
+        emb0.limit(512), os.path.join(hnsw_tmp, "warm")
+    )
 
     def probes(k: int) -> dict:
         docs = replicate_docs(docs0, k)
         emb = replicate_embeddings(emb0, k)
         fixes = replicate_fixes(fixes0, k)
         pts = replicate_points(pts0, k)
+        # graph-ANN contrast: build the persisted index per multiple
+        # (timed, recorded as its own entry — expected near-linear), then
+        # the probe times SEARCH ONLY against it, which must stay flat:
+        # O(hops·beam·degree) score evals per query regardless of corpus.
+        idx = os.path.join(hnsw_tmp, f"idx_{k}")
+        t0 = time.time()
+        similarity.build_hnsw_index(emb, idx)
+        results.setdefault("hnsw_index_build", {"sec": {}})["sec"][
+            str(k)
+        ] = round(time.time() - t0, 3)
         return {
             "exact_dedup_groups": lambda: dedup.exact_dedup_groups(docs),
             "minhash_dedup_pairs": lambda: dedup.minhash_dedup_pairs(
@@ -207,6 +236,27 @@ def main() -> None:
             "passage_scrub": lambda: curation.scrub_duplicate_passages(
                 docs, n=3, max_df=1
             ),
+            "passage_dup_stats": lambda: curation.passage_dup_stats(
+                docs, n=3
+            ),
+            # per-replica train/benchmark split (see replicate_docs): the
+            # broadcast benchmark side and the true hit count both scale
+            # linearly with k
+            "benchmark_contamination": lambda: curation.contamination_overlap(
+                docs.filter(F.col("source") != "src0"),
+                docs.filter(F.col("source") == "src0"),
+                n=3,
+            ),
+            # fixed 4-term query; rotated replicas add corpus (tf pass +
+            # 1-row stats broadcast) but no new matches — corpus-bound
+            "bm25_topk": lambda: search_op.bm25_topk(
+                docs,
+                ["spark", "window", "customer", "vector"],
+                k=25,
+            ),
+            "hnsw_search": lambda: similarity.search_hnsw_index(
+                spark, idx, queries0, k=5
+            ),
             "geo_radius_pairs": lambda: geo.geo_radius_join(
                 pts, geo_qs0, radius_km=50.0
             ),
@@ -234,6 +284,7 @@ def main() -> None:
             results.setdefault(name, {"sec": {}})["sec"][str(k)] = dt
             print(f"  k={k:>2} {name:24s} {dt:7.2f}s", file=sys.stderr)
 
+    shutil.rmtree(hnsw_tmp, ignore_errors=True)
     k_lo, k_hi = multiples[0], multiples[-1]
     for name, r in results.items():
         t_lo, t_hi = r["sec"][str(k_lo)], r["sec"][str(k_hi)]
