@@ -2265,6 +2265,7 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
            trim(concat_ws(' ', coalesce(k.kept_txt, ''), t.tail)) AS scrubbed
     FROM tails t LEFT JOIN kept k USING (doc_id)
     """,
+    headline=True,
 )
 def q_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate passage REMOVAL (curation.scrub_duplicate_passages):
@@ -2417,6 +2418,7 @@ _RDV_W = (
     QUALIFY row_number() OVER (PARTITION BY doc_id
                                ORDER BY w DESC, i DESC) = 1
     """,
+    headline=True,
 )
 def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rendezvous/HRW shard assignment (layout.rendezvous_shard, n=8):
