@@ -565,6 +565,78 @@ def chunk_documents(
     )
 
 
+def cdc_chunks(
+    docs: DataFrame,
+    avg_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking (CDC — the rsync/LBFS boundary scheme,
+    Muthitacharoen et al. SOSP'01, at token granularity): a chunk ends
+    AFTER any token whose md5-derived 60-bit hash ≡ 0 (mod
+    ``avg_tokens``). Boundaries are a pure function of LOCAL content, so
+    an edit re-chunks only the chunk it touches, while fixed windows
+    (``chunk_documents``) shift every boundary downstream of an insertion
+    — the property that makes CDC the storage-dedup chunker (measured by
+    the ``cdc_boundary_stability`` registry query; versioned corpus
+    snapshots share all untouched chunks). Expected chunk length is
+    ``avg_tokens`` (geometric); there is no hard cap, so a pathological
+    boundary-free document yields one long chunk — compose with
+    ``chunk_documents`` on the output if a cap matters.
+
+    → (id, chunk_id, chunk, n_tokens). Zero shuffle: tokenize + one
+    linear ``aggregate()`` fold per row (whole-stage codegen) + one
+    explode — chunking runs at scan speed; dedup/storage stats follow
+    with one groupBy on md5(chunk). Every md5-derived boundary decision
+    replays bit-exactly in the DuckDB oracle.
+    """
+    toks = T.tokens(F.lower(F.col(text_col)))
+
+    def _join2(cur, t):
+        return F.when(cur == F.lit(""), t).otherwise(
+            F.concat(cur, F.lit(" "), t)
+        )
+
+    def _fold(tk):
+        acc0 = F.struct(
+            F.array().cast("array<string>").alias("done"),
+            F.lit("").alias("cur"),
+        )
+
+        def step(acc, t):
+            return F.when(
+                (H.md5_long(t) % F.lit(avg_tokens)) == 0,
+                F.struct(
+                    F.array_append(
+                        acc["done"], _join2(acc["cur"], t)
+                    ).alias("done"),
+                    F.lit("").alias("cur"),
+                ),
+            ).otherwise(
+                F.struct(
+                    acc["done"].alias("done"),
+                    _join2(acc["cur"], t).alias("cur"),
+                )
+            )
+
+        def fin(acc):
+            return F.when(acc["cur"] == F.lit(""), acc["done"]).otherwise(
+                F.array_append(acc["done"], acc["cur"])
+            )
+
+        return F.aggregate(tk, acc0, step, fin)
+
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(T.bind(toks, _fold)).alias("chunk_id", "chunk"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        "chunk",
+        F.size(T.tokens(F.col("chunk"))).cast("int").alias("n_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF distinctive terms
 # ---------------------------------------------------------------------------

@@ -2401,6 +2401,189 @@ def lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CDC chunk table as a reusable SQL fragment: token stream → md5-derived
+# boundary flags → prefix-sum chunk ids → one row per (doc, chunk) with the
+# reassembled chunk text. Exactly replays curation.cdc_chunks (same 60-bit
+# md5 prefix, same mod, boundary AFTER the matching token).
+_CDC_CHUNKS = """
+    tk AS (SELECT doc_id, {toks} AS toks FROM {src}),
+    pos AS (
+      SELECT doc_id, i, toks[i + 1] AS tok,
+             CASE WHEN CAST(concat('0x', substr(md5(toks[i + 1]), 1, 15))
+                       AS BIGINT) % {m} = 0 THEN 1 ELSE 0 END AS b
+      FROM tk, unnest(range(0, CAST(len(toks) AS INTEGER))) AS u(i)
+    ),
+    cid AS (
+      SELECT doc_id, i, tok,
+             COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS chunk_id
+      FROM pos
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+             string_agg(tok, ' ' ORDER BY i) AS chunk,
+             CAST(COUNT(*) AS INTEGER) AS n_tokens
+      FROM cid GROUP BY doc_id, chunk_id
+    )
+"""
+
+
+@register(
+    "cdc_chunks",
+    "WITH"
+    + _CDC_CHUNKS.format(toks=_D_TOKS, src="documents", m=8)
+    + """
+    SELECT doc_id, chunk_id, md5(chunk) AS chunk_md5, n_tokens
+    FROM chunks
+    """,
+)
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (curation.cdc_chunks, avg 8 tokens): the
+    rsync/LBFS boundary scheme at token granularity — chunk ends after any
+    token whose md5-derived hash ≡ 0 mod 8, so boundaries depend only on
+    local content. Zero-shuffle fold per row; the hash pins every boundary
+    decision and every reassembled chunk byte-for-byte."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.cdc_chunks(docs, avg_tokens=8).select(
+        "doc_id", "chunk_id", F.md5("chunk").alias("chunk_md5"), "n_tokens"
+    )
+
+
+@register(
+    "cdc_dedup_ratio",
+    "WITH"
+    + _CDC_CHUNKS.format(toks=_D_TOKS, src="documents", m=8)
+    + """
+    , per AS (
+      SELECT md5(chunk) AS h, n_tokens,
+             row_number() OVER (PARTITION BY md5(chunk)
+                                ORDER BY doc_id, chunk_id) AS rn
+      FROM chunks
+    )
+    SELECT COUNT(*) AS n_chunks,
+           COUNT(*) FILTER (WHERE rn = 1) AS n_unique_chunks,
+           SUM(n_tokens) AS total_tokens,
+           SUM(n_tokens) FILTER (WHERE rn = 1) AS unique_tokens,
+           floor((1 - SUM(n_tokens) FILTER (WHERE rn = 1) * 1.0
+                      / SUM(n_tokens)) * 10000 + 0.5) / 10000.0
+             AS token_savings
+    FROM per
+    """,
+)
+def q_cdc_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-dedup ratio over CDC chunks: how many token-weighted chunks
+    a content-addressed store would keep exactly once. One groupBy on the
+    chunk hash (map-side combine collapses repeats before the shuffle),
+    then a 1-row rollup — the dedup-savings report for a versioned corpus
+    snapshot store."""
+    docs = _t(spark, sf_dir, "documents")
+    ch = curation.cdc_chunks(docs, avg_tokens=8)
+    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_id")
+    per = ch.select(
+        "n_tokens", F.row_number().over(w).alias("rn")
+    )
+    first = (F.col("rn") == 1).cast("long")
+    return per.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(first).alias("n_unique_chunks"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.col("n_tokens") * first).cast("long").alias("unique_tokens"),
+        H.quantize(
+            1
+            - F.sum(F.col("n_tokens") * first)
+            / F.sum("n_tokens"),
+            4,
+        ).alias("token_savings"),
+    )
+
+
+@register(
+    "cdc_boundary_stability",
+    "WITH"
+    + _CDC_CHUNKS.format(toks=_D_TOKS, src="documents", m=8)
+    + ","
+    + _CDC_CHUNKS.format(
+        toks="regexp_split_to_array(trim(lower("
+             "'inserted preamble tokens ' || text)), '\\s+')",
+        src="documents", m=8,
+    ).replace(" tk AS ", " tk2 AS ").replace("FROM tk,", "FROM tk2,")
+     .replace(" pos AS ", " pos2 AS ").replace("FROM pos", "FROM pos2")
+     .replace(" cid AS ", " cid2 AS ").replace("FROM cid", "FROM cid2")
+     .replace(" chunks AS ", " chunks2 AS ")
+    + """
+    , fixed AS (
+      SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY i)) AS h
+      FROM cid GROUP BY doc_id, CAST(floor(i / 8) AS INTEGER)
+    ),
+    fixed2 AS (
+      SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY i)) AS h
+      FROM cid2 GROUP BY doc_id, CAST(floor(i / 8) AS INTEGER)
+    ),
+    ca AS (SELECT DISTINCT doc_id, md5(chunk) AS h FROM chunks),
+    cb AS (SELECT DISTINCT doc_id, md5(chunk) AS h FROM chunks2),
+    fa AS (SELECT DISTINCT doc_id, h FROM fixed),
+    fb AS (SELECT DISTINCT doc_id, h FROM fixed2)
+    SELECT (SELECT COUNT(*) FROM ca) AS n_cdc_chunks,
+           floor((SELECT COUNT(*) FROM ca SEMI JOIN cb USING (doc_id, h))
+                 * 1.0 / (SELECT COUNT(*) FROM ca) * 10000 + 0.5) / 10000.0
+             AS cdc_preserved_share,
+           floor((SELECT COUNT(*) FROM fa SEMI JOIN fb USING (doc_id, h))
+                 * 1.0 / (SELECT COUNT(*) FROM fa) * 10000 + 0.5) / 10000.0
+             AS fixed_preserved_share
+    """,
+)
+def q_cdc_boundary_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured CLAIM behind CDC: prepend a 3-token preamble to every
+    document (the versioned-snapshot edit) and count distinct per-doc
+    chunk hashes that survive. Content-defined boundaries re-sync right
+    after the edit, so almost every chunk survives; fixed 8-token windows
+    shift wholesale and survive only by accident. Four distinct-chunk
+    sets, three left-semi counts, one broadcast scalar assembly — the
+    same measured-proof shape as rendezvous_reshard_moves."""
+    docs = _t(spark, sf_dir, "documents")
+    pre = docs.withColumn(
+        "text", F.concat(F.lit("inserted preamble tokens "), F.col("text"))
+    )
+
+    def _cdc_set(d):
+        return (
+            curation.cdc_chunks(d, avg_tokens=8)
+            .select("doc_id", F.md5("chunk").alias("h"))
+            .distinct()
+        )
+
+    def _fixed_set(d):
+        return (
+            curation.chunk_documents(d, size=8)
+            .select("doc_id", F.md5("chunk").alias("h"))
+            .distinct()
+        )
+
+    ca, cb = _cdc_set(docs), _cdc_set(pre)
+    fa, fb = _fixed_set(docs), _fixed_set(pre)
+    n_ca = ca.agg(F.count(F.lit(1)).alias("n_cdc_chunks"))
+    n_ca_kept = ca.join(cb, ["doc_id", "h"], "left_semi").agg(
+        F.count(F.lit(1)).alias("__ck")
+    )
+    n_fa = fa.agg(F.count(F.lit(1)).alias("__fn"))
+    n_fa_kept = fa.join(fb, ["doc_id", "h"], "left_semi").agg(
+        F.count(F.lit(1)).alias("__fk")
+    )
+    return (
+        n_ca.crossJoin(n_ca_kept).crossJoin(n_fa).crossJoin(n_fa_kept)
+        .select(
+            "n_cdc_chunks",
+            H.quantize(F.col("__ck") / F.col("n_cdc_chunks"), 4).alias(
+                "cdc_preserved_share"
+            ),
+            H.quantize(F.col("__fk") / F.col("__fn"), 4).alias(
+                "fixed_preserved_share"
+            ),
+        )
+    )
+
+
 _RDV_W = (
     "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#', "
     "CAST(i AS VARCHAR))), 1, 15)) AS BIGINT)"

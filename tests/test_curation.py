@@ -493,3 +493,84 @@ def test_trim_repeated_passages_first_occurrence_wins(spark):
     assert out[1].trimmed == "a b c x y z q"
     assert out[2].n_dropped == 0 and out[2].trimmed == "a b c p q r"
     assert out[3].n_passages == 0 and out[3].trimmed == "hi"
+
+
+# --- content-defined chunking (cdc_chunks) ----------------------------------
+
+def _md5_mod(tok: str, m: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % m
+
+
+def test_cdc_chunks_reassemble_and_boundary_law(spark):
+    """Chunks rejoin to the normalized text, and the boundary law holds:
+    every token except a chunk's last hashes nonzero mod m; every
+    non-final chunk's last token hashes zero."""
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog and runs far "
+            "away into the night while seven silent owls watch"),
+        (2, "alpha beta gamma delta"),
+        (3, "one"),
+    ]
+    out = curation.cdc_chunks(_docs(spark, rows), avg_tokens=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_id)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in rows:
+        chunks = by_doc[doc_id]
+        assert " ".join(c.chunk for c in chunks) == " ".join(
+            text.lower().split()
+        )
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        for ci, c in enumerate(chunks):
+            toks = c.chunk.split()
+            assert c.n_tokens == len(toks)
+            for t in toks[:-1]:  # interior tokens are never boundaries
+                assert _md5_mod(t, 4) != 0
+            if ci < len(chunks) - 1:  # non-final chunk ends at a boundary
+                assert _md5_mod(toks[-1], 4) == 0
+
+
+def test_cdc_chunks_survive_prefix_insertion(spark):
+    """The CDC property: prepending tokens changes only chunks up to the
+    first boundary — everything after is byte-identical. Fixed windows
+    (chunk_documents) lose every chunk to the shift."""
+    text = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the night while seven silent owls watch from tall trees "
+        "near the frozen river bank tonight"
+    )
+    base = _docs(spark, [(1, text)])
+    pre = _docs(spark, [(1, "inserted preamble " + text)])
+    a = [
+        r.chunk
+        for r in curation.cdc_chunks(base, avg_tokens=4)
+        .orderBy("chunk_id").collect()
+    ]
+    b = [
+        r.chunk
+        for r in curation.cdc_chunks(pre, avg_tokens=4)
+        .orderBy("chunk_id").collect()
+    ]
+    # all base chunks except (possibly) the first survive verbatim
+    assert set(a[1:]) <= set(b)
+    fa = {
+        r.chunk
+        for r in curation.chunk_documents(base, size=4).collect()
+    }
+    fb = {
+        r.chunk
+        for r in curation.chunk_documents(pre, size=4).collect()
+    }
+    assert len(set(a[1:]) & set(b)) > len(fa & fb)
+
+
+def test_cdc_chunks_degenerate_docs(spark):
+    """Empty and single-token docs yield exactly one chunk; no doc
+    vanishes."""
+    out = curation.cdc_chunks(
+        _docs(spark, [(1, ""), (2, "solo")]), avg_tokens=8
+    ).collect()
+    per = {r.doc_id: r for r in out}
+    assert len(out) == 2 and per[1].chunk == "" and per[2].chunk == "solo"

@@ -154,6 +154,9 @@ _BNLJ_ALLOWANCE = {
     "bloom_prune_join": 1,
     "bm25_topk": 1,
     "brute_force_topk": 1,
+    # 3: verdict assembly — cross joins of four broadcast 1-row count
+    # aggregates (CDC vs fixed-chunk survival shares)
+    "cdc_boundary_stability": 3,
     "chi2_lang_source": 1,
     "contrastive_negatives": 1,
     "cosine_similarity_histogram": 1,
