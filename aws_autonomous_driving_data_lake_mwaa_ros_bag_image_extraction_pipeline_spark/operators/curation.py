@@ -733,17 +733,95 @@ def contamination_overlap(
         from .bloom import bloom_prune
 
         probe = bloom_prune(p, ref, "passage_md5", m_bits=bloom_bits)
+    return _overlap_rollup(p, probe, ref, id_col, "n_passages")
+
+
+def _overlap_rollup(
+    p: DataFrame,
+    probe: DataFrame,
+    ref: DataFrame,
+    id_col: str,
+    count_alias: str,
+) -> DataFrame:
+    """Shared contamination tail: semi-join ``probe``'s fingerprints
+    against the distinct ``ref`` set, then the per-doc rollup over ``p``'s
+    full fingerprint count (``probe`` may be a Bloom-pruned subset of
+    ``p`` — the denominator must stay un-pruned)."""
     hits = probe.join(ref, "passage_md5", "left_semi")
-    per_doc = p.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_passages"))
+    per_doc = p.groupBy(id_col).agg(F.count(F.lit(1)).alias(count_alias))
     per_hit = hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_contaminated"))
     return per_doc.join(per_hit, id_col, "left").select(
         F.col(id_col),
-        "n_passages",
+        count_alias,
         F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
         H.quantize(
-            F.coalesce("n_contaminated", F.lit(0)) / F.col("n_passages"), 4
+            F.coalesce("n_contaminated", F.lit(0)) / F.col(count_alias), 4
         ).alias("contamination"),
     )
+
+
+def skipgram_hashes(
+    docs: DataFrame,
+    gap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding gapped-bigram fingerprints: md5(tok_i ‖ " _ " ‖
+    tok_{i+gap+1}) for every position — the skip-gram counterpart of
+    ``passage_hashes``. A contiguous n-gram dies to ANY edit inside its
+    window; a gapped pair survives every edit that lands in the gap, so
+    skip-gram fingerprints still catch benchmark leakage after the classic
+    change-one-word paraphrase (measured by the
+    ``skipgram_vs_ngram_under_edits`` registry query). Documents shorter
+    than gap+2 tokens yield no rows. One let-bound tokenize + transform per
+    row, then one explode — no shuffle until the consumer aggregates."""
+    span = gap + 2
+
+    toks = T.tokens(F.lower(F.col(text_col)))
+
+    def _pairs(tk):
+        k = F.size(tk) - F.lit(span - 1)
+        idx = F.when(k >= 1, F.sequence(F.lit(0), k - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx,
+            lambda i: F.md5(
+                F.concat(
+                    F.element_at(tk, i + 1),
+                    F.lit(" _ "),
+                    F.element_at(tk, i + span),
+                )
+            ),
+        )
+
+    return docs.select(
+        F.col(id_col),
+        F.explode(T.bind(toks, _pairs)).alias("passage_md5"),
+    )
+
+
+def skipgram_contamination(
+    docs: DataFrame,
+    reference: DataFrame,
+    gap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_id_col: str = "doc_id",
+    ref_text_col: str = "text",
+) -> DataFrame:
+    """``contamination_overlap`` on skip-gram fingerprints
+    (``skipgram_hashes``): edit-robust decontamination →
+    (id, n_pairs, n_contaminated, contamination). Same plan shape —
+    distinct fingerprints both sides, broadcast semi-join against the
+    small benchmark set, one per-doc rollup."""
+    p = skipgram_hashes(docs, gap, id_col, text_col).distinct()
+    ref = (
+        skipgram_hashes(reference, gap, ref_id_col, ref_text_col)
+        .select("passage_md5")
+        .distinct()
+    )
+    return _overlap_rollup(p, p, ref, id_col, "n_pairs")
 
 
 def token_budget_mix(

@@ -574,3 +574,32 @@ def test_cdc_chunks_degenerate_docs(spark):
     ).collect()
     per = {r.doc_id: r for r in out}
     assert len(out) == 2 and per[1].chunk == "" and per[2].chunk == "solo"
+
+
+# --- skip-gram fingerprints (edit-robust decontamination) -------------------
+
+def test_skipgram_hashes_count_and_gap_robustness(spark):
+    """gap=1 over L tokens yields L-2 pairs; editing the token INSIDE a
+    gap leaves that pair's fingerprint unchanged."""
+    base = _docs(spark, [(1, "alpha beta gamma delta epsilon")])
+    edited = _docs(spark, [(1, "alpha XXX gamma delta epsilon")])
+    a = [r.passage_md5 for r in curation.skipgram_hashes(base, 1).collect()]
+    b = [r.passage_md5 for r in curation.skipgram_hashes(edited, 1).collect()]
+    assert len(a) == len(b) == 3
+    # pair (alpha, gamma) skips position 2 entirely -> identical
+    assert a[0] == b[0]
+    # pairs with 'beta'/'xxx' as an endpoint differ
+    assert a[1] != b[1]
+
+
+def test_skipgram_contamination_survives_word_paraphrase(spark):
+    """A benchmark sentence leaked with one word changed per 3-token
+    chunk: contiguous trigram contamination reads zero (every chunk
+    touched), skip-gram contamination still fires (pairs whose gap
+    swallows the edit survive)."""
+    bench = _docs(spark, [(100, "the cat sat on the mat")])
+    leaked = _docs(spark, [(1, "the dog sat on a mat")])
+    tri = curation.contamination_overlap(leaked, bench, n=3).collect()[0]
+    sg = curation.skipgram_contamination(leaked, bench, gap=1).collect()[0]
+    assert tri.n_contaminated == 0
+    assert sg.n_contaminated >= 2 and sg.contamination > 0

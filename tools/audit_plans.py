@@ -157,6 +157,8 @@ _BNLJ_ALLOWANCE = {
     # 3: verdict assembly — cross joins of four broadcast 1-row count
     # aggregates (CDC vs fixed-chunk survival shares)
     "cdc_boundary_stability": 3,
+    # 3: same verdict-assembly shape (ngram vs skipgram hit shares)
+    "skipgram_vs_ngram_under_edits": 3,
     "chi2_lang_source": 1,
     "contrastive_negatives": 1,
     "cosine_similarity_histogram": 1,
