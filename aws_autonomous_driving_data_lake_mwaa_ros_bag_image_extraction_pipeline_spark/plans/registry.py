@@ -2404,27 +2404,28 @@ def lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CDC chunk table as a reusable SQL fragment: token stream → md5-derived
 # boundary flags → prefix-sum chunk ids → one row per (doc, chunk) with the
 # reassembled chunk text. Exactly replays curation.cdc_chunks (same 60-bit
-# md5 prefix, same mod, boundary AFTER the matching token).
+# md5 prefix, same mod, boundary AFTER the matching token). ``p`` prefixes
+# every CTE name so two corpus versions can be chunked in one statement.
 _CDC_CHUNKS = """
-    tk AS (SELECT doc_id, {toks} AS toks FROM {src}),
-    pos AS (
+    {p}tk AS (SELECT doc_id, {toks} AS toks FROM {src}),
+    {p}pos AS (
       SELECT doc_id, i, toks[i + 1] AS tok,
              CASE WHEN CAST(concat('0x', substr(md5(toks[i + 1]), 1, 15))
                        AS BIGINT) % {m} = 0 THEN 1 ELSE 0 END AS b
-      FROM tk, unnest(range(0, CAST(len(toks) AS INTEGER))) AS u(i)
+      FROM {p}tk, unnest(range(0, CAST(len(toks) AS INTEGER))) AS u(i)
     ),
-    cid AS (
+    {p}cid AS (
       SELECT doc_id, i, tok,
              COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
                                    ROWS BETWEEN UNBOUNDED PRECEDING
                                    AND 1 PRECEDING), 0) AS chunk_id
-      FROM pos
+      FROM {p}pos
     ),
-    chunks AS (
+    {p}chunks AS (
       SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
              string_agg(tok, ' ' ORDER BY i) AS chunk,
              CAST(COUNT(*) AS INTEGER) AS n_tokens
-      FROM cid GROUP BY doc_id, chunk_id
+      FROM {p}cid GROUP BY doc_id, chunk_id
     )
 """
 
@@ -2432,7 +2433,7 @@ _CDC_CHUNKS = """
 @register(
     "cdc_chunks",
     "WITH"
-    + _CDC_CHUNKS.format(toks=_D_TOKS, src="documents", m=8)
+    + _CDC_CHUNKS.format(toks=_D_TOKS, src="documents", m=8, p="")
     + """
     SELECT doc_id, chunk_id, md5(chunk) AS chunk_md5, n_tokens
     FROM chunks
@@ -2453,7 +2454,7 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cdc_dedup_ratio",
     "WITH"
-    + _CDC_CHUNKS.format(toks=_D_TOKS, src="documents", m=8)
+    + _CDC_CHUNKS.format(toks=_D_TOKS, src="documents", m=8, p="")
     + """
     , per AS (
       SELECT md5(chunk) AS h, n_tokens,
@@ -2501,16 +2502,13 @@ def q_cdc_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cdc_boundary_stability",
     "WITH"
-    + _CDC_CHUNKS.format(toks=_D_TOKS, src="documents", m=8)
+    + _CDC_CHUNKS.format(toks=_D_TOKS, src="documents", m=8, p="")
     + ","
     + _CDC_CHUNKS.format(
         toks="regexp_split_to_array(trim(lower("
              "'inserted preamble tokens ' || text)), '\\s+')",
-        src="documents", m=8,
-    ).replace(" tk AS ", " tk2 AS ").replace("FROM tk,", "FROM tk2,")
-     .replace(" pos AS ", " pos2 AS ").replace("FROM pos", "FROM pos2")
-     .replace(" cid AS ", " cid2 AS ").replace("FROM cid", "FROM cid2")
-     .replace(" chunks AS ", " chunks2 AS ")
+        src="documents", m=8, p="b_",
+    )
     + """
     , fixed AS (
       SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY i)) AS h
@@ -2518,10 +2516,10 @@ def q_cdc_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     fixed2 AS (
       SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY i)) AS h
-      FROM cid2 GROUP BY doc_id, CAST(floor(i / 8) AS INTEGER)
+      FROM b_cid GROUP BY doc_id, CAST(floor(i / 8) AS INTEGER)
     ),
     ca AS (SELECT DISTINCT doc_id, md5(chunk) AS h FROM chunks),
-    cb AS (SELECT DISTINCT doc_id, md5(chunk) AS h FROM chunks2),
+    cb AS (SELECT DISTINCT doc_id, md5(chunk) AS h FROM b_chunks),
     fa AS (SELECT DISTINCT doc_id, h FROM fixed),
     fb AS (SELECT DISTINCT doc_id, h FROM fixed2)
     SELECT (SELECT COUNT(*) FROM ca) AS n_cdc_chunks,
@@ -2581,6 +2579,138 @@ def q_cdc_boundary_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "fixed_preserved_share"
             ),
         )
+    )
+
+
+@register(
+    "cdc_delta_sync",
+    "WITH"
+    + _CDC_CHUNKS.format(toks=_D_TOKS, src="documents", m=8, p="")
+    + ","
+    + _CDC_CHUNKS.format(
+        toks="regexp_split_to_array(trim(lower("
+             "'inserted preamble tokens ' || text)), '\\s+')",
+        src="documents", m=8, p="v2_",
+    )
+    + """
+    , ca AS (SELECT DISTINCT doc_id, md5(chunk) AS h, n_tokens
+             FROM chunks),
+    cb AS (SELECT DISTINCT doc_id, md5(chunk) AS h, n_tokens
+           FROM v2_chunks),
+    nw AS (
+      SELECT cb.doc_id, cb.n_tokens FROM cb
+      ANTI JOIN ca USING (doc_id, h)
+    ),
+    per AS (
+      SELECT doc_id, COUNT(*) AS n_chunks, SUM(n_tokens) AS total_tokens
+      FROM cb GROUP BY 1
+    ),
+    dl AS (
+      SELECT doc_id, COUNT(*) AS n_new_chunks,
+             SUM(n_tokens) AS upload_tokens
+      FROM nw GROUP BY 1
+    )
+    SELECT per.doc_id, n_chunks,
+           coalesce(n_new_chunks, 0) AS n_new_chunks,
+           coalesce(upload_tokens, 0) AS upload_tokens,
+           floor((1 - coalesce(upload_tokens, 0) / total_tokens)
+                 * 10000 + 0.5) / 10000.0 AS reuse_share
+    FROM per LEFT JOIN dl USING (doc_id)
+    """,
+)
+def q_cdc_delta_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC use case end-to-end: v2 of every document prepends a
+    3-token header (the localized edit of a versioned snapshot — same
+    perturbation the boundary-stability proof uses), and a
+    content-addressed store only uploads the chunks v2 introduces — per
+    doc: chunk count, new chunks, tokens to upload, and the reuse share
+    the content-defined boundaries preserve. Fixed windows shift
+    wholesale under the same edit and would re-upload ~everything
+    (cdc_boundary_stability measures that contrast directly). Two
+    zero-shuffle chunkings, one anti-join on (doc, chunk-hash), two
+    per-doc rollups."""
+    docs = _t(spark, sf_dir, "documents")
+    v2 = docs.withColumn(
+        "text", F.concat(F.lit("inserted preamble tokens "), F.col("text"))
+    )
+    ca = (
+        curation.cdc_chunks(docs, avg_tokens=8)
+        .select("doc_id", F.md5("chunk").alias("h"), "n_tokens")
+        .distinct()
+    )
+    cb = (
+        curation.cdc_chunks(v2, avg_tokens=8)
+        .select("doc_id", F.md5("chunk").alias("h"), "n_tokens")
+        .distinct()
+    )
+    new = cb.join(ca, ["doc_id", "h"], "left_anti")
+    per = cb.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("__tt"),
+    )
+    dl = new.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_new_chunks"),
+        F.sum("n_tokens").alias("upload_tokens"),
+    )
+    return per.join(dl, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_new_chunks", F.lit(0)).alias("n_new_chunks"),
+        F.coalesce("upload_tokens", F.lit(0)).alias("upload_tokens"),
+        H.quantize(
+            1 - F.coalesce("upload_tokens", F.lit(0)) / F.col("__tt"), 4
+        ).alias("reuse_share"),
+    )
+
+
+@register(
+    "cross_source_dup_matrix",
+    f"""
+    WITH mh AS (SELECT id_a, id_b FROM ({_d_minhash_sql()}) m),
+    lab AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b
+      FROM mh
+      JOIN documents da ON mh.id_a = da.doc_id
+      JOIN documents db ON mh.id_b = db.doc_id
+    )
+    SELECT source_a, source_b, COUNT(*) AS n_pairs
+    FROM lab GROUP BY 1, 2
+    """,
+)
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance rollup of near-duplication: the MinHash pair set labeled
+    with each side's source, pair-symmetric (least/greatest), counted per
+    source pair — the "which feeds copy from which" audit that decides
+    whose documents the survivor policy keeps. Two doc_id equi-joins onto
+    the tiny (doc_id, source) projection and a |sources|²-bounded agg on
+    top of the banded-LSH pair plan."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, threshold=0.8,
+        repartition_to=spark.sparkContext.defaultParallelism,
+    ).select("id_a", "id_b")
+    dim = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            dim.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("__sa")
+            ),
+            "id_a",
+        )
+        .join(
+            dim.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("__sb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+    )
+    return lab.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
     )
 
 
