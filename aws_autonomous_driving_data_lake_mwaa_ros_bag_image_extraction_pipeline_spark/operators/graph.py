@@ -157,6 +157,40 @@ def keep_canonical(
     return docs.join(losers, id_col, "left_anti")
 
 
+def keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """``keep_canonical`` with a POLICY: per near-dup cluster keep the row
+    with the highest ``score_col`` (ties → smallest id) instead of blindly
+    the smallest id — quality-aware survivor selection, the step that turns
+    "drop duplicates" into "drop the WORSE copies". ``docs`` must carry
+    ``score_col``; docs in no pair pass through untouched. The ranking
+    window runs only over clustered docs (the component table is the dup
+    set, a vanishing fraction of the corpus), so its shuffle is
+    proportional to the duplicates, never the corpus."""
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, src=id_a, dst=id_b)
+    scored = comp.join(
+        docs.select(
+            F.col(id_col).alias("node"), F.col(score_col).alias("__s")
+        ),
+        "node",
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("__s"), F.col("node"))
+    losers = (
+        scored.select("node", F.row_number().over(w).alias("__rn"))
+        .where(F.col("__rn") > 1)
+        .select(F.col("node").alias(id_col))
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

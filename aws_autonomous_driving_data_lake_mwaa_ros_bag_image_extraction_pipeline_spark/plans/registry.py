@@ -1203,6 +1203,62 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_scores(_t(spark, sf_dir, "documents"))
 
 
+def _best_quality_survivors_sql() -> str:
+    """Composed oracle: minhash closure + the quality_scores replay, then
+    per-cluster argmax(quality, then smallest id) instead of smallest-id
+    canonical."""
+    quality = QUERIES["quality_scores"].oracle
+    return (
+        _d_cc_prefix()
+        + f"""
+    , comp AS (
+      SELECT u AS doc_id, least(u, MIN(v)) AS cluster FROM reach GROUP BY u
+    ),
+    q AS ({quality}),
+    ranked AS (
+      SELECT comp.doc_id, cluster, q.quality,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY q.quality DESC, comp.doc_id) AS rn
+      FROM comp JOIN q USING (doc_id)
+    ),
+    losers AS (SELECT doc_id FROM ranked WHERE rn > 1)
+    SELECT d.source, COUNT(*) AS n_docs,
+           floor(CAST(SUM(CAST(q.quality AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*) * 10000 + 0.5) / 10000.0 AS mean_quality
+    FROM documents d JOIN q USING (doc_id)
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+    GROUP BY d.source
+    """
+    )
+
+
+@register("best_quality_survivors", _best_quality_survivors_sql())
+def q_best_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor policy (graph.keep_best): per near-dup
+    cluster keep the HIGHEST-quality copy (ties → smallest id), not the
+    smallest id — detection → closure → ranked selection → anti-join end
+    to end, reporting per-source survivor counts and their decimal-exact
+    mean quality. The ranking window touches only clustered docs, so its
+    cost tracks the dup set, not the corpus."""
+    from ..operators import graph, textstats
+
+    docs = _t(spark, sf_dir, "documents")
+    q = textstats.quality_scores(docs).select("doc_id", "quality")
+    scored = docs.select("doc_id", "source").join(q, "doc_id")
+    kept = graph.keep_best(
+        scored, _minhash_pairs_df(spark, sf_dir), "quality"
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        H.quantize(
+            F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_quality"),
+    )
+
+
+
 @register(
     "language_id",
     f"""

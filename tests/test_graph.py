@@ -188,3 +188,24 @@ def test_null_edges_and_zero_weight_pagerank(spark):
     )
     pr = graph.pagerank(weighted, weight="w", iterations=2).collect()
     assert all(r.pr is not None and r.pr == r.pr for r in pr)  # finite, no abort
+
+
+def test_keep_best_policy(spark):
+    """Per-cluster argmax(score, then smallest id): the best copy
+    survives, singletons pass through, ties break to the smaller id."""
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.graph import (
+        keep_best,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (7, 0.4), (8, 0.4), (9, 0.1)],
+        "doc_id long, score double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r.doc_id for r in keep_best(docs, pairs, "score").collect()
+    )
+    # cluster {1,2,3}: 2 wins on score; cluster {7,8}: tie -> 7; 9 untouched
+    assert kept == [2, 7, 9]
