@@ -13,12 +13,17 @@ registered, oracle-checked operators:
 5. quality scoring + language-ID + token budgeting (all JVM built-ins)
 6. embedding near-dup pairs (LSH buckets → cosine verify)
 7. ANN top-k over the survivors (hyperplane LSH; brute-force on a probe set)
-8. the final keep-list: one canonical doc per duplicate CLUSTER (alternating-
-   star connected components over the pair graph), quality- and language-
+8. the final keep-list: the BEST-QUALITY doc per duplicate CLUSTER
+   (alternating-star connected components over the pair graph, then
+   per-cluster argmax quality — keep_best), quality- and language-
    filtered, with its token budget
 9. PII scrub of the keep-list (regexp count + redact, scan-speed)
+9b. benchmark decontamination of the survivors: contiguous passages
+    verify, skip-gram fingerprints screen the change-one-word paraphrase
 10. data mixing: deterministic weighted sample per source
 11. sequence packing: fixed-token-budget training bins per shard
+12. snapshot storage: content-defined chunking (CDC) — chunk-level dedup
+    savings now, minimal re-upload when the corpus versions
 
 Every transform is lazy; the only actions are the final counts/shows.
 """
@@ -113,12 +118,10 @@ def main() -> None:
         .distinct()
     )
     comp = graph.connected_components(pairs, src="id_a", dst="id_b")
-    losers = comp.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias("doc_id")
-    )
-    keep = (
-        scored.join(losers, "doc_id", "left_anti")
-        .filter((F.col("quality") >= 0.3) & (F.col("pred_lang") != "und"))
+    # quality-aware survivor policy: per cluster keep the BEST copy, not
+    # the smallest id (graph.keep_best; ties break to the smaller id)
+    keep = graph.keep_best(scored, pairs, "quality").filter(
+        (F.col("quality") >= 0.3) & (F.col("pred_lang") != "und")
     )
     total_docs = docs.count()
     kept = keep.count()
@@ -140,6 +143,20 @@ def main() -> None:
     print(f"== PII redacted: email={hits.email} url={hits.url} "
           f"ipv4={hits.ipv4} phone={hits.phone}")
 
+    # 9b) benchmark decontamination of the survivors: contiguous 3-token
+    # passages VERIFY leaks exactly; skip-gram fingerprints SCREEN the
+    # change-one-word paraphrase a contiguous n-gram goes blind to
+    bench = docs.filter(F.col("source") == "src0")
+    train = survivors.filter(F.col("source") != "src0")
+    leaky = curation.contamination_overlap(train, bench, n=3).filter(
+        F.col("contamination") > 0.2
+    ).count()
+    screened = curation.skipgram_contamination(train, bench, gap=1).filter(
+        F.col("contamination") > 0.2
+    ).count()
+    print(f"== decontamination: {leaky} docs >20% contiguous-passage leak; "
+          f"{screened} flagged by the edit-robust skip-gram screen")
+
     # 10) data mixing: weighted per-source sample of the scrubbed survivors
     mixed = curation.weighted_group_sample(
         survivors.withColumn(
@@ -157,6 +174,22 @@ def main() -> None:
     ).first()
     print(f"== packed into {stats.n_bins} bins of 256 tokens, "
           f"avg fill {stats.avg_fill:.2f}")
+
+    # 12) snapshot storage: content-defined chunking — boundaries are a
+    # pure function of local content (rsync/LBFS scheme), so a v2 edit
+    # re-uploads only the chunks it touches
+    ch = curation.cdc_chunks(survivors, avg_tokens=8).select(
+        F.md5("chunk").alias("h"), "n_tokens"
+    )
+    tot = ch.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("t")
+    ).first()
+    uniq = ch.dropDuplicates(["h"]).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("t")
+    ).first()
+    print(f"== CDC store: {tot.n} chunks / {tot.t} tokens -> "
+          f"{uniq.n} unique / {uniq.t} tokens "
+          f"({1 - uniq.t / tot.t:.1%} dedup savings)")
 
     # 7) similar-document retrieval over the survivors (LSH ANN)
     topk = similarity.lsh_topk(emb, dim=64, k=3, n_tables=4, n_bits=8)
