@@ -3290,7 +3290,8 @@ def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, user_id,
            CAST(count(*) OVER (
-             PARTITION BY user_id ORDER BY epoch(ts)
+             PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
            ) AS BIGINT) AS n_last_hour
     FROM events
@@ -3300,7 +3301,11 @@ def rolling_1h_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window: per event, how many of the same user's events
     fall in the trailing hour — a true time-interval frame (value-based
     bounds over epoch seconds), not a row count. Same one sort-shuffle as
-    any keyed window; integer output, no fp parity concerns."""
+    any keyed window; integer output, no fp parity concerns. The frame
+    value is WHOLE seconds on both engines (Spark unix_seconds truncates;
+    the oracle floors DuckDB's fractional epoch() to match) — found at
+    sf0.1, where one event pair lands inside the fractional-second
+    boundary band the two readings disagree on."""
     ev = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
