@@ -181,6 +181,80 @@ def rolling_fingerprints(
     )
 
 
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    k: int = 16,
+    sample_mod: int = 8,
+    min_shared: int = 3,
+    max_df: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The pairing step of winnowing/MOSS-style local-fingerprint
+    plagiarism detection: documents sharing >= ``min_shared`` sampled
+    substring fingerprints (the same mod-p sample
+    ``rolling_fingerprints`` digests) → (id_a, id_b, n_shared, overlap)
+    with overlap = shared / min(|A|, |B|). Position-independent, so it
+    catches a paragraph LIFTED into a different document — the
+    quote-detection angle the token-set detectors blur away.
+
+    Scale shape: inverted-index self-join on the fingerprint hash, with
+    fingerprints present in more than ``max_df`` docs dropped BEFORE the
+    join (df-ceiling prune, same reason as tfidf_cosine_pairs: a
+    ubiquitous substring generates quadratic candidates and zero
+    signal). Pruned fingerprints leave both the numerator and the
+    denominator, so overlap stays internally consistent."""
+    from ..functions import hashing as H
+
+    n_windows = F.length(F.col(text_col)) - F.lit(k - 1)
+    idx = F.when(n_windows >= 1, F.sequence(F.lit(1), n_windows)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pos = docs.select(
+        F.col(id_col), F.col(text_col).alias("__t"),
+        F.explode(idx).alias("p"),
+    )
+    h = H.md5_mod_p(F.col("__t").substr(F.col("p"), F.lit(k)))
+    fp = (
+        pos.select(F.col(id_col), h.alias("h"))
+        .filter(F.col("h") % sample_mod == 0)
+        .distinct()
+    )
+    df_ok = (
+        fp.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("h")
+    )
+    pruned = fp.join(df_ok, "h", "left_semi")
+    sz = pruned.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    a = pruned.select(F.col(id_col).alias("id_a"), "h")
+    b = pruned.select(F.col(id_col).alias("id_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        pairs.join(
+            sz.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na")),
+            "id_a",
+        )
+        .join(
+            sz.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb")),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b", "n_shared",
+            H.quantize(
+                F.col("n_shared") / F.least("__na", "__nb"), 4
+            ).alias("overlap"),
+        )
+    )
+
+
 def repetition_scores(
     docs: DataFrame,
     id_col: str = "doc_id",

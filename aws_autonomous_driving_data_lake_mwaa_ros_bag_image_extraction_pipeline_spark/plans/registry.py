@@ -1174,6 +1174,48 @@ def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "winnow_overlap_pairs",
+    f"""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(range(1, greatest(len(text) - 15, 0) + 1)) AS p
+      FROM documents
+    ),
+    hh AS (
+      SELECT DISTINCT doc_id, h FROM (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(substr(text, p, 16)), 1, 15))
+                    AS BIGINT) % {H.MERSENNE_31} AS h
+        FROM pos
+      ) WHERE h % 8 = 0
+    ),
+    dfq AS (SELECT h FROM hh GROUP BY h HAVING COUNT(*) <= 50),
+    pr AS (SELECT hh.doc_id, hh.h FROM hh SEMI JOIN dfq USING (h)),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM pr GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM pr a JOIN pr b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    )
+    SELECT id_a, id_b, n_shared,
+           floor(n_shared / least(sa.n, sb.n) * 10000 + 0.5) / 10000.0
+             AS overlap
+    FROM pairs
+    JOIN sz sa ON id_a = sa.doc_id
+    JOIN sz sb ON id_b = sb.doc_id
+    """,
+)
+def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-fingerprint overlap mining (textstats.winnow_overlap_pairs,
+    the winnowing/MOSS pairing step): pairs sharing >= 3 sampled 16-char
+    substring fingerprints, with overlap = shared / min(|A|, |B|) —
+    position-independent lifted-paragraph detection. Inverted-index
+    self-join with a df<=50 fingerprint ceiling pruning ubiquitous
+    substrings before the join."""
+    return textstats.winnow_overlap_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "quality_scores",
     f"""
     -- floor(x*1e4+0.5)/1e4 matches functions.hashing.quantize (plain F.round

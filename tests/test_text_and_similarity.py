@@ -689,3 +689,31 @@ def test_zero_norm_and_null_embeddings_dont_abort_search(spark):
         ).count()
         == 0
     )
+
+
+def test_winnow_overlap_pairs_catches_lifted_paragraph(spark):
+    """A paragraph lifted into an otherwise-different document pairs up
+    (position-independent fingerprints); unrelated docs do not."""
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.textstats import (
+        winnow_overlap_pairs,
+    )
+
+    stolen = (
+        "the quick brown fox jumps over the lazy dog while seven "
+        "silent owls watch from the tall frozen trees tonight"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words before anything else. " + stolen),
+            (2, stolen + " and then a completely different ending follows"),
+            (3, "zebras graze calmly under a blazing equatorial sun at "
+                "noon with giraffes nearby drinking cool river water"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.overlap
+        for r in winnow_overlap_pairs(docs, min_shared=2).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] > 0.3
+    assert all(3 not in pair for pair in got)
