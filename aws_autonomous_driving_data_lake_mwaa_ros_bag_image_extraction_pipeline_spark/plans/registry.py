@@ -3034,6 +3034,130 @@ def benchmark_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _curation_funnel_sql() -> str:
+    """Composed oracle: fingerprint dedup → K1-restricted minhash closure →
+    quality replay → contamination replay, reported as the 5-stage
+    sequential funnel (each stage's keep-set derives from the previous)."""
+    quality = QUERIES["quality_scores"].oracle
+    cont = QUERIES["benchmark_contamination"].oracle
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, source, len({_D_TOKS}) AS n_toks FROM documents
+    ),
+    k1 AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY md5({_D_NORM})
+                                  ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ),
+    mh AS (
+      SELECT id_a, id_b FROM ({_d_minhash_sql()}) m
+      WHERE id_a IN (SELECT doc_id FROM k1)
+        AND id_b IN (SELECT doc_id FROM k1)
+    ),
+    e AS (SELECT id_a AS u, id_b AS v FROM mh
+          UNION SELECT id_b, id_a FROM mh),
+    reach AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+    ),
+    losers2 AS (
+      SELECT u AS doc_id FROM reach GROUP BY u HAVING least(u, MIN(v)) <> u
+    ),
+    k2 AS (SELECT doc_id FROM k1
+           WHERE doc_id NOT IN (SELECT doc_id FROM losers2)),
+    q AS ({quality}),
+    k3 AS (SELECT k2.doc_id FROM k2 JOIN q USING (doc_id)
+           WHERE q.quality >= 0.3),
+    cont AS ({cont}),
+    k4 AS (
+      SELECT k3.doc_id FROM k3 JOIN documents d USING (doc_id)
+      WHERE d.source <> 'src0'
+        AND k3.doc_id NOT IN
+            (SELECT doc_id FROM cont WHERE contamination > 0.2)
+    )
+    SELECT 1 AS stage, 'raw' AS label,
+           COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens FROM base
+    UNION ALL
+    SELECT 2, 'exact_dedup', COUNT(*), SUM(n_toks)
+    FROM base WHERE doc_id IN (SELECT doc_id FROM k1)
+    UNION ALL
+    SELECT 3, 'near_dedup', COUNT(*), SUM(n_toks)
+    FROM base WHERE doc_id IN (SELECT doc_id FROM k2)
+    UNION ALL
+    SELECT 4, 'quality', COUNT(*), SUM(n_toks)
+    FROM base WHERE doc_id IN (SELECT doc_id FROM k3)
+    UNION ALL
+    SELECT 5, 'decontaminated', COUNT(*), SUM(n_toks)
+    FROM base WHERE doc_id IN (SELECT doc_id FROM k4)
+    """
+
+
+@register("curation_funnel", _curation_funnel_sql())
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus build as one auditable number series: docs and tokens
+    surviving each SEQUENTIAL stage — raw → exact dedup (lowest id per
+    normalized-text fingerprint) → near-dedup (minhash pairs restricted to
+    the exact-dedup keep-set, smallest-id canonical per component) →
+    quality >= 0.3 → decontaminated (benchmark source dropped, docs over
+    20% passage contamination dropped). Every stage reuses a registered
+    operator; the oracle composes their replays, so the funnel's every
+    cliff is hash-checked. The report a data lead reads before a training
+    run ships."""
+    from ..operators import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source",
+        F.size(T.tokens(F.lower(F.col("text")))).alias("n_toks"),
+    )
+    k1 = dedup.exact_dedup(docs).select("doc_id")
+    pairs = (
+        _minhash_pairs_df(spark, sf_dir)
+        .join(k1.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi")
+        .join(k1.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
+    )
+    k2 = graph.keep_canonical(k1, pairs)
+    q = textstats.quality_scores(docs).select("doc_id", "quality")
+    k3 = k2.join(q, "doc_id").filter(F.col("quality") >= 0.3).select("doc_id")
+    cont = curation.contamination_overlap(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=3,
+    )
+    leaky = cont.filter(F.col("contamination") > 0.2).select("doc_id")
+    k4 = (
+        k3.join(
+            docs.filter(F.col("source") != "src0").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        ).join(leaky, "doc_id", "left_anti")
+    )
+
+    def stage(n, label, keep=None):
+        kept = base if keep is None else base.join(keep, "doc_id", "left_semi")
+        return kept.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        ).select(
+            F.lit(n).alias("stage"),
+            F.lit(label).alias("label"),
+            "n_docs",
+            "n_tokens",
+        )
+
+    return (
+        stage(1, "raw")
+        .unionByName(stage(2, "exact_dedup", k1))
+        .unionByName(stage(3, "near_dedup", k2))
+        .unionByName(stage(4, "quality", k3))
+        .unionByName(stage(5, "decontaminated", k4))
+    )
+
+
 @register(
     "skipgram_contamination",
     f"""
