@@ -570,6 +570,8 @@ def cdc_chunks(
     avg_tokens: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_tokens: int = 1,
+    max_tokens: int | None = None,
 ) -> DataFrame:
     """Content-defined chunking (CDC — the rsync/LBFS boundary scheme,
     Muthitacharoen et al. SOSP'01, at token granularity): a chunk ends
@@ -580,60 +582,93 @@ def cdc_chunks(
     — the property that makes CDC the storage-dedup chunker (measured by
     the ``cdc_boundary_stability`` registry query; versioned corpus
     snapshots share all untouched chunks). Expected chunk length is
-    ``avg_tokens`` (geometric); there is no hard cap, so a pathological
-    boundary-free document yields one long chunk — compose with
-    ``chunk_documents`` on the output if a cap matters.
+    ``avg_tokens`` (geometric); with the defaults there is no hard cap,
+    so a pathological boundary-free document yields one long chunk.
+    ``min_tokens``/``max_tokens`` add FastCDC-style normalized bounds
+    (Xia et al., USENIX ATC'16): content boundaries are suppressed while
+    the running chunk is shorter than ``min_tokens`` and one is forced
+    when it reaches ``max_tokens`` — bounding every chunk while keeping
+    boundary locality (a forced boundary re-syncs at the next content
+    boundary, so an edit still re-chunks O(1) chunks). Every non-final
+    chunk then has ``min_tokens <= n_tokens <= max_tokens``; the final
+    chunk of a document may be shorter.
 
     → (id, chunk_id, chunk, n_tokens). Zero shuffle: tokenize + one
     linear ``aggregate()`` fold per row (whole-stage codegen) + one
     explode — chunking runs at scan speed; dedup/storage stats follow
     with one groupBy on md5(chunk). Every md5-derived boundary decision
-    replays bit-exactly in the DuckDB oracle.
+    replays bit-exactly in the DuckDB oracle. An empty/whitespace-only
+    document tokenizes to a single empty token and always yields exactly
+    one empty chunk (the fold tracks the pending token COUNT, not the
+    pending text, so the empty pending chunk is emitted — the oracle's
+    group-by formulation emits one row per non-empty token stream too).
     """
     toks = T.tokens(F.lower(F.col(text_col)))
 
-    def _join2(cur, t):
-        return F.when(cur == F.lit(""), t).otherwise(
-            F.concat(cur, F.lit(" "), t)
-        )
-
     def _fold(tk):
+        # done carries (chunk text, token count) pairs: the count comes
+        # from the fold itself — re-tokenizing the reassembled chunk would
+        # disagree with the oracle's COUNT(*) when tokens are empty
+        # strings (whitespace-only documents), and joining on cnt == 0
+        # instead of cur == "" keeps the reassembly a faithful string_agg
+        # for those same degenerate token streams.
         acc0 = F.struct(
-            F.array().cast("array<string>").alias("done"),
+            F.array().cast("array<struct<c:string,n:int>>").alias("done"),
             F.lit("").alias("cur"),
+            F.lit(0).alias("cnt"),
         )
 
         def step(acc, t):
+            cnt1 = (acc["cnt"] + F.lit(1)).cast("int")
+            joined = F.when(acc["cnt"] == 0, t).otherwise(
+                F.concat(acc["cur"], F.lit(" "), t)
+            )
+            hit = (H.md5_long(t) % F.lit(avg_tokens)) == 0
+            if min_tokens > 1:
+                hit = hit & (cnt1 >= F.lit(min_tokens))
+            boundary = (
+                hit if max_tokens is None
+                else hit | (cnt1 >= F.lit(max_tokens))
+            )
             return F.when(
-                (H.md5_long(t) % F.lit(avg_tokens)) == 0,
+                boundary,
                 F.struct(
                     F.array_append(
-                        acc["done"], _join2(acc["cur"], t)
+                        acc["done"],
+                        F.struct(joined.alias("c"), cnt1.alias("n")),
                     ).alias("done"),
                     F.lit("").alias("cur"),
+                    F.lit(0).alias("cnt"),
                 ),
             ).otherwise(
                 F.struct(
                     acc["done"].alias("done"),
-                    _join2(acc["cur"], t).alias("cur"),
+                    joined.alias("cur"),
+                    cnt1.alias("cnt"),
                 )
             )
 
         def fin(acc):
-            return F.when(acc["cur"] == F.lit(""), acc["done"]).otherwise(
-                F.array_append(acc["done"], acc["cur"])
+            return F.when(acc["cnt"] == 0, acc["done"]).otherwise(
+                F.array_append(
+                    acc["done"],
+                    F.struct(
+                        acc["cur"].alias("c"),
+                        acc["cnt"].cast("int").alias("n"),
+                    ),
+                )
             )
 
         return F.aggregate(tk, acc0, step, fin)
 
     return docs.select(
         F.col(id_col),
-        F.posexplode(T.bind(toks, _fold)).alias("chunk_id", "chunk"),
+        F.posexplode(T.bind(toks, _fold)).alias("chunk_id", "ch"),
     ).select(
         F.col(id_col),
         F.col("chunk_id").cast("int").alias("chunk_id"),
-        "chunk",
-        F.size(T.tokens(F.col("chunk"))).cast("int").alias("n_tokens"),
+        F.col("ch.c").alias("chunk"),
+        F.col("ch.n").alias("n_tokens"),
     )
 
 

@@ -2638,6 +2638,71 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_chunks_bounded",
+    """
+    WITH RECURSIVE
+    tk AS (SELECT doc_id, {toks} AS toks FROM documents),
+    pos AS (
+      SELECT doc_id, i,
+             CASE WHEN CAST(concat('0x', substr(md5(toks[i + 1]), 1, 15))
+                       AS BIGINT) % {m} = 0 THEN 1 ELSE 0 END AS b,
+             CAST(len(toks) AS INTEGER) AS n
+      FROM tk, unnest(range(0, CAST(len(toks) AS INTEGER))) AS u(i)
+    ),
+    nb AS (
+      SELECT doc_id, i, n,
+             min(CASE WHEN b = 1 THEN i END) OVER (
+               PARTITION BY doc_id ORDER BY i DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nxt
+      FROM pos
+    ),
+    rec AS (
+      SELECT nb.doc_id, 0 AS chunk_id, 0 AS s,
+             CASE WHEN nxt IS NOT NULL AND nxt <= least({maxt}, n) - 1
+                  THEN nxt ELSE least({maxt}, n) - 1 END AS e,
+             n
+      FROM nb WHERE nb.i = least({mint} - 1, nb.n - 1)
+      UNION ALL
+      SELECT r.doc_id, r.chunk_id + 1, r.e + 1 AS s,
+             CASE WHEN nb.nxt IS NOT NULL
+                       AND nb.nxt <= least(r.e + 1 + {maxt}, r.n) - 1
+                  THEN nb.nxt ELSE least(r.e + 1 + {maxt}, r.n) - 1 END AS e,
+             r.n
+      FROM rec r JOIN nb
+        ON nb.doc_id = r.doc_id
+       AND nb.i = least(r.e + 1 + {mint} - 1, r.n - 1)
+      WHERE r.e + 1 <= r.n - 1
+    ),
+    bchunks AS (
+      SELECT rec.doc_id, chunk_id,
+             array_to_string(toks[s + 1 : e + 1], ' ') AS chunk,
+             e - s + 1 AS n_tokens
+      FROM rec JOIN tk ON rec.doc_id = tk.doc_id
+    )
+    SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+           md5(chunk) AS chunk_md5, CAST(n_tokens AS INTEGER) AS n_tokens
+    FROM bchunks
+    """.format(toks=_D_TOKS, m=8, mint=4, maxt=16),
+)
+def q_cdc_chunks_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastCDC-style normalized chunking (curation.cdc_chunks with
+    min_tokens=4 / max_tokens=16, avg 8): content boundaries suppressed
+    below the min and forced at the max, so the one degenerate input of
+    plain CDC — a boundary-free document producing an unbounded chunk —
+    cannot occur (every non-final chunk provably has 4 <= n_tokens <= 16;
+    tests/test_curation.py asserts the bound). The Spark side is the same
+    zero-shuffle codegen fold with a pending-token counter; the oracle
+    replays the sequential bound logic as a recursive CTE over a
+    next-flagged-position index (one step per CHUNK, not per token)."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.cdc_chunks(
+        docs, avg_tokens=8, min_tokens=4, max_tokens=16
+    ).select(
+        "doc_id", "chunk_id", F.md5("chunk").alias("chunk_md5"), "n_tokens"
+    )
+
+
+@register(
     "cdc_dedup_ratio",
     "WITH"
     + _CDC_CHUNKS.format(toks=_D_TOKS, src="documents", m=8, p="")

@@ -576,6 +576,126 @@ def test_cdc_chunks_degenerate_docs(spark):
     assert len(out) == 2 and per[1].chunk == "" and per[2].chunk == "solo"
 
 
+def test_cdc_chunks_empty_doc_non_divisible_mod(spark):
+    """An empty/whitespace-only doc yields exactly one empty chunk for ANY
+    modulus — md5('') happens to be ≡ 0 (mod 8), which used to mask a
+    divergence from the oracle's group-by formulation (one row per doc)
+    whenever md5('') % avg_tokens != 0. The fold tracks the pending token
+    COUNT, so the empty pending chunk is emitted either way."""
+    assert _md5_mod("", 7) != 0 and _md5_mod("", 8) == 0  # the masked case
+    for m in (7, 8):
+        out = curation.cdc_chunks(
+            _docs(spark, [(1, ""), (2, "    ")]), avg_tokens=m
+        ).collect()
+        per = {r.doc_id: r for r in out}
+        assert len(out) == 2, f"doc dropped at avg_tokens={m}"
+        assert per[1].chunk == "" and per[2].chunk == ""
+        assert per[1].n_tokens == 1 and per[1].chunk_id == 0
+    # tab-padded text survives trim() and tokenizes to TWO empty tokens on
+    # both engines ("\t" splits on \s+): at m=8 each '' is a boundary (two
+    # single-token chunks), at m=7 neither is and the fold string_agg's
+    # them into one ' ' chunk of n_tokens=2 — exactly what the oracle's
+    # string_agg/COUNT(*) computes for the same token stream
+    tabby = _docs(spark, [(1, "   \t ")])
+    r8 = sorted(
+        curation.cdc_chunks(tabby, avg_tokens=8).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [(r.chunk, r.n_tokens) for r in r8] == [("", 1), ("", 1)]
+    r7 = curation.cdc_chunks(tabby, avg_tokens=7).collect()
+    assert [(r.chunk, r.n_tokens) for r in r7] == [(" ", 2)]
+
+
+def test_cdc_chunks_bounded_length_law(spark):
+    """FastCDC-style bounds: with min_tokens/max_tokens every NON-FINAL
+    chunk has min <= n_tokens <= max and the final chunk has
+    n_tokens <= max — even for a boundary-free document (modulus so large
+    no token ever hashes to 0), which plain CDC would emit as one
+    unbounded chunk. Reassembly and chunk_id density still hold."""
+    text = " ".join(f"tok{i}" for i in range(100))
+    rows = [(1, text), (2, "alpha beta gamma delta epsilon"), (3, "one")]
+    # boundary-free case: modulus 1 << 40 makes a content boundary
+    # effectively impossible -> every non-final chunk is FORCED at max
+    for avg in (4, 1 << 40):
+        out = sorted(
+            curation.cdc_chunks(
+                _docs(spark, rows), avg_tokens=avg,
+                min_tokens=3, max_tokens=10,
+            ).collect(),
+            key=lambda r: (r.doc_id, r.chunk_id),
+        )
+        by_doc: dict[int, list] = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for doc_id, t in rows:
+            chunks = by_doc[doc_id]
+            assert " ".join(c.chunk for c in chunks) == " ".join(
+                t.lower().split()
+            )
+            assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+            for c in chunks:
+                assert c.n_tokens <= 10
+            for c in chunks[:-1]:
+                assert c.n_tokens >= 3
+        if avg == 1 << 40:  # boundary-free: all forced chunks are exactly max
+            assert [c.n_tokens for c in by_doc[1]] == [10] * 10
+
+
+def test_cdc_chunks_bounded_boundary_suppression(spark):
+    """Bounds interact with content boundaries correctly: a token that
+    hashes to 0 mod m is IGNORED as a boundary while the running chunk is
+    shorter than min_tokens (every non-final chunk either ends on a
+    content boundary with >= min tokens, or was forced at exactly max)."""
+    text = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the night while seven silent owls watch from tall trees "
+        "near the frozen river bank tonight"
+    )
+    out = sorted(
+        curation.cdc_chunks(
+            _docs(spark, [(1, text)]), avg_tokens=4,
+            min_tokens=3, max_tokens=8,
+        ).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    for c in out[:-1]:
+        toks = c.chunk.split()
+        assert 3 <= len(toks) <= 8
+        # ends on a content boundary, or was forced at exactly max
+        assert _md5_mod(toks[-1], 4) == 0 or len(toks) == 8
+        # interior tokens past the min-suppression zone are non-boundaries
+        for i, t in enumerate(toks[:-1]):
+            if i + 1 >= 3:  # position where a boundary WOULD be accepted
+                assert _md5_mod(t, 4) != 0
+
+
+def test_cdc_chunks_bounded_still_resyncs_after_edit(spark):
+    """The bounded chunker keeps CDC's edit locality: prepending tokens
+    still re-syncs at a downstream accepted boundary, preserving most
+    chunks — while fixed windows of the same size lose ~everything."""
+    text = " ".join(f"tok{i}" for i in range(96))  # unique tokens: fixed
+    # windows can't re-align by coincidence after a 2-token shift
+    base = _docs(spark, [(1, text)])
+    pre = _docs(spark, [(1, "inserted preamble " + text)])
+
+    def _chunks(d):
+        return [
+            r.chunk
+            for r in curation.cdc_chunks(
+                d, avg_tokens=4, min_tokens=2, max_tokens=8
+            ).orderBy("chunk_id").collect()
+        ]
+
+    a, b = _chunks(base), _chunks(pre)
+    shared = len(set(a) & set(b))
+    fa = {r.chunk for r in curation.chunk_documents(base, size=4).collect()}
+    fb = {r.chunk for r in curation.chunk_documents(pre, size=4).collect()}
+    # forced boundaries weaken (not break) re-sync: a healthy share of
+    # chunks survives the edit, and strictly more than fixed windows keep
+    assert shared >= 3
+    assert shared > len(fa & fb)
+
+
 # --- skip-gram fingerprints (edit-robust decontamination) -------------------
 
 def test_skipgram_hashes_count_and_gap_robustness(spark):
