@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import hashing as H
 from ..functions import text as T
 from ..functions.hashing import quantize
 
@@ -149,23 +150,16 @@ def rolling_fingerprints(
     position-independent, so shared substrings select the same fingerprints
     in both documents), digest the sorted distinct sample.
 
-    Relational shape: explode window positions → one md5 per window →
-    filter → groupBy(id) — codegen end to end, map-side combine, same
-    explode/agg pattern (and the same reasons) as the MinHash pipeline."""
-    from ..functions import hashing as H
-
-    n_windows = F.length(F.col(text_col)) - F.lit(k - 1)
-    idx = F.when(n_windows >= 1, F.sequence(F.lit(1), n_windows)).otherwise(
-        F.array().cast("array<int>")
-    )
-    pos = docs.select(
+    Relational shape: per-position hashes computed and mod-p-filtered
+    INSIDE the array (``transform`` + ``filter``) so the explode only
+    generates the ~1/sample_mod surviving fingerprints, then groupBy(id)
+    — codegen end to end, map-side combine, same explode/agg pattern
+    (and the same reasons) as the MinHash pipeline."""
+    sampled = docs.select(
         F.col(id_col),
-        F.col(text_col).alias("__t"),
-        F.explode_outer(idx).alias("p"),
-    ).filter(F.col("p").isNotNull())
-    h = H.md5_mod_p(F.col("__t").substr(F.col("p"), F.lit(k)))
-    sampled = pos.select(F.col(id_col), h.alias("h")).filter(
-        F.col("h") % sample_mod == 0
+        F.explode(
+            _modp_fingerprints(k, sample_mod, text_col)
+        ).alias("h"),
     )
     digest = F.md5(
         F.array_join(
@@ -181,6 +175,63 @@ def rolling_fingerprints(
     )
 
 
+def _position_hashes(k: int, text_col: str) -> Column:
+    """Array of the 31-bit rolling-window hashes h(text[p : p+k]) for every
+    window position p — empty for texts shorter than ``k``. Built with
+    ``transform`` over a position sequence so samplers can prune INSIDE the
+    array before any explode generates rows."""
+    from ..functions import hashing as H
+
+    n_windows = F.length(F.col(text_col)) - F.lit(k - 1)
+    idx = F.when(n_windows >= 1, F.sequence(F.lit(1), n_windows)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx, lambda p: H.md5_mod_p(F.col(text_col).substr(p, F.lit(k)))
+    )
+
+
+def _modp_fingerprints(k: int, sample_mod: int, text_col: str) -> Column:
+    """Mod-p sampled fingerprint array: ~1/sample_mod of the window hashes
+    survive, position-independently. No detection guarantee — a match can
+    fall entirely between sampled hashes (``_winnow_fingerprints`` has
+    one)."""
+    return F.array_distinct(
+        F.filter(_position_hashes(k, text_col), lambda h: h % sample_mod == 0)
+    )
+
+
+def _winnow_fingerprints(k: int, w: int, text_col: str) -> Column:
+    """Classic winnowing selection (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    the MIN hash of every window of ``w`` consecutive k-gram hashes,
+    deduplicated. GUARANTEE: any substring of length >= w + k - 1 shared
+    by two documents contains a full window of w identical k-gram hashes
+    in BOTH, whose min value is selected on both sides — so the pair
+    shares >= 1 fingerprint (mod-p sampling can miss any match). Texts
+    with 1 <= n_hashes < w winnow as a single window (min of all); texts
+    shorter than ``k`` select nothing. Density ~2/(w+1) of positions.
+    All array-local ``transform``/``slice`` — no explode until the caller
+    asks for rows. The hash array is let-bound (``T.bind``): referenced
+    naively it would be re-evaluated inside every window's ``slice`` —
+    O(n²) md5 calls per document (measured 194 s vs 4 s at sf0.01)."""
+
+    def _sel(hs: Column) -> Column:
+        n = F.size(hs)
+        starts = F.sequence(
+            F.lit(1), F.greatest(F.lit(1), n - F.lit(w - 1))
+        )
+        sel = F.array_distinct(
+            F.transform(
+                starts, lambda i: F.array_min(F.slice(hs, i, F.lit(w)))
+            )
+        )
+        return F.when(n >= 1, sel).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    return T.bind(_position_hashes(k, text_col), _sel)
+
+
 def winnow_overlap_pairs(
     docs: DataFrame,
     k: int = 16,
@@ -189,6 +240,7 @@ def winnow_overlap_pairs(
     max_df: int = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
+    window: int | None = None,
 ) -> DataFrame:
     """The pairing step of winnowing/MOSS-style local-fingerprint
     plagiarism detection: documents sharing >= ``min_shared`` sampled
@@ -198,28 +250,31 @@ def winnow_overlap_pairs(
     catches a paragraph LIFTED into a different document — the
     quote-detection angle the token-set detectors blur away.
 
-    Scale shape: inverted-index self-join on the fingerprint hash, with
-    fingerprints present in more than ``max_df`` docs dropped BEFORE the
-    join (df-ceiling prune, same reason as tfidf_cosine_pairs: a
+    With ``window=w`` the selector switches from mod-p sampling to CLASSIC
+    winnowing (min hash per window of w consecutive k-gram hashes,
+    ``_winnow_fingerprints``), which carries the SIGMOD'03 guarantee: any
+    lifted passage of length >= w + k - 1 chars shares >= 1 selected
+    fingerprint — mod-p sampling can miss an arbitrarily long match when
+    none of its hashes lands on the residue. ``sample_mod`` is ignored in
+    that mode.
+
+    Scale shape: per-position hashes are computed and sampled INSIDE an
+    array (``transform``/``filter``/``slice`` — the explode only ever
+    generates surviving fingerprints, ~1/sample_mod or ~2/(w+1) of
+    positions), then an inverted-index self-join on the fingerprint hash,
+    with fingerprints present in more than ``max_df`` docs dropped BEFORE
+    the join (df-ceiling prune, same reason as tfidf_cosine_pairs: a
     ubiquitous substring generates quadratic candidates and zero
     signal). Pruned fingerprints leave both the numerator and the
     denominator, so overlap stays internally consistent."""
-    from ..functions import hashing as H
-
-    n_windows = F.length(F.col(text_col)) - F.lit(k - 1)
-    idx = F.when(n_windows >= 1, F.sequence(F.lit(1), n_windows)).otherwise(
-        F.array().cast("array<int>")
+    sel = (
+        _winnow_fingerprints(k, window, text_col)
+        if window is not None
+        else _modp_fingerprints(k, sample_mod, text_col)
     )
-    pos = docs.select(
-        F.col(id_col), F.col(text_col).alias("__t"),
-        F.explode(idx).alias("p"),
-    )
-    h = H.md5_mod_p(F.col("__t").substr(F.col("p"), F.lit(k)))
-    fp = (
-        pos.select(F.col(id_col), h.alias("h"))
-        .filter(F.col("h") % sample_mod == 0)
-        .distinct()
-    )
+    fp = docs.select(
+        F.col(id_col), F.explode(sel).alias("h")
+    ).distinct()
     df_ok = (
         fp.groupBy("h")
         .agg(F.count(F.lit(1)).alias("__df"))

@@ -1216,6 +1216,61 @@ def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "winnow_guaranteed_pairs",
+    f"""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(range(1, greatest(len(text) - 15, 0) + 1)) AS p
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, p,
+             CAST(concat('0x', substr(md5(substr(text, p, 16)), 1, 15))
+                  AS BIGINT) % {H.MERSENNE_31} AS h,
+             count(*) OVER (PARTITION BY doc_id) AS nw
+      FROM pos
+    ),
+    mw AS (
+      SELECT doc_id, p, nw,
+             min(h) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mh
+      FROM h
+    ),
+    hh AS (SELECT DISTINCT doc_id, mh AS h FROM mw
+           WHERE p <= greatest(1, nw - 7)),
+    dfq AS (SELECT h FROM hh GROUP BY h HAVING COUNT(*) <= 50),
+    pr AS (SELECT hh.doc_id, hh.h FROM hh SEMI JOIN dfq USING (h)),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM pr GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM pr a JOIN pr b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    )
+    SELECT id_a, id_b, n_shared,
+           floor(n_shared / least(sa.n, sb.n) * 10000 + 0.5) / 10000.0
+             AS overlap
+    FROM pairs
+    JOIN sz sa ON id_a = sa.doc_id
+    JOIN sz sb ON id_b = sb.doc_id
+    """,
+)
+def q_winnow_guaranteed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSIC winnowing pairing (textstats.winnow_overlap_pairs with
+    window=8): the selected fingerprint is the MIN hash of every window of
+    8 consecutive 16-char k-gram hashes, which carries the SIGMOD'03
+    detection guarantee — any lifted passage of >= window + k - 1 = 23
+    chars shares at least one fingerprint (the mod-p sampled twin
+    `winnow_overlap_pairs` can miss a match of any length; the planted
+    64-char-lift test in tests/test_text_and_similarity.py shows the
+    contrast). Selection is all array-local transform/slice — rows are
+    only generated for the ~2/(w+1) surviving fingerprints — then the
+    same df-ceiling-pruned inverted-index self-join."""
+    return textstats.winnow_overlap_pairs(
+        _t(spark, sf_dir, "documents"), window=8
+    )
+
+
+@register(
     "zipf_fit",
     f"""
     WITH tok AS (SELECT unnest({_D_TOKS}) AS t FROM documents),

@@ -717,3 +717,52 @@ def test_winnow_overlap_pairs_catches_lifted_paragraph(spark):
     }
     assert (1, 2) in got and got[(1, 2)] > 0.3
     assert all(3 not in pair for pair in got)
+
+
+def test_winnow_min_window_guarantee_vs_modp_miss(spark):
+    """The SIGMOD'03 winnowing guarantee, measured: with window=8 / k=16
+    any lift of >= 8 + 16 - 1 = 23 chars is ALWAYS detected by the
+    min-per-window selector — including lifts whose 8 window hashes all
+    miss the mod-8 residue, which the mod-p sampler provably cannot see
+    (the fixtures below were searched for exactly that property). 64-char
+    lifts are likewise always detected."""
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.textstats import (
+        winnow_overlap_pairs,
+    )
+
+    host_a = "completely unrelated opening prose about mountain weather "
+    host_b = "separate closing commentary on river navigation instead "
+    # 23-char lifts (exactly the guarantee minimum) whose window hashes
+    # ALL miss h % 8 == 0 — mod-p selects nothing from the lift
+    blind_lifts = [
+        "basalt cobalt raven dun",
+        "garnet basalt cobalt ne",
+        "basalt raven ember jasp",
+        "nectar ember raven dune",
+        "slate jasper raven velv",
+    ]
+    # 64-char lifts: any text of that length must be detected too
+    long_lifts = [
+        "amber fjord hollow lumen marrow nectar prism quartz slate tundr",
+        "zephyr yarrow willow velvet umber raven onyx karst iris garnet h",
+    ]
+    for lift in blind_lifts + long_lifts:
+        docs = spark.createDataFrame(
+            [(1, host_a + lift), (2, lift + " " + host_b)],
+            "doc_id long, text string",
+        )
+        guaranteed = winnow_overlap_pairs(
+            docs, window=8, min_shared=1
+        ).collect()
+        assert any(
+            (r.id_a, r.id_b) == (1, 2) for r in guaranteed
+        ), f"guaranteed selector missed the lift {lift!r}"
+    for lift in blind_lifts:
+        docs = spark.createDataFrame(
+            [(1, host_a + lift), (2, lift + " " + host_b)],
+            "doc_id long, text string",
+        )
+        modp = winnow_overlap_pairs(docs, min_shared=1).collect()
+        assert not any(
+            (r.id_a, r.id_b) == (1, 2) for r in modp
+        ), f"fixture no longer mod-p-blind: {lift!r}"
