@@ -135,7 +135,33 @@ def favg(col, alias):
 FSUM_HEADROOM = 8.0
 
 
-@functools.lru_cache(maxsize=128)
+def _footer_fingerprint(path: str) -> tuple | None:
+    """(name, mtime_ns, size) per parquet file — the lru_cache key
+    component that invalidates ``_footer_stats`` when a file is rewritten
+    or appended in a long-lived session (a stale cached row count would
+    otherwise erode ``gsum``'s 8x headroom silently). Metadata-only: one
+    stat() per file, no data IO. None when the path can't be statted (the
+    cached body degrades to (None, {}) for those anyway)."""
+    import os as _os
+
+    try:
+        if _os.path.isdir(path):
+            files = sorted(
+                _os.path.join(path, f)
+                for f in _os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        else:
+            files = [path]
+        return tuple(
+            (f, st.st_mtime_ns, st.st_size)
+            for f in files
+            for st in (_os.stat(f),)
+        )
+    except OSError:
+        return None
+
+
 def _footer_stats(path: str) -> tuple[int | None, dict]:
     """Row count and per-column max |value| from parquet FOOTER statistics
     only — zero data IO (a file's footer is a few KB; at lake scale the
@@ -143,7 +169,16 @@ def _footer_stats(path: str) -> tuple[int | None, dict]:
     stays metadata-priced no matter the data volume). Accepts a single
     file or a directory of part files. Returns ``(None, {})`` when the
     footer is unreadable; a column missing min/max in ANY row group is
-    dropped from the dict (no provable bound → no long carrier)."""
+    dropped from the dict (no provable bound → no long carrier). Cached
+    per (path, file mtimes+sizes): a rewritten/appended table re-reads
+    its footers instead of serving stale bounds."""
+    return _footer_stats_cached(path, _footer_fingerprint(path))
+
+
+@functools.lru_cache(maxsize=128)
+def _footer_stats_cached(
+    path: str, _fingerprint: tuple | None
+) -> tuple[int | None, dict]:
     import os as _os
 
     try:
@@ -200,10 +235,14 @@ def gsum(col, alias, *, n_rows, max_abs):
     """Guarded exact sum — the auto-carrier pick fsum's docstring budgets
     by hand: the fixed-point LONG carrier (fsum, ~4-5x faster per row)
     when footer stats PROVE Σ|x|·10⁶ can't overflow 2⁶³, the DECIMAL
-    accumulator (dsum) otherwise. Same value either way; under ANSI a
-    wrong manual pick would abort loudly, this never picks wrong. Pass
-    ``max_abs`` as a bound on the SUMMED expression (for a derived column,
-    compose bounds from the inputs' footer stats)."""
+    accumulator (dsum) otherwise. Same value either way. The guard can
+    never produce a WRONG VALUE: stats are read when the plan is built
+    (``_footer_stats`` re-reads on any file mtime/size change), and if
+    the data still outgrows the proven bound plus its 8x headroom between
+    plan build and execution, the failure mode is a loud ANSI overflow
+    abort — never a silent wraparound. Pass ``max_abs`` as a bound on the
+    SUMMED expression (for a derived column, compose bounds from the
+    inputs' footer stats)."""
     if long_carrier_ok(n_rows, max_abs):
         return fsum(col, alias)
     return dsum(col, alias)

@@ -1,11 +1,23 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line sized to fit the driver's bounded stdout
+tail window (~2000 chars):
     {"metric": "headline_total_sec", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+     "queries": {name: sec, ...}, "sf": 0.1, "full_artifact": ...}
+Everything else (cold-start, scaling curves, graph/layout/HNSW
+micro-benches, per-query deltas vs the previous round) goes ONLY to the
+committed BENCH_full_r{N}.json — rounds 5/6 proved that printing the full
+object truncates in the driver record ("parsed": null).
 
 Each query is forced end-to-end with a noop sink (full execution, no
 driver-side materialization — the 100 TB-honest way to time a plan).
+
+Noise protocol (round-6 lesson: a contended host recorded phantom
++20-90% "regressions" on code with zero diffs): min of 5 timed runs,
+rounds interleaved across queries to decorrelate CPU-contention bursts,
+plus an automatic outlier pass — any query whose delta vs the previous
+committed full artifact exceeds ±25% is re-run twice more and the min
+kept, so a noisy burst must survive 7 samples to pollute the history.
 """
 
 from __future__ import annotations
@@ -56,37 +68,33 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.time() - t0, 3)
 
-    # min of 3 timed runs per query, rounds INTERLEAVED across queries:
+    # min of 5 timed runs per query, rounds INTERLEAVED across queries:
     # single measurements on a shared host showed 3x outliers from CPU
     # contention, and back-to-back repeats share the same burst — spreading
     # a query's samples across the whole bench decorrelates them. The min is
     # the standard noise-resistant estimator of the plan's actual cost.
     timings: dict[str, float] = {n: float("inf") for n in heads}
-    for _round in range(3):
+    for _round in range(5):
         for name, fn in heads.items():
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = min(timings[name], time.time() - t0)
     timings = {n: round(v, 3) for n, v in timings.items()}
 
-    # Per-round history. Determine THIS round first (next after the highest
-    # driver-recorded BENCH_r{N}.json, overridable via SPARK_GRAFT_ROUND),
-    # then diff against the latest artifact from an EARLIER round —
-    # preferring the committed BENCH_full_r{M}.json (it always carries every
-    # per-query time; the driver's own BENCH_r file keeps only a bounded
-    # output tail and has truncated before), falling back to driver records
-    # when no full artifact exists. Extra keys; the driver's parser only
-    # needs metric/value/unit/queries/sf.
+    # Per-round history. THIS round comes from tools/roundno.py (the one
+    # shared source ci.sh also uses, overridable via SPARK_GRAFT_ROUND);
+    # diff against the latest artifact from an EARLIER round — preferring
+    # the committed BENCH_full_r{M}.json (it always carries every per-query
+    # time; the driver's own BENCH_r file keeps only a bounded output tail
+    # and has truncated before), falling back to driver records when no
+    # full artifact exists.
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    rnd_env = os.environ.get("SPARK_GRAFT_ROUND")
-    recorded = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
-        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
-    ]
-    rnd = int(rnd_env) if rnd_env else max(recorded, default=0) + 1
+    sys.path.insert(0, os.path.join(here, "tools"))
+    from roundno import current_round
+
+    rnd = current_round()
     prev_round, prev_queries = None, {}
     candidates = []
     for pat, is_full in (("BENCH_r*.json", False), ("BENCH_full_r*.json", True)):
@@ -105,6 +113,27 @@ def main() -> None:
                 prev_round, prev_queries = r, parsed["queries"]
         except Exception:
             continue
+
+    # Outlier pass: a query whose time moved more than ±25% vs the previous
+    # round's committed record gets two extra runs, min kept. Real
+    # regressions survive (the code actually changed → re-runs reproduce
+    # the new time); contention bursts don't (round 6's pq_topk "+92%" was
+    # 1.84 s on an idle re-time of identical code).
+    outlier_reruns: list[str] = []
+    for name, prev in sorted(prev_queries.items()):
+        cur = timings.get(name)
+        if cur is None or prev <= 0:
+            continue
+        if abs(cur - prev) / prev > 0.25:
+            outlier_reruns.append(name)
+            best = cur
+            for _ in range(2):
+                t0 = time.time()
+                heads[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
 
     out = {
         "metric": "headline_total_sec",
@@ -311,6 +340,7 @@ def main() -> None:
             "vec_id", "embedding"
         )
         qs = emb.filter(F.col("vec_id") < 10)
+        n_queries = qs.count()  # not the literal 10: vec_ids may be sparse
         tmp = tempfile.mkdtemp(prefix="hnsw_bench_")
         idx = os.path.join(tmp, "idx")
         try:
@@ -330,7 +360,7 @@ def main() -> None:
             out["hnsw_index"] = {
                 "build_sec": round(build_sec, 3),
                 "search_sec": round(s, 3),
-                "n_queries": 10,
+                "n_queries": n_queries,
                 "note": "persisted-index path (similarity.build_hnsw_index"
                         " / search_hnsw_index): build is the one-time"
                         " amortized cost, search is the per-batch serving"
@@ -347,23 +377,43 @@ def main() -> None:
             for n in timings
             if n in prev_queries
         }
+    if outlier_reruns:
+        out["outlier_reruns"] = {
+            "queries": outlier_reruns,
+            "note": "delta vs prev full artifact exceeded ±25% after the "
+                    "min-of-5 pass; re-run twice more, min kept",
+        }
 
-    # Persist the complete output object as a committed artifact. The
-    # driver's BENCH_r{N}.json keeps only a bounded tail of process output,
-    # which truncated round 4's headline line — so, mirroring
-    # CORRECTNESS_full_r{N}.json, write the full object to
-    # BENCH_full_r{N}.json where N = this round (next after the highest
-    # recorded driver round, overridable via SPARK_GRAFT_ROUND).
+    # Persist the complete output object as a committed artifact
+    # (BENCH_full_r{N}.json, N from tools/roundno.py — the same round
+    # ci.sh stamps on CORRECTNESS_full). The driver's BENCH_r{N}.json
+    # keeps only a bounded ~2000-char tail of process output, so stdout
+    # gets a COMPACT line carrying just the keys the driver parses
+    # (metric/value/unit/queries/sf) — printing the full object truncated
+    # the driver record in rounds 4-6 ("parsed": null).
+    full_name = f"BENCH_full_r{rnd:02d}.json"
     try:
-        full_path = os.path.join(here, f"BENCH_full_r{rnd:02d}.json")
+        full_path = os.path.join(here, full_name)
         with open(full_path, "w") as f:
             json.dump(out, f, indent=2, sort_keys=True)
             f.write("\n")
-        out["full_artifact"] = os.path.basename(full_path)
     except OSError:
-        pass  # read-only checkout: the stdout line is still complete
+        pass  # read-only checkout: the compact stdout line still lands
 
-    print(json.dumps(out))
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "queries": out["queries"],
+        "full_artifact": full_name,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces: never outgrow the tail window
+        compact.pop("queries")
+        compact["n_queries_timed"] = len(out["queries"])
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -92,6 +92,28 @@ def test_footer_stats_pick_long_carrier_on_real_lineitem():
     assert registry.long_carrier_ok(n, dp)
 
 
+def test_footer_stats_cache_invalidates_on_rewrite(tmp_path, spark):
+    """A rewritten/appended parquet must be re-read, not served from the
+    process-lifetime cache: in a long-lived session a stale row count
+    would erode gsum's headroom check without anyone noticing. The cache
+    keys on (path, per-file mtime+size)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"x": [1.0, 2.0]}), p)
+    n1, mx1 = registry._footer_stats(p)
+    assert n1 == 2 and mx1["x"] == 2.0
+    # rewrite with more rows and a larger max; force a distinct mtime
+    import os
+
+    pq.write_table(pa.table({"x": [1.0, 2.0, 50.0, -7.0]}), p)
+    st = os.stat(p)
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    n2, mx2 = registry._footer_stats(p)
+    assert n2 == 4 and mx2["x"] == 50.0
+
+
 def test_gsum_picks_by_budget():
     """gsum/gavg return the fsum/favg expression inside budget and the
     dsum/davg expression outside it — compared on the expression tree."""
