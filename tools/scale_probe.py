@@ -138,6 +138,8 @@ def main() -> None:
     from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.functions import (
         text as T,
     )
+    from pyspark.sql import Window
+
     from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
         curation,
         dedup,
@@ -146,6 +148,7 @@ def main() -> None:
         graph,
         search as search_op,
         similarity,
+        textstats,
     )
     from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.plans.registry import (
         _t,
@@ -189,6 +192,21 @@ def main() -> None:
     similarity.build_hnsw_index(
         emb0.limit(512), os.path.join(hnsw_tmp, "warm")
     )
+
+    def _cdc_ratio(docs: DataFrame) -> DataFrame:
+        # mirrors registry.q_cdc_dedup_ratio's plan shape exactly
+        ch = curation.cdc_chunks(docs, avg_tokens=8)
+        w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_id")
+        per = ch.select("n_tokens", F.row_number().over(w).alias("rn"))
+        first = (F.col("rn") == 1).cast("long")
+        return per.agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(first).alias("n_unique_chunks"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.col("n_tokens") * first).cast("long").alias(
+                "unique_tokens"
+            ),
+        )
 
     def probes(k: int) -> dict:
         docs = replicate_docs(docs0, k)
@@ -253,6 +271,19 @@ def main() -> None:
                 docs,
                 ["spark", "window", "customer", "vector"],
                 k=25,
+            ),
+            # CDC storage dedup: zero-shuffle chunk fold + one groupBy on
+            # md5(chunk) (the registry's row_number-window shape); rotated
+            # replicas share no chunks, so unique-chunk work is linear in k
+            "cdc_dedup_ratio": lambda: _cdc_ratio(docs),
+            # winnowing pair mining: array-local fingerprint selection +
+            # df-ceiling-pruned inverted-index self-join; rotated replicas
+            # share no 16-char substrings, so true pairs stay linear in k
+            "winnow_overlap_pairs": lambda: textstats.winnow_overlap_pairs(
+                docs
+            ),
+            "winnow_guaranteed_pairs": lambda: (
+                textstats.winnow_overlap_pairs(docs, window=8)
             ),
             "hnsw_search": lambda: similarity.search_hnsw_index(
                 spark, idx, queries0, k=5
