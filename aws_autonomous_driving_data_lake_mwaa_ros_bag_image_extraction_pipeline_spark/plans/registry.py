@@ -1310,6 +1310,66 @@ def q_winnow_guaranteed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "winnow_density",
+    f"""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(range(1, greatest(len(text) - 15, 0) + 1)) AS p
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, p,
+             CAST(concat('0x', substr(md5(substr(text, p, 16)), 1, 15))
+                  AS BIGINT) % {H.MERSENNE_31} AS h,
+             count(*) OVER (PARTITION BY doc_id) AS nw
+      FROM pos
+    ),
+    mw AS (
+      SELECT doc_id, p, nw,
+             min(h) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mh
+      FROM h
+    ),
+    sel AS (
+      SELECT doc_id, COUNT(DISTINCT mh) AS ns
+      FROM mw WHERE p <= greatest(1, nw - 7) GROUP BY 1
+    ),
+    per AS (
+      SELECT d.doc_id, greatest(len(d.text) - 15, 0) AS nw,
+             coalesce(s.ns, 0) AS ns
+      FROM documents d LEFT JOIN sel s USING (doc_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nw) AS BIGINT) AS n_window_positions,
+           CAST(SUM(ns) AS BIGINT) AS n_selected,
+           floor(SUM(ns) * 1.0 / SUM(nw) * 10000 + 0.5) / 10000.0 AS density
+    FROM per
+    """,
+)
+def q_winnow_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing's storage bill as a MEASURED CLAIM: classic min-per-window
+    selection stores an expected ~2/(w+1) of window positions (SIGMOD'03
+    §3; 0.2222 at w=8), and distinct-value dedup within a document pulls
+    the realized share slightly below that — this query records the
+    corpus-wide density the guarantee is bought for (vs mod-p sampling's
+    1/sample_mod with NO guarantee). Per-document arithmetic is all
+    array-local; two longs shuffle per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        F.greatest(F.length("text") - F.lit(15), F.lit(0)).alias("nw"),
+        F.size(
+            textstats._winnow_fingerprints(16, 8, "text")
+        ).alias("ns"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nw").cast("bigint").alias("n_window_positions"),
+        F.sum("ns").cast("bigint").alias("n_selected"),
+        H.quantize(F.sum("ns") / F.sum("nw"), 4).alias("density"),
+    )
+
+
+@register(
     "zipf_fit",
     f"""
     WITH tok AS (SELECT unnest({_D_TOKS}) AS t FROM documents),
@@ -2794,6 +2854,91 @@ def q_cdc_chunks_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "chunk_id", F.md5("chunk").alias("chunk_md5"), "n_tokens"
     )
+
+
+@register(
+    "cdc_bounded_length_stats",
+    """
+    WITH RECURSIVE
+    tk AS (SELECT doc_id, {toks} AS toks FROM documents),
+    pos AS (
+      SELECT doc_id, i,
+             CASE WHEN CAST(concat('0x', substr(md5(toks[i + 1]), 1, 15))
+                       AS BIGINT) % {m} = 0 THEN 1 ELSE 0 END AS b,
+             CAST(len(toks) AS INTEGER) AS n
+      FROM tk, unnest(range(0, CAST(len(toks) AS INTEGER))) AS u(i)
+    ),
+    nb AS (
+      SELECT doc_id, i, n,
+             min(CASE WHEN b = 1 THEN i END) OVER (
+               PARTITION BY doc_id ORDER BY i DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nxt
+      FROM pos
+    ),
+    rec AS (
+      SELECT nb.doc_id, 0 AS chunk_id, 0 AS s,
+             CASE WHEN nxt IS NOT NULL AND nxt <= least({maxt}, n) - 1
+                  THEN nxt ELSE least({maxt}, n) - 1 END AS e,
+             n
+      FROM nb WHERE nb.i = least({mint} - 1, nb.n - 1)
+      UNION ALL
+      SELECT r.doc_id, r.chunk_id + 1, r.e + 1 AS s,
+             CASE WHEN nb.nxt IS NOT NULL
+                       AND nb.nxt <= least(r.e + 1 + {maxt}, r.n) - 1
+                  THEN nb.nxt ELSE least(r.e + 1 + {maxt}, r.n) - 1 END AS e,
+             r.n
+      FROM rec r JOIN nb
+        ON nb.doc_id = r.doc_id
+       AND nb.i = least(r.e + 1 + {mint} - 1, r.n - 1)
+      WHERE r.e + 1 <= r.n - 1
+    ),
+    ub AS (
+      SELECT doc_id,
+             COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS chunk_id
+      FROM pos
+    ),
+    umax AS (
+      SELECT CAST(MAX(cnt) AS INTEGER) AS unbounded_max_tokens
+      FROM (SELECT COUNT(*) AS cnt FROM ub GROUP BY doc_id, chunk_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS bounded_n_chunks,
+           CAST(MAX(e - s + 1) AS INTEGER) AS bounded_max_tokens,
+           CAST(MIN(e - s + 1) FILTER (WHERE chunk_id < mx) AS INTEGER)
+             AS bounded_nonfinal_min_tokens,
+           (SELECT unbounded_max_tokens FROM umax) AS unbounded_max_tokens
+    FROM (SELECT s, e, chunk_id,
+                 max(chunk_id) OVER (PARTITION BY doc_id) AS mx
+          FROM rec)
+    """.format(toks=_D_TOKS, m=8, mint=4, maxt=16),
+)
+def q_cdc_bounded_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FastCDC bound as a MEASURED CLAIM (not just a pytest): over the
+    whole corpus, every bounded chunk has n_tokens <= 16 and every
+    NON-FINAL chunk has n_tokens >= 4, while the UNBOUNDED chunker's
+    longest chunk (same corpus, same content boundaries) exceeds the cap
+    — the degenerate case the bounds exist to kill, shown in the same
+    row. One window (per-doc max chunk_id) + one conditional aggregate
+    per chunker; the two 1-row aggregates assemble via broadcast
+    crossJoin."""
+    docs = _t(spark, sf_dir, "documents")
+    b = curation.cdc_chunks(docs, avg_tokens=8, min_tokens=4, max_tokens=16)
+    wb = Window.partitionBy("doc_id")
+    bb = b.select(
+        "chunk_id", "n_tokens", F.max("chunk_id").over(wb).alias("__mx")
+    )
+    agg_b = bb.agg(
+        F.count(F.lit(1)).alias("bounded_n_chunks"),
+        F.max("n_tokens").cast("int").alias("bounded_max_tokens"),
+        F.min(
+            F.when(F.col("chunk_id") < F.col("__mx"), F.col("n_tokens"))
+        ).cast("int").alias("bounded_nonfinal_min_tokens"),
+    )
+    agg_u = curation.cdc_chunks(docs, avg_tokens=8).agg(
+        F.max("n_tokens").cast("int").alias("unbounded_max_tokens")
+    )
+    return agg_b.crossJoin(agg_u)
 
 
 @register(

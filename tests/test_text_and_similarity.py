@@ -766,3 +766,24 @@ def test_winnow_min_window_guarantee_vs_modp_miss(spark):
         assert not any(
             (r.id_a, r.id_b) == (1, 2) for r in modp
         ), f"fixture no longer mod-p-blind: {lift!r}"
+
+
+def test_winnow_density_near_theory(spark):
+    """Winnowing's expected selection density is ~2/(w+1) of window
+    positions (SIGMOD'03 §3); per-doc distinct-value dedup pulls the
+    realized share slightly below. On the sf0.001 corpus the measured
+    density must land in (0.15, 2/(w+1)]."""
+    from pyspark.sql import functions as F
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.textstats import (
+        _winnow_fingerprints,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    row = docs.select(
+        F.greatest(F.length("text") - F.lit(15), F.lit(0)).alias("nw"),
+        F.size(_winnow_fingerprints(16, 8, "text")).alias("ns"),
+    ).agg(
+        (F.sum("ns") / F.sum("nw")).alias("density")
+    ).collect()[0]
+    assert 0.15 < row.density <= 2.0 / (8 + 1)

@@ -157,6 +157,8 @@ _BNLJ_ALLOWANCE = {
     # 3: verdict assembly — cross joins of four broadcast 1-row count
     # aggregates (CDC vs fixed-chunk survival shares)
     "cdc_boundary_stability": 3,
+    # 1: bounded-vs-unbounded length verdict — two broadcast 1-row aggs
+    "cdc_bounded_length_stats": 1,
     # 3: same verdict-assembly shape (ngram vs skipgram hit shares)
     "skipgram_vs_ngram_under_edits": 3,
     "chi2_lang_source": 1,
