@@ -215,6 +215,66 @@ def test_chunk_documents_property(spark, docs, size, stride):
 
 @SLOW
 @given(
+    st.lists(DOC, min_size=1, max_size=20),
+    st.sampled_from([3, 5, 8]),
+    st.integers(1, 4),
+    st.integers(0, 8),
+)
+def test_cdc_chunks_bounded_matches_sequential_fold(
+    spark, docs, avg, mint, extra
+):
+    """cdc_chunks == the sequential reference fold for arbitrary docs and
+    (avg, min, max) parameter draws: same chunks, same order, same token
+    counts; every chunk <= max and every non-final chunk >= min."""
+    import hashlib
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        curation,
+    )
+
+    maxt = mint + extra
+
+    def md5_long(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def ref(text: str) -> list[tuple[str, int]]:
+        toks = text.strip().lower().split()
+        if text.strip() == "":
+            toks = [""]  # split-on-\\s+ convention shared with the engine
+        done, cur, cnt = [], [], 0
+        for t in toks:
+            cur.append(t)
+            cnt += 1
+            hit = md5_long(t) % avg == 0 and cnt >= mint
+            if hit or cnt >= maxt:
+                done.append((" ".join(cur), cnt))
+                cur, cnt = [], 0
+        if cnt > 0:
+            done.append((" ".join(cur), cnt))
+        return done
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = curation.cdc_chunks(
+        df, avg_tokens=avg, min_tokens=mint, max_tokens=maxt
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, d in enumerate(docs):
+        want = ref(d)
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        assert [(c.chunk, c.n_tokens) for c in chunks] == want
+        for c in chunks:
+            assert c.n_tokens <= maxt
+        for c in chunks[:-1]:
+            assert c.n_tokens >= mint
+
+
+@SLOW
+@given(
     st.lists(
         st.tuples(st.integers(1, 3), st.integers(0, 3600), st.floats(0, 100)),
         min_size=1,
