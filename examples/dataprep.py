@@ -157,6 +157,16 @@ def main() -> None:
     print(f"== decontamination: {leaky} docs >20% contiguous-passage leak; "
           f"{screened} flagged by the edit-robust skip-gram screen")
 
+    # 9c) lifted-paragraph mining: CLASSIC winnowing (min hash per window
+    # of 8 k-gram hashes) — any lift >= 23 chars is GUARANTEED to share a
+    # fingerprint; mod-p sampling carries no such floor. Mined on the raw
+    # corpus (a discovery step), then on the keep-list to confirm cluster
+    # dedup removed the cross-document quotes
+    pre = textstats.winnow_overlap_pairs(docs, window=8).count()
+    post = textstats.winnow_overlap_pairs(survivors, window=8).count()
+    print(f"== winnowing (guaranteed selector): {pre} lifted-paragraph "
+          f"pairs in the raw corpus -> {post} on the keep-list")
+
     # 10) data mixing: weighted per-source sample of the scrubbed survivors
     mixed = curation.weighted_group_sample(
         survivors.withColumn(
@@ -177,8 +187,12 @@ def main() -> None:
 
     # 12) snapshot storage: content-defined chunking — boundaries are a
     # pure function of local content (rsync/LBFS scheme), so a v2 edit
-    # re-uploads only the chunks it touches
-    ch = curation.cdc_chunks(survivors, avg_tokens=8).select(
+    # re-uploads only the chunks it touches; FastCDC-style min/max bounds
+    # (4..16 tokens) guarantee no document can degenerate into one
+    # unbounded chunk
+    ch = curation.cdc_chunks(
+        survivors, avg_tokens=8, min_tokens=4, max_tokens=16
+    ).select(
         F.md5("chunk").alias("h"), "n_tokens"
     )
     tot = ch.agg(
