@@ -657,6 +657,87 @@ def run_zonemap_stream(
     _await_tick(q, timeout_s)
 
 
+def chunk_store_sink(
+    spark: SparkSession,
+    store_path: str,
+    avg_tokens: int = 8,
+    min_tokens: int = 1,
+    max_tokens: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body for a CONTENT-ADDRESSED CDC chunk store — the
+    streaming realization of the ``cdc_delta_sync`` bill: each micro-batch
+    of documents is CDC-chunked (operators/curation.cdc_chunks, optionally
+    FastCDC-bounded), deduped on chunk md5 within the batch, anti-joined
+    against the persisted store, and ONLY unseen chunks are appended
+    (hash, chunk text, token count, plus one provenance (doc, chunk_id)).
+    A re-ingested corpus snapshot therefore uploads exactly its delta —
+    the versioned-snapshot storage contract, maintained continuously.
+
+    Replay-safe BEYOND the parquet-append sinks: the anti-join makes the
+    append idempotent at the chunk level (a replayed batch finds all its
+    chunks already stored and appends nothing), so foreachBatch's
+    at-least-once contract cannot duplicate store rows. The anti-join's
+    build side is the store's ``h`` column only — at lake scale that read
+    stays column-pruned, and the store can be bucketed by ``h`` to make
+    the probe a co-located join.
+    """
+    import os
+
+    from ..operators.curation import cdc_chunks
+
+    def _fb(batch: DataFrame, _epoch: int) -> None:
+        ch = (
+            cdc_chunks(
+                batch,
+                avg_tokens=avg_tokens,
+                id_col=id_col,
+                text_col=text_col,
+                min_tokens=min_tokens,
+                max_tokens=max_tokens,
+            )
+            .select(
+                F.md5("chunk").alias("h"),
+                "chunk",
+                "n_tokens",
+                F.col(id_col).alias("first_doc"),
+                F.col("chunk_id").alias("first_chunk"),
+            )
+            .dropDuplicates(["h"])
+        )
+        if os.path.isdir(store_path) and any(
+            f.endswith(".parquet") for f in os.listdir(store_path)
+        ):
+            seen = spark.read.parquet(store_path).select("h")
+            ch = ch.join(seen, "h", "left_anti")
+        ch.write.mode("append").parquet(store_path)
+
+    return _fb
+
+
+def run_chunk_store_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    timeout_s: int = 300,
+    **chunk_opts,
+) -> None:
+    """One availableNow tick of content-addressed chunk-store ingestion:
+    every unseen document is chunked and only chunks the store has never
+    seen are appended (``chunk_store_sink``)."""
+    q = (
+        source.writeStream.foreachBatch(
+            chunk_store_sink(spark, store_path, **chunk_opts)
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    _await_tick(q, timeout_s)
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",

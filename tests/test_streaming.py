@@ -538,3 +538,81 @@ def test_lww_equal_timestamps_resolve_by_commit_order(spark, tmp_path):
     sp.compact_manifest(None, m)  # arrow compactor must agree
     got = {r.key: r.status for r in sp.current_manifest(spark, m).collect()}
     assert got == {"k": "second"}
+
+
+def test_streaming_chunk_store_uploads_only_the_delta(spark, tmp_path):
+    """Two availableNow ticks through the content-addressed chunk store:
+    tick 1 ingests the v1 corpus, tick 2 the preamble-edited v2 snapshot.
+    The store must (a) equal the batch-computed distinct chunk set after
+    each tick (streaming == batch), (b) grow by exactly v2's anti-join
+    delta — the cdc_delta_sync bill, realized continuously — and (c) stay
+    duplicate-free even when a batch is REPLAYED (foreachBatch
+    at-least-once), because the anti-join makes the append idempotent."""
+    import json
+    import os
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        curation,
+    )
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.streaming import (
+        pipeline,
+    )
+
+    v1 = [
+        (1, "the quick brown fox jumps over the lazy dog and runs far "
+            "away into the night while seven silent owls watch"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    v2 = [(i, "inserted preamble tokens " + t) for i, t in v1]
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+
+    def _w(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for i, t in rows:
+                f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    def _tick():
+        stream = spark.readStream.schema("doc_id long, text string").json(src)
+        pipeline.run_chunk_store_stream(
+            spark, stream, store, ck, min_tokens=2, max_tokens=8
+        )
+
+    def _batch_hashes(rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            (r.h, r.n_tokens)
+            for r in curation.cdc_chunks(
+                df, avg_tokens=8, min_tokens=2, max_tokens=8
+            ).select(F.md5("chunk").alias("h"), "n_tokens").distinct()
+            .collect()
+        }
+
+    _w("t1.json", v1)
+    _tick()
+    got1 = {(r.h, r.n_tokens) for r in spark.read.parquet(store).collect()}
+    assert got1 == _batch_hashes(v1)
+
+    _w("t2.json", v2)
+    _tick()
+    stored = spark.read.parquet(store)
+    got2 = {(r.h, r.n_tokens) for r in stored.collect()}
+    assert got2 == _batch_hashes(v1) | _batch_hashes(v2)
+    # duplicate-free store: one row per content hash
+    assert stored.count() == stored.select("h").distinct().count()
+    # the tick-2 upload bill is exactly the anti-join delta, and the
+    # content-defined boundaries keep it well under a full re-upload
+    delta = len(got2) - len(got1)
+    assert delta == len(_batch_hashes(v2) - _batch_hashes(v1))
+    assert 0 < delta < len(_batch_hashes(v2))
+
+    # replayed batch (at-least-once) appends nothing: chunk-level idempotence
+    n_before = stored.count()
+    v2_df = spark.createDataFrame(v2, "doc_id long, text string")
+    pipeline.chunk_store_sink(
+        spark, store, min_tokens=2, max_tokens=8
+    )(v2_df, 0)
+    assert spark.read.parquet(store).count() == n_before
