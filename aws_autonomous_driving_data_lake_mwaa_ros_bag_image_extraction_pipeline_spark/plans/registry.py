@@ -1310,6 +1310,94 @@ def q_winnow_guaranteed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "winnow_guarantee_recall",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             'aa' || doc_id || ' ' || substr(text, 1, 23) AS ta,
+             substr(text, 1, 23) || ' zz' || doc_id AS tb
+      FROM documents WHERE len(text) >= 23
+    ),
+    sides AS (
+      SELECT doc_id, 'a' AS side, ta AS t FROM base
+      UNION ALL
+      SELECT doc_id, 'b' AS side, tb AS t FROM base
+    ),
+    pos AS (
+      SELECT doc_id, side, t,
+             unnest(range(1, greatest(len(t) - 15, 0) + 1)) AS p
+      FROM sides
+    ),
+    h AS (
+      SELECT doc_id, side, p,
+             CAST(concat('0x', substr(md5(substr(t, p, 16)), 1, 15))
+                  AS BIGINT) % {H.MERSENNE_31} AS h,
+             count(*) OVER (PARTITION BY doc_id, side) AS nw
+      FROM pos
+    ),
+    mw AS (
+      SELECT doc_id, side, p, nw,
+             min(h) OVER (PARTITION BY doc_id, side ORDER BY p
+                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mh
+      FROM h
+    ),
+    wsel AS (SELECT DISTINCT doc_id, side, mh AS h FROM mw
+             WHERE p <= greatest(1, nw - 7)),
+    msel AS (SELECT DISTINCT doc_id, side, h FROM h WHERE h % 8 = 0),
+    wdet AS (SELECT DISTINCT a.doc_id FROM wsel a JOIN wsel b
+             ON a.doc_id = b.doc_id AND a.h = b.h
+             WHERE a.side = 'a' AND b.side = 'b'),
+    mdet AS (SELECT DISTINCT a.doc_id FROM msel a JOIN msel b
+             ON a.doc_id = b.doc_id AND a.h = b.h
+             WHERE a.side = 'a' AND b.side = 'b')
+    SELECT CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n_docs,
+           floor((SELECT COUNT(*) FROM wdet) * 1.0
+                 / (SELECT COUNT(*) FROM base) * 10000 + 0.5) / 10000.0
+             AS guaranteed_detect_share,
+           floor((SELECT COUNT(*) FROM mdet) * 1.0
+                 / (SELECT COUNT(*) FROM base) * 10000 + 0.5) / 10000.0
+             AS modp_detect_share
+    """,
+)
+def q_winnow_guarantee_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The winnowing GUARANTEE, measured corpus-wide: every document's
+    first 23 chars (exactly w + k - 1) are planted as a lift into two
+    per-doc fresh contexts, and each selector's detection share is
+    recorded. Min-per-window winnowing detects 100% (the SIGMOD'03
+    theorem — a full window of 8 identical k-gram hashes exists on both
+    sides, whose min is selected on both); mod-p sampling detects ~0.64
+    (measured; theory 1 - (7/8)^8 = 0.656) because a 23-char lift whose 8
+    hashes all miss the residue selects nothing. Fingerprint selection is
+    array-local per row (`arrays_overlap` per doc, no join); one 1-row
+    aggregate."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 23)
+    lift = F.substring("text", 1, 23)
+    two = docs.select(
+        F.concat(
+            F.lit("aa"), F.col("doc_id").cast("string"), F.lit(" "), lift
+        ).alias("ta"),
+        F.concat(
+            lift, F.lit(" zz"), F.col("doc_id").cast("string")
+        ).alias("tb"),
+    )
+    hit = two.select(
+        F.arrays_overlap(
+            textstats._winnow_fingerprints(16, 8, "ta"),
+            textstats._winnow_fingerprints(16, 8, "tb"),
+        ).cast("int").alias("w_hit"),
+        F.arrays_overlap(
+            textstats._modp_fingerprints(16, 8, "ta"),
+            textstats._modp_fingerprints(16, 8, "tb"),
+        ).cast("int").alias("m_hit"),
+    )
+    return hit.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        H.quantize(F.avg("w_hit"), 4).alias("guaranteed_detect_share"),
+        H.quantize(F.avg("m_hit"), 4).alias("modp_detect_share"),
+    )
+
+
+@register(
     "winnow_density",
     f"""
     WITH pos AS (
