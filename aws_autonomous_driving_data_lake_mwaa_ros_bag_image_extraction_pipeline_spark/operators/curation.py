@@ -603,6 +603,18 @@ def cdc_chunks(
     pending text, so the empty pending chunk is emitted — the oracle's
     group-by formulation emits one row per non-empty token stream too).
     """
+    if avg_tokens < 1:
+        raise ValueError(f"avg_tokens must be >= 1, got {avg_tokens}")
+    if min_tokens < 1:
+        raise ValueError(f"min_tokens must be >= 1, got {min_tokens}")
+    if max_tokens is not None and max_tokens < max(1, min_tokens):
+        # inconsistent bounds would silently force a boundary before
+        # min_tokens could be satisfied, violating the documented
+        # min <= n_tokens <= max law on non-final chunks
+        raise ValueError(
+            f"max_tokens must be >= min_tokens ({min_tokens}) and >= 1, "
+            f"got {max_tokens}"
+        )
     toks = T.tokens(F.lower(F.col(text_col)))
 
     def _fold(tk):

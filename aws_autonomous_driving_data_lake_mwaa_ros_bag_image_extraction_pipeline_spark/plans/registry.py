@@ -1292,6 +1292,7 @@ def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sz sa ON id_a = sa.doc_id
     JOIN sz sb ON id_b = sb.doc_id
     """,
+    headline=True,
 )
 def q_winnow_guaranteed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CLASSIC winnowing pairing (textstats.winnow_overlap_pairs with
@@ -1301,9 +1302,12 @@ def q_winnow_guaranteed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars shares at least one fingerprint (the mod-p sampled twin
     `winnow_overlap_pairs` can miss a match of any length; the planted
     64-char-lift test in tests/test_text_and_similarity.py shows the
-    contrast). Selection is all array-local transform/slice — rows are
+    contrast). Selection is all array-local — window minima via
+    O(n log w) zip_with doubling passes (textstats._sliding_min), rows
     only generated for the ~2/(w+1) surviving fingerprints — then the
-    same df-ceiling-pruned inverted-index self-join."""
+    same df-ceiling-pruned inverted-index self-join. Headline: the
+    flagship detector of the winnow family, tracked so regressions in
+    the array-local selection path hit the ±25% outlier pass."""
     return textstats.winnow_overlap_pairs(
         _t(spark, sf_dir, "documents"), window=8
     )

@@ -682,8 +682,16 @@ def chunk_store_sink(
     build side is the store's ``h`` column only — at lake scale that read
     stays column-pruned, and the store can be bucketed by ``h`` to make
     the probe a co-located join.
+
+    The "does the store exist yet" probe is a try-read of ``store_path``
+    through Spark's own reader (catching ``AnalysisException`` for a
+    missing or schema-less path), NOT a driver-local ``os.listdir`` —
+    so an ``s3a://``/``hdfs://``/``abfs://`` store is probed through the
+    same Hadoop filesystem that wrote it, and an already-populated
+    object-store path can never be mistaken for absent (which would
+    silently skip the anti-join and re-append the whole corpus).
     """
-    import os
+    from pyspark.errors import AnalysisException
 
     from ..operators.curation import cdc_chunks
 
@@ -706,10 +714,11 @@ def chunk_store_sink(
             )
             .dropDuplicates(["h"])
         )
-        if os.path.isdir(store_path) and any(
-            f.endswith(".parquet") for f in os.listdir(store_path)
-        ):
+        try:
             seen = spark.read.parquet(store_path).select("h")
+        except AnalysisException:
+            seen = None  # first tick: store absent (or empty, schema-less)
+        if seen is not None:
             ch = ch.join(seen, "h", "left_anti")
         ch.write.mode("append").parquet(store_path)
 

@@ -398,7 +398,9 @@ def main() -> None:
             json.dump(out, f, indent=2, sort_keys=True)
             f.write("\n")
     except OSError:
-        pass  # read-only checkout: the compact stdout line still lands
+        # read-only checkout: the compact stdout line still lands, but it
+        # must not point consumers at a file that was never written
+        full_name = None
 
     compact = {
         "metric": out["metric"],

@@ -3,6 +3,7 @@ passage contamination, heavy hitters."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
@@ -639,6 +640,27 @@ def test_cdc_chunks_bounded_length_law(spark):
                 assert c.n_tokens >= 3
         if avg == 1 << 40:  # boundary-free: all forced chunks are exactly max
             assert [c.n_tokens for c in by_doc[1]] == [10] * 10
+
+
+def test_cdc_chunks_rejects_inconsistent_bounds(spark):
+    """Inconsistent FastCDC bounds must fail loudly, not silently force a
+    boundary before min_tokens can be satisfied (which would violate the
+    documented min <= n_tokens <= max law on non-final chunks)."""
+    docs = _docs(spark, [(1, "alpha beta gamma")])
+    with pytest.raises(ValueError, match="max_tokens"):
+        curation.cdc_chunks(docs, avg_tokens=4, min_tokens=5, max_tokens=3)
+    with pytest.raises(ValueError, match="max_tokens"):
+        curation.cdc_chunks(docs, avg_tokens=4, max_tokens=0)
+    with pytest.raises(ValueError, match="min_tokens"):
+        curation.cdc_chunks(docs, avg_tokens=4, min_tokens=0)
+    with pytest.raises(ValueError, match="avg_tokens"):
+        curation.cdc_chunks(docs, avg_tokens=0)
+    # boundary case max == min is legal: every non-final chunk is exactly
+    # that length (fixed-size degenerate form of the bounded chunker)
+    out = curation.cdc_chunks(
+        docs, avg_tokens=1 << 40, min_tokens=2, max_tokens=2
+    ).collect()
+    assert sorted(r.n_tokens for r in out) == [1, 2]
 
 
 def test_cdc_chunks_bounded_boundary_suppression(spark):

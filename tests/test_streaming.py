@@ -616,3 +616,43 @@ def test_streaming_chunk_store_uploads_only_the_delta(spark, tmp_path):
         spark, store, min_tokens=2, max_tokens=8
     )(v2_df, 0)
     assert spark.read.parquet(store).count() == n_before
+
+
+def test_chunk_store_existence_probe_is_storage_agnostic(spark, tmp_path):
+    """The 'does the store exist yet' probe must go through Spark's own
+    reader (try spark.read.parquet / catch AnalysisException), never a
+    driver-local os.listdir — an object-store path (s3a://…) is invisible
+    to os.path, and treating a populated store as absent would skip the
+    anti-join and re-append the whole corpus. Exercised here: (a) a
+    nonexistent path takes the except branch and the first append
+    succeeds; (b) an existing-but-parquet-less directory is likewise
+    treated as absent; (c) a pre-populated store takes the read branch —
+    replaying the identical batch appends zero rows even though the
+    directory was created by a different writer than this sink call."""
+    import os
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.streaming import (
+        pipeline,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    sink = pipeline.chunk_store_sink(spark, str(tmp_path / "s1"),
+                                     min_tokens=2, max_tokens=8)
+    sink(docs, 0)  # (a) nonexistent path: except-branch, append succeeds
+    n = spark.read.parquet(str(tmp_path / "s1")).count()
+    assert n > 0
+
+    empty = tmp_path / "s2"
+    os.makedirs(empty)  # (b) exists but holds no parquet: still "absent"
+    pipeline.chunk_store_sink(spark, str(empty),
+                              min_tokens=2, max_tokens=8)(docs, 0)
+    assert spark.read.parquet(str(empty)).count() == n
+
+    # (c) pre-populated by a PRIOR sink instance: a fresh sink closure
+    # must discover the existing rows via the try-read and append nothing
+    pipeline.chunk_store_sink(spark, str(tmp_path / "s1"),
+                              min_tokens=2, max_tokens=8)(docs, 1)
+    assert spark.read.parquet(str(tmp_path / "s1")).count() == n

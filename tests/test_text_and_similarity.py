@@ -787,3 +787,43 @@ def test_winnow_density_near_theory(spark):
         (F.sum("ns") / F.sum("nw")).alias("density")
     ).collect()[0]
     assert 0.15 < row.density <= 2.0 / (8 + 1)
+
+
+def test_sliding_min_doubling_equals_naive(spark):
+    """The O(n log w) doubling sliding-window-min (_sliding_min) must
+    produce EXACTLY the naive per-position min(hs[i..i+w-1]) — including
+    the clipped single-window case n < w, the power-of-two and
+    non-power-of-two widths, and w = 1 — so the winnowing selector's
+    fingerprint set (and its SIGMOD'03 guarantee + every green oracle)
+    is unchanged by the optimization."""
+    import random
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.textstats import (
+        _sliding_min,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.randrange(0, 1 << 31) for _ in range(n)])
+        for i, n in enumerate(
+            [0, 1, 2, 3, 5, 7, 8, 9, 15, 16, 17, 40, 100]
+        )
+    ]
+    df = spark.createDataFrame(rows, "i long, hs array<bigint>")
+    for w in (1, 2, 3, 4, 7, 8, 9, 16):
+        got = {
+            r.i: r.m
+            for r in df.select(
+                "i", _sliding_min(F.col("hs"), w).alias("m")
+            ).collect()
+        }
+        for i, hs in rows:
+            n = len(hs)
+            if n == 0:
+                expect = []
+            else:
+                expect = [
+                    min(hs[s:s + w])
+                    for s in range(max(1, n - w + 1))
+                ]
+            assert got[i] == expect, f"w={w} n={n}"

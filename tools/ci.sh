@@ -34,7 +34,9 @@ if [ "${SPARK_GRAFT_SKIP_COMMIT_CHECK:-0}" != "1" ]; then
                 echo "COMMIT-GATE: $art exists but is not committed" >&2
                 exit 1
             }
-            git diff --exit-code -- "$art" || {
+            # diff vs HEAD, not the index: a staged-but-uncommitted
+            # artifact that diverges from HEAD must also fail the gate
+            git diff HEAD --exit-code -- "$art" || {
                 echo "COMMIT-GATE: committed $art differs from the" \
                      "regenerated working-tree copy" >&2
                 exit 1
