@@ -305,7 +305,18 @@ def winnow_overlap_pairs(
     the join (df-ceiling prune, same reason as tfidf_cosine_pairs: a
     ubiquitous substring generates quadratic candidates and zero
     signal). Pruned fingerprints leave both the numerator and the
-    denominator, so overlap stays internally consistent."""
+    denominator, so overlap stays internally consistent.
+
+    The distinct fingerprint table feeds FOUR consumers (the df-ceiling
+    agg, the per-doc sizes, and both sides of the self-join); Catalyst
+    plans no ReusedExchange across them, so unpersisted each consumer
+    would re-run the full md5 selector pass (measured 8.9 s → 4.8 s at
+    sf0.1 from the two ``persist()`` calls — the one-shingle-pass-feeds-
+    both-writes pattern of dedup_index). The persisted tables hold the
+    SAME (id, h) bytes the distinct/semi-join shuffles already
+    materialize (MEMORY_AND_DISK, spills gracefully), and Spark's cache
+    manager matches canonicalized plans, so repeated invocations share
+    one entry instead of stacking copies."""
     sel = (
         _winnow_fingerprints(k, window, text_col)
         if window is not None
@@ -313,14 +324,14 @@ def winnow_overlap_pairs(
     )
     fp = docs.select(
         F.col(id_col), F.explode(sel).alias("h")
-    ).distinct()
+    ).distinct().persist()
     df_ok = (
         fp.groupBy("h")
         .agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") <= max_df)
         .select("h")
     )
-    pruned = fp.join(df_ok, "h", "left_semi")
+    pruned = fp.join(df_ok, "h", "left_semi").persist()
     sz = pruned.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     a = pruned.select(F.col(id_col).alias("id_a"), "h")
     b = pruned.select(F.col(id_col).alias("id_b"), "h")
