@@ -681,6 +681,24 @@ def pq_topk(
     """
     cb = pq_codebooks(emb, dim, m, n_codes, id_col, vec_col)
     codes = pq_encode(emb, cb, dim, m, id_col, vec_col)
+    return _pq_adc_topk(codes, cb, queries, k, dim, m, id_col, vec_col)
+
+
+def _pq_adc_topk(
+    codes: DataFrame,
+    cb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    m: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The ADC ranking core shared by ``pq_topk`` (in-memory encode) and
+    ``search_pq_index`` (persisted code table): query subvectors × the
+    broadcast codebooks build the m×n_codes LUT, the code table joins the
+    broadcast LUT on (sub, code), and the approximate distance is a
+    groupBy-sum of m lookups."""
     qsubs = _subspaces(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col)
@@ -704,6 +722,76 @@ def pq_topk(
         adc.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def build_pq_index(
+    emb: DataFrame,
+    path: str,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build and persist a PQ index: ``<path>/codebooks`` (tiny —
+    m·n_codes centroid subvectors) and ``<path>/codes`` — the corpus as
+    (id, sub, code), m small-int codes per vector and NOTHING else.
+
+    The persisted-index completion of the family (``build_ivf_index``,
+    ``build_hnsw_index``): PQ is the state-minimal member — the index
+    stores m bytes/vector instead of dim floats (64-dim float corpus →
+    ~32× smaller), which is what makes billion-vector serving
+    memory-feasible (Jégou et al., TPAMI 2011). The full-precision
+    vectors are never needed at query time, so at lake scale they stay in
+    cold storage while only the code table is co-resident with serving.
+    Encoding assigns against the PERSISTED codebooks so the two files are
+    mutually consistent even if the input changes between calls (same
+    convention as build_ivf_index)."""
+    cb = pq_codebooks(emb, dim, m, n_codes, id_col, vec_col)
+    cb.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    saved = emb.sparkSession.read.parquet(f"{path}/codebooks")
+    codes = pq_encode(emb, saved, dim, m, id_col, vec_col)
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+
+
+def search_pq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k against a persisted PQ index (see ``build_pq_index``).
+
+    The query side builds its m×n_codes distance LUT from the broadcast
+    ``codebooks`` file; corpus cost is ONE column-pruned scan of the
+    ``codes`` table joined to the broadcast LUT on (sub, code) — the
+    stored vectors are never read (the index doesn't contain them). Same
+    ranking contract as ``pq_topk``: adist rounded to 4, ties on
+    neighbor_id."""
+    cb = spark.read.parquet(f"{path}/codebooks")
+    codes = spark.read.parquet(f"{path}/codes")
+    return _pq_adc_topk(codes, cb, queries, k, dim, m, id_col, vec_col)
+
+
+def append_to_pq_index(
+    emb: DataFrame,
+    path: str,
+    dim: int,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Encode new vectors against the PERSISTED codebooks and append their
+    codes — existing codes are untouched (codebooks are fixed at build
+    time, so old and new codes stay mutually comparable under one LUT;
+    the PQ analogue of ``append_to_ivf_index``)."""
+    saved = emb.sparkSession.read.parquet(f"{path}/codebooks")
+    codes = pq_encode(emb, saved, dim, m, id_col, vec_col)
+    codes.write.mode("append").parquet(f"{path}/codes")
 
 
 def lsh_multiprobe_topk(

@@ -370,6 +370,55 @@ def main() -> None:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    # Persisted PQ index: same build/search split as hnsw_index, for the
+    # state-minimal member of the family (m small-int codes per vector —
+    # the stored vectors are never read at query time).
+    if os.environ.get("SPARK_GRAFT_PQ_BENCH", "1") != "0":
+        import shutil
+        import tempfile
+
+        from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.similarity import (
+            build_pq_index,
+            search_pq_index,
+        )
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        qs = emb.filter(F.col("vec_id") < 10)
+        n_queries = qs.count()
+        tmp = tempfile.mkdtemp(prefix="pq_bench_")
+        idx = os.path.join(tmp, "idx")
+        try:
+            t0 = time.time()
+            build_pq_index(emb, idx, dim=64)
+            build_sec = time.time() - t0
+            search_pq_index(spark, idx, qs, k=5, dim=64).write.format(
+                "noop"
+            ).mode("overwrite").save()  # warm (codegen + JIT)
+            s = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                search_pq_index(spark, idx, qs, k=5, dim=64).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                s = min(s, time.time() - t0)
+            out["pq_index"] = {
+                "build_sec": round(build_sec, 3),
+                "search_sec": round(s, 3),
+                "n_queries": n_queries,
+                "note": "persisted-index path (similarity.build_pq_index"
+                        " / search_pq_index): build encodes the corpus to"
+                        " m one-byte codes per vector (one-time); search"
+                        " is ADC over the code table only — the"
+                        " full-precision vectors are never read. The"
+                        " headline pq_topk times the inline encode+search"
+                        " plan instead",
+            }
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     if prev_queries:
         out["prev_round"] = prev_round
         out["delta_vs_prev"] = {

@@ -827,3 +827,58 @@ def test_sliding_min_doubling_equals_naive(spark):
                     for s in range(max(1, n - w + 1))
                 ]
             assert got[i] == expect, f"w={w} n={n}"
+
+
+def test_pq_index_lifecycle(spark, tmp_path):
+    """Persisted PQ index returns exactly what the in-memory pq_topk
+    returns (the codebook sample is md5-deterministic, so build-then-
+    search replays the identical ADC ranking), and the stored index
+    holds ONLY (id, sub, code) — m small ints per vector, no floats:
+    the state-minimal member of the persisted-index family."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "pq")
+    similarity.build_pq_index(emb, idx, dim=64, m=8, n_codes=16)
+
+    codes = spark.read.parquet(f"{idx}/codes")
+    assert set(codes.columns) == {"vec_id", "sub", "code"}
+    assert codes.count() == emb.count() * 8
+    assert not any(
+        "array" in f.dataType.simpleString() for f in codes.schema.fields
+    )
+
+    got = similarity.search_pq_index(spark, idx, emb, k=3, dim=64, m=8)
+    want = similarity.pq_topk(emb, emb, k=3, dim=64, m=8, n_codes=16)
+    assert sorted(
+        (r.query_id, r.neighbor_id, r.adist, r.rank) for r in got.collect()
+    ) == sorted(
+        (r.query_id, r.neighbor_id, r.adist, r.rank) for r in want.collect()
+    )
+
+
+def test_pq_index_append(spark, tmp_path):
+    """Appended vectors are searchable under the ORIGINAL codebooks
+    (codebooks are fixed at build time, so old and new codes rank under
+    one LUT); existing codes untouched."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "pq")
+    similarity.build_pq_index(first, idx, dim=64, m=8, n_codes=8)
+    similarity.append_to_pq_index(rest, idx, dim=64, m=8)
+
+    stored = spark.read.parquet(f"{idx}/codes")
+    assert stored.count() == emb.count() * 8
+
+    # search over the combined index == in-memory ADC with the SAVED
+    # codebooks over the full corpus (pq_topk itself would resample its
+    # codebooks from the full corpus — a different index)
+    q = emb.filter(F.col("vec_id") < 5)
+    got = similarity.search_pq_index(spark, idx, q, k=3, dim=64, m=8)
+    cb = spark.read.parquet(f"{idx}/codebooks")
+    codes = similarity.pq_encode(emb, cb, dim=64, m=8)
+    want = similarity._pq_adc_topk(codes, cb, q, 3, 64, 8, "vec_id", "embedding")
+    assert sorted(
+        (r.query_id, r.neighbor_id, r.adist, r.rank) for r in got.collect()
+    ) == sorted(
+        (r.query_id, r.neighbor_id, r.adist, r.rank) for r in want.collect()
+    )
