@@ -210,6 +210,26 @@ def main() -> None:
     print("== ANN top-3 neighbors (hyperplane LSH), sample:")
     topk.orderBy("query_id", "rank").show(6)
 
+    # 8) serving shape: build the persisted PQ index once (m one-byte
+    # codes per vector — the full-precision vectors are never read at
+    # query time), then answer query batches from the code table alone
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="dataprep_pq_")
+    try:
+        idx = f"{tmp}/pq"
+        similarity.build_pq_index(emb, idx, dim=64)
+        qs = emb.filter(F.col("vec_id") < 3)
+        hits = similarity.search_pq_index(spark, idx, qs, k=3, dim=64)
+        n_vec = emb.count()
+        n_codes = spark.read.parquet(f"{idx}/codes").count()
+        print(f"== persisted PQ index: {n_vec} vectors -> {n_codes} "
+              f"(id, sub, code) rows; ADC top-3 from codes only:")
+        hits.orderBy("query_id", "rank").show(9)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()
