@@ -794,6 +794,117 @@ def append_to_pq_index(
     codes.write.mode("append").parquet(f"{path}/codes")
 
 
+def build_lsh_index(
+    emb: DataFrame,
+    path: str,
+    dim: int,
+    n_tables: int = 4,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build and persist a hyperplane-LSH index: ``<path>/params`` (one
+    row — the (dim, n_tables, n_bits) that deterministically define the
+    hyperplanes, so the index is self-describing) and ``<path>/buckets``
+    — the corpus bucket assignments PARTITIONED BY (table, bucket) on
+    disk.
+
+    The LSH member of the persisted-index family (IVF: list-partitioned
+    lists; PQ: code table; HNSW: edges+vectors). The partitioned layout
+    is the point: serving a query probes exactly its n_tables buckets,
+    and the (table, bucket) partition keys turn that probe into a
+    storage-level partition-pruned read — unprobed buckets are never
+    read, the LSH analogue of ``search_ivf_index``'s dynamic partition
+    pruning. Size n_bits so the 2^n_bits buckets per table keep
+    partitions directory-friendly at the target corpus (8 bits → 256
+    dirs/table; a lake-scale corpus wants more bits, which ALSO shrinks
+    buckets)."""
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [(dim, n_tables, n_bits)], "dim int, n_tables int, n_bits int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+    bk = lsh_buckets(
+        emb, dim, n_tables, n_bits, id_col, vec_col, include_vec=True
+    )
+    # one file per (table, bucket) dir: without the repartition every
+    # upstream task writes its own sliver into every directory it touches
+    # (up to cores × dirs tiny files — measured 23 s → 9 s at sf0.1)
+    bk.repartition("table", "bucket").write.partitionBy(
+        "table", "bucket"
+    ).mode("overwrite").parquet(f"{path}/buckets")
+
+
+def search_lsh_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k search against a persisted LSH index (see
+    ``build_lsh_index``). Hyperplane parameters come from the index's own
+    ``params`` file — the planes are md5-deterministic from (dim, table,
+    bit), so the query side recomputes bucket ids bit-identically with no
+    plane state stored. Each query's n_tables (table, bucket) probes
+    broadcast against the partition-pruned bucket scan; candidates dedup
+    across tables before scoring. Same ranking contract as ``lsh_topk``:
+    cosine rounded to 6, ties on neighbor_id — a full-corpus query set
+    replays ``lsh_topk`` exactly."""
+    p = spark.read.parquet(f"{path}/params").first()
+    probes = lsh_buckets(
+        queries, p.dim, p.n_tables, p.n_bits, id_col, vec_col,
+        include_vec=True,
+    ).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        V.norm(F.col(vec_col)).alias("__nq"), "table", "bucket",
+    )
+    lists = spark.read.parquet(f"{path}/buckets").select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        V.norm(F.col(vec_col)).alias("__nc"), "table", "bucket",
+    )
+    cands = (
+        lists.join(F.broadcast(probes), ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv", "__nq", "__nc")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            V.dot(F.col("qv"), F.col("cv")) / (F.col("__nq") * F.col("__nc")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def append_to_lsh_index(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Bucket new vectors under the index's OWN recorded parameters (the
+    planes are a pure function of them, so old and new assignments are
+    mutually consistent) and append into the partitioned layout —
+    existing bucket files untouched."""
+    spark = emb.sparkSession
+    p = spark.read.parquet(f"{path}/params").first()
+    bk = lsh_buckets(
+        emb, p.dim, p.n_tables, p.n_bits, id_col, vec_col, include_vec=True
+    )
+    bk.write.partitionBy("table", "bucket").mode("append").parquet(
+        f"{path}/buckets"
+    )
+
+
 def lsh_multiprobe_topk(
     emb: DataFrame,
     dim: int,

@@ -419,6 +419,56 @@ def main() -> None:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    # Persisted LSH index: the bucket-partitioned serving layout — search
+    # reads ONLY each query's probed (table, bucket) partitions.
+    if os.environ.get("SPARK_GRAFT_LSH_INDEX_BENCH", "1") != "0":
+        import shutil
+        import tempfile
+
+        from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.similarity import (
+            build_lsh_index,
+            search_lsh_index,
+        )
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        qs = emb.filter(F.col("vec_id") < 10)
+        n_queries = qs.count()
+        tmp = tempfile.mkdtemp(prefix="lsh_bench_")
+        idx = os.path.join(tmp, "idx")
+        try:
+            t0 = time.time()
+            # n_bits sized to the benched corpus (~5k vectors): 64 buckets
+            # per table keeps partition dirs file-sized; a bigger corpus
+            # wants more bits (which also shrinks buckets)
+            build_lsh_index(emb, idx, dim=64, n_bits=6)
+            build_sec = time.time() - t0
+            search_lsh_index(spark, idx, qs, k=5).write.format(
+                "noop"
+            ).mode("overwrite").save()  # warm (codegen + JIT)
+            s = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                search_lsh_index(spark, idx, qs, k=5).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                s = min(s, time.time() - t0)
+            out["lsh_index"] = {
+                "build_sec": round(build_sec, 3),
+                "search_sec": round(s, 3),
+                "n_queries": n_queries,
+                "note": "persisted-index path (similarity.build_lsh_index"
+                        " / search_lsh_index): the (table, bucket)"
+                        " partitioned layout makes a query batch's probe a"
+                        " partition-pruned read — unprobed buckets never"
+                        " leave storage. The headline lsh_topk times the"
+                        " inline bucket+join plan instead",
+            }
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     if prev_queries:
         out["prev_round"] = prev_round
         out["delta_vs_prev"] = {

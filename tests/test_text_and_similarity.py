@@ -882,3 +882,61 @@ def test_pq_index_append(spark, tmp_path):
     ) == sorted(
         (r.query_id, r.neighbor_id, r.adist, r.rank) for r in want.collect()
     )
+
+
+def test_lsh_index_lifecycle(spark, tmp_path):
+    """Persisted LSH index replays lsh_topk exactly for a full-corpus
+    query set (the hyperplanes are md5-deterministic from the params the
+    index records about itself), and a probe-set search reads the bucket
+    store through partition filters on the (table, bucket) layout —
+    unprobed buckets never leave storage."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "lsh")
+    similarity.build_lsh_index(emb, idx, dim=64, n_tables=4, n_bits=8)
+
+    got = similarity.search_lsh_index(spark, idx, emb, k=3)
+    want = similarity.lsh_topk(emb, dim=64, k=3, n_tables=4, n_bits=8)
+    assert sorted(
+        (r.query_id, r.neighbor_id, r.cosine, r.rank) for r in got.collect()
+    ) == sorted(
+        (r.query_id, r.neighbor_id, r.cosine, r.rank) for r in want.collect()
+    )
+
+    qs = emb.filter(F.col("vec_id") < 3)
+    probed = similarity.search_lsh_index(spark, idx, qs, k=3)
+    plan = probed._jdf.queryExecution().executedPlan().toString().lower()
+    assert "dynamicpruning" in plan or "partitionfilters" in plan
+    # probe-set ranking == the probe rows of the full-corpus search
+    want_q = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in want.collect() if r.query_id < 3
+    }
+    assert {
+        (r.query_id, r.neighbor_id, r.rank) for r in probed.collect()
+    } == want_q
+
+
+def test_lsh_index_append(spark, tmp_path):
+    """Appended vectors are bucketed under the index's RECORDED params
+    (self-describing: append ignores caller-supplied geometry) and become
+    searchable; the combined index equals a fresh build over everything."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "lsh")
+    similarity.build_lsh_index(first, idx, dim=64, n_tables=2, n_bits=6)
+    similarity.append_to_lsh_index(rest, idx)
+
+    stored = spark.read.parquet(f"{idx}/buckets")
+    assert stored.count() == emb.count() * 2  # one row per (vec, table)
+
+    q = emb.filter(F.col("vec_id") < 5)
+    got = similarity.search_lsh_index(spark, idx, q, k=3)
+    fresh = str(tmp_path / "lsh_fresh")
+    similarity.build_lsh_index(emb, fresh, dim=64, n_tables=2, n_bits=6)
+    want = similarity.search_lsh_index(spark, fresh, q, k=3)
+    assert sorted(
+        (r.query_id, r.neighbor_id, r.cosine, r.rank) for r in got.collect()
+    ) == sorted(
+        (r.query_id, r.neighbor_id, r.cosine, r.rank) for r in want.collect()
+    )
