@@ -841,6 +841,7 @@ def search_lsh_index(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Top-k search against a persisted LSH index (see
     ``build_lsh_index``). Hyperplane parameters come from the index's own
@@ -850,7 +851,15 @@ def search_lsh_index(
     broadcast against the partition-pruned bucket scan; candidates dedup
     across tables before scoring. Same ranking contract as ``lsh_topk``:
     cosine rounded to 6, ties on neighbor_id — a full-corpus query set
-    replays ``lsh_topk`` exactly."""
+    replays ``lsh_topk`` exactly.
+
+    ``multiprobe=True`` additionally probes the n_bits buckets at Hamming
+    distance 1 from each query bucket (one sign bit flipped — the
+    ``lsh_multiprobe_topk`` recall lever, VLDB'07, applied serving-side):
+    (n_bits+1)× more partitions read per query for the recall that would
+    otherwise cost (n_bits+1)× more stored tables; the read stays
+    partition-pruned and the INDEX is unchanged — the recall/latency
+    trade is a per-query-batch decision, not a build-time one."""
     p = spark.read.parquet(f"{path}/params").first()
     probes = lsh_buckets(
         queries, p.dim, p.n_tables, p.n_bits, id_col, vec_col,
@@ -859,6 +868,19 @@ def search_lsh_index(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         V.norm(F.col(vec_col)).alias("__nq"), "table", "bucket",
     )
+    if multiprobe:
+        probes = probes.select(
+            "query_id", "qv", "__nq", "table",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << b))
+                        for b in range(p.n_bits)
+                    ],
+                )
+            ).alias("bucket"),
+        )
     lists = spark.read.parquet(f"{path}/buckets").select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         V.norm(F.col(vec_col)).alias("__nc"), "table", "bucket",

@@ -940,3 +940,39 @@ def test_lsh_index_append(spark, tmp_path):
     ) == sorted(
         (r.query_id, r.neighbor_id, r.cosine, r.rank) for r in want.collect()
     )
+
+
+def test_lsh_index_multiprobe_matches_inline(spark, tmp_path):
+    """multiprobe=True against the persisted index replays the inline
+    lsh_multiprobe_topk exactly (same flipped-bit probe set, same
+    scoring), widening recall per query batch WITHOUT changing the
+    stored index."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "lsh")
+    similarity.build_lsh_index(emb, idx, dim=64, n_tables=2, n_bits=6)
+
+    got = similarity.search_lsh_index(spark, idx, emb, k=3, multiprobe=True)
+    want = similarity.lsh_multiprobe_topk(
+        emb, dim=64, k=3, n_tables=2, n_bits=6
+    )
+    assert sorted(
+        (r.query_id, r.neighbor_id, r.cosine, r.rank) for r in got.collect()
+    ) == sorted(
+        (r.query_id, r.neighbor_id, r.cosine, r.rank) for r in want.collect()
+    )
+    # multiprobe can only WIDEN the candidate pool: with no top-k
+    # truncation, every single-probe (query, neighbor) pair appears in
+    # the multiprobe result too (the original bucket is among the probes)
+    big = 10**6
+    single_all = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.search_lsh_index(spark, idx, emb, k=big).collect()
+    }
+    multi_all = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.search_lsh_index(
+            spark, idx, emb, k=big, multiprobe=True
+        ).collect()
+    }
+    assert single_all <= multi_all
+    assert len(multi_all) > len(single_all)
