@@ -113,6 +113,12 @@ def tfidf_cosine_pairs(
     on the term so co-occurring docs meet on one shuffle; dot products
     accumulate as DECIMAL so the sum is shuffle-order independent and the
     quantized cosine is bit-stable across engines.
+
+    The pruned weight table is persisted: it feeds THREE consumers (the
+    norm agg and both self-join sides), and unpersisted each would re-run
+    the corpus tokenize + two groupBys (measured 1.33 s → 0.99 s at
+    sf0.1 — the same multi-consumer contract as minhash_dedup_pairs's
+    candidate set).
     """
     toks = docs.select(
         F.col(id_col),
@@ -130,7 +136,7 @@ def tfidf_cosine_pairs(
             F.col("w"),
             (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("wt"),
         )
-    )
+    ).persist()
     norms = weights.groupBy(id_col).agg(
         F.sqrt(
             F.sum((F.col("wt") * F.col("wt")).cast("decimal(28,10)")).cast(
