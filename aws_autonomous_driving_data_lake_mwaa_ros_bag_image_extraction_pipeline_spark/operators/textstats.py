@@ -218,7 +218,16 @@ def _sliding_min(hs: Column, w: int) -> Column:
     (min 1 — a shorter-than-w array yields its single clipped-window min,
     matching the naive selector). Each doubling level is let-bound
     (``T.bind``): referenced naively, level j would be inlined into level
-    j+1 and the chain would re-evaluate exponentially."""
+    j+1 and the chain would re-evaluate exponentially.
+
+    Why not the classic two-pass BLOCK prefix/suffix minima (true O(n))?
+    That construction needs a running-min SCAN, and Spark's array algebra
+    has none: ``transform`` is per-element (a per-position
+    ``array_min(slice(...))`` re-reads O(w)), and ``aggregate`` folds to
+    one value — building the prefix array by repeated ``concat`` copies
+    O(n) per step. Doubling reaches O(n log w) with only elementwise
+    primitives, which is the optimum expressible without a scan; at w=8
+    that is 4 elementwise passes vs 8 slice-scans per position."""
 
     def _shift_least(m: Column, s: int) -> Column:
         shifted = F.slice(
