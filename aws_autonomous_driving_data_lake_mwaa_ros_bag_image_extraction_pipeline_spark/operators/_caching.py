@@ -1,0 +1,38 @@
+"""Bounded-lifetime caching for multi-consumer intermediates.
+
+Several detectors persist an intermediate that feeds 2-4 consumers inside
+one returned plan (minhash candidate pairs, banded Hamming signatures,
+TF-IDF weights, winnow fingerprints). The returned DataFrame is LAZY, so
+the operator cannot unpersist before returning — the caller would silently
+recompute the expensive pass. Spark's cache manager dedups IDENTICAL
+canonicalized plans, but a long-lived session calling these operators over
+DIFFERENT inputs accumulates one MEMORY_AND_DISK entry per distinct input
+with no eviction until session end.
+
+``finish`` gives those callers a bounded variant: ``eager=True``
+materializes the result with ``localCheckpoint(eager=True)`` (the
+lineage-truncation idiom already used by the connected-components and HNSW
+loops), then unpersists every intermediate — the dedup_index
+materialize-unpersist-return pattern. The checkpointed blocks are freed by
+the ContextCleaner when the returned frame is garbage-collected, unlike
+cache-manager entries, which live until an explicit unpersist. The default
+stays lazy: one-shot jobs (bench sweeps, oracle gates) want the plan, not
+an extra materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def finish(result: DataFrame, *intermediates: DataFrame, eager: bool = False) -> DataFrame:
+    """Return ``result`` as-is (lazy, default), or — ``eager=True`` —
+    materialized via ``localCheckpoint(eager=True)`` with every
+    ``intermediates`` frame unpersisted before returning, so nothing this
+    operator persisted outlives the call."""
+    if not eager:
+        return result
+    out = result.localCheckpoint(eager=True)
+    for df in intermediates:
+        df.unpersist()
+    return out

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..functions import hashing as H
 from ..functions import text as T
 from ..functions import vectors as V
+from ._caching import finish
 
 
 def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -242,6 +243,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 12,
     bands: int = 4,
     repartition_to: int | None = None,
+    eager: bool = False,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates → exact Jaccard ≥ t.
 
@@ -256,7 +258,11 @@ def minhash_dedup_pairs(
     twice more (measured 1.8 s → 1.4 s at sf0.1; at lake scale the delta
     is the full detector pass ×2). The pair set is the small end of the
     pipeline by construction, and Spark's cache manager matches
-    canonicalized plans, so repeat invocations share one entry.
+    canonicalized plans, so repeat invocations over the SAME input share
+    one entry. Over DIFFERENT inputs each call leaves its own entry until
+    session end — a long-lived session should pass ``eager=True``, which
+    materializes the result (localCheckpoint) and unpersists the
+    candidate table before returning (``_caching.finish``).
     """
     sh_long = _shingle_long(docs, id_col, text_col, shingle_len, repartition_to)
     cands = _candidates_from(sh_long, id_col, num_hashes, bands).persist()
@@ -267,9 +273,10 @@ def minhash_dedup_pairs(
     )
     cand_docs = docs.join(cand_ids, id_col, "left_semi")
     sh_small = _shingle_table(cand_docs, id_col, text_col, shingle_len, None)
-    return _jaccard_from(sh_small, cands, id_col).filter(
+    out = _jaccard_from(sh_small, cands, id_col).filter(
         F.col("jaccard") >= threshold
     )
+    return finish(out, cands, eager=eager)
 
 
 # --- Character-n-gram Jaccard (prefix-filtered set-similarity join) ---------
@@ -428,6 +435,7 @@ def simhash_near_pairs(
     bands: int = 4,
     max_hamming: int | None = None,
     repartition_to: int | None = None,
+    eager: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash **Hamming distance**, found at scale.
 
@@ -444,7 +452,7 @@ def simhash_near_pairs(
     sig = simhash(docs, id_col, text_col, bits, repartition_to)
     return hash_near_pairs(
         sig, "simhash", id_col=id_col, bits=bits, bands=bands,
-        max_hamming=max_hamming,
+        max_hamming=max_hamming, eager=eager,
     )
 
 
@@ -763,6 +771,7 @@ def hash_near_pairs(
     bits: int = 64,
     bands: int = 4,
     max_hamming: int | None = None,
+    eager: bool = False,
 ) -> DataFrame:
     """Generic integer-signature Hamming near-dup pairs — the banding core
     of ``simhash_near_pairs`` exposed for ANY precomputed ``bits``-wide
@@ -776,7 +785,11 @@ def hash_near_pairs(
     tokenize + 32-sum groupBy, a per-image dHash decode), and without the
     persist each join side re-runs it (measured 1.24 s → 0.99 s at sf0.1
     for simhash_near_pairs; the banded rows are just bands×n (id, sig,
-    bucket) longs — the same bytes the join shuffle materializes)."""
+    bucket) longs — the same bytes the join shuffle materializes).
+    ``eager=True`` materializes the result and unpersists the banded
+    table before returning — the bounded-lifetime variant for long-lived
+    sessions calling this over many distinct inputs
+    (``_caching.finish``)."""
     if max_hamming is None:
         max_hamming = bands - 1
     width = bits // bands
@@ -804,9 +817,10 @@ def hash_near_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
-    return cands.select("id_a", "id_b", ham.alias("hamming")).filter(
+    out = cands.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+    return finish(out, long, eager=eager)
 
 
 def ngram_novelty_scores(

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions import text as T
 from ..functions.hashing import quantize
+from ._caching import finish
 
 
 def bm25_topk(
@@ -101,6 +102,7 @@ def tfidf_cosine_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     digits: int = 4,
+    eager: bool = False,
 ) -> DataFrame:
     """Sparse lexical similarity: document pairs with TF-IDF cosine ≥
     ``threshold`` via an inverted-index self-join — the term-space
@@ -118,7 +120,9 @@ def tfidf_cosine_pairs(
     norm agg and both self-join sides), and unpersisted each would re-run
     the corpus tokenize + two groupBys (measured 1.33 s → 0.99 s at
     sf0.1 — the same multi-consumer contract as minhash_dedup_pairs's
-    candidate set).
+    candidate set). ``eager=True`` materializes the result and unpersists
+    the weight table before returning — the bounded-lifetime variant for
+    long-lived sessions over many distinct inputs (``_caching.finish``).
     """
     toks = docs.select(
         F.col(id_col),
@@ -165,9 +169,10 @@ def tfidf_cosine_pairs(
         / (F.col("na.nrm") * F.col("nb.nrm")),
         digits,
     )
-    return (
+    out = (
         dots.join(norms.alias("na"), dots["id_a"] == F.col(f"na.{id_col}"))
         .join(norms.alias("nb"), dots["id_b"] == F.col(f"nb.{id_col}"))
         .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+    return finish(out, weights, eager=eager)

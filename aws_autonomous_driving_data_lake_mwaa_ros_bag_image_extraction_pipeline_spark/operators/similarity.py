@@ -18,6 +18,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from ..functions import vectors as V
 
@@ -746,12 +747,45 @@ def build_pq_index(
     cold storage while only the code table is co-resident with serving.
     Encoding assigns against the PERSISTED codebooks so the two files are
     mutually consistent even if the input changes between calls (same
-    convention as build_ivf_index)."""
+    convention as build_ivf_index). A ``<path>/params`` file (dim, m,
+    n_codes) makes the index self-describing — search/append derive the
+    geometry from it rather than trusting the caller to repeat it (the
+    build_lsh_index convention; a caller-side m mismatch would otherwise
+    silently partial-match the (sub, code) join or append incompatible
+    codes)."""
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [(dim, m, n_codes)], "dim int, m int, n_codes int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
     cb = pq_codebooks(emb, dim, m, n_codes, id_col, vec_col)
     cb.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
-    saved = emb.sparkSession.read.parquet(f"{path}/codebooks")
+    saved = spark.read.parquet(f"{path}/codebooks")
     codes = pq_encode(emb, saved, dim, m, id_col, vec_col)
     codes.write.mode("overwrite").parquet(f"{path}/codes")
+
+
+def _pq_index_geometry(spark, path: str, dim, m):
+    """(dim, m) for a persisted PQ index: read ``<path>/params`` and, when
+    the caller ALSO passed a value, cross-check it — a mismatch raises
+    instead of silently mis-joining codes built under different geometry.
+    Indexes built before the params file existed carry none; for those the
+    caller-supplied values are trusted as before (both must be given)."""
+    try:
+        row = spark.read.parquet(f"{path}/params").head()
+    except AnalysisException:
+        if dim is None or m is None:
+            raise ValueError(
+                f"PQ index at {path!r} has no params file (pre-params "
+                "build) — pass dim and m explicitly"
+            )
+        return dim, m
+    for name, given, stored in (("dim", dim, row["dim"]), ("m", m, row["m"])):
+        if given is not None and given != stored:
+            raise ValueError(
+                f"PQ index at {path!r} was built with {name}={stored}, "
+                f"but {name}={given} was passed"
+            )
+    return row["dim"], row["m"]
 
 
 def search_pq_index(
@@ -759,19 +793,22 @@ def search_pq_index(
     path: str,
     queries: DataFrame,
     k: int = 5,
-    dim: int = 64,
-    m: int = 8,
+    dim: int | None = None,
+    m: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """ADC top-k against a persisted PQ index (see ``build_pq_index``).
 
-    The query side builds its m×n_codes distance LUT from the broadcast
+    Geometry (dim, m) comes from the index's own ``params`` file — pass
+    them only to assert what you expect (a mismatch raises). The query
+    side builds its m×n_codes distance LUT from the broadcast
     ``codebooks`` file; corpus cost is ONE column-pruned scan of the
     ``codes`` table joined to the broadcast LUT on (sub, code) — the
     stored vectors are never read (the index doesn't contain them). Same
     ranking contract as ``pq_topk``: adist rounded to 4, ties on
     neighbor_id."""
+    dim, m = _pq_index_geometry(spark, path, dim, m)
     cb = spark.read.parquet(f"{path}/codebooks")
     codes = spark.read.parquet(f"{path}/codes")
     return _pq_adc_topk(codes, cb, queries, k, dim, m, id_col, vec_col)
@@ -780,16 +817,21 @@ def search_pq_index(
 def append_to_pq_index(
     emb: DataFrame,
     path: str,
-    dim: int,
-    m: int = 8,
+    dim: int | None = None,
+    m: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
     """Encode new vectors against the PERSISTED codebooks and append their
     codes — existing codes are untouched (codebooks are fixed at build
     time, so old and new codes stay mutually comparable under one LUT;
-    the PQ analogue of ``append_to_ivf_index``)."""
-    saved = emb.sparkSession.read.parquet(f"{path}/codebooks")
+    the PQ analogue of ``append_to_ivf_index``). Geometry comes from the
+    index's ``params`` file; caller-supplied dim/m are cross-checked so a
+    geometry-incompatible append raises instead of corrupting the code
+    table."""
+    spark = emb.sparkSession
+    dim, m = _pq_index_geometry(spark, path, dim, m)
+    saved = spark.read.parquet(f"{path}/codebooks")
     codes = pq_encode(emb, saved, dim, m, id_col, vec_col)
     codes.write.mode("append").parquet(f"{path}/codes")
 

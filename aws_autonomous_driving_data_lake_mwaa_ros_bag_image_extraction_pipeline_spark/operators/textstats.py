@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ..functions import hashing as H
 from ..functions import text as T
 from ..functions.hashing import quantize
+from ._caching import finish
 
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -289,6 +290,7 @@ def winnow_overlap_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int | None = None,
+    eager: bool = False,
 ) -> DataFrame:
     """The pairing step of winnowing/MOSS-style local-fingerprint
     plagiarism detection: documents sharing >= ``min_shared`` sampled
@@ -324,8 +326,11 @@ def winnow_overlap_pairs(
     both-writes pattern of dedup_index). The persisted tables hold the
     SAME (id, h) bytes the distinct/semi-join shuffles already
     materialize (MEMORY_AND_DISK, spills gracefully), and Spark's cache
-    manager matches canonicalized plans, so repeated invocations share
-    one entry instead of stacking copies."""
+    manager matches canonicalized plans, so repeated invocations over the
+    same input share one entry instead of stacking copies. Distinct
+    inputs each leave an entry until session end — long-lived sessions
+    should pass ``eager=True`` to materialize the result and unpersist
+    both tables before returning (``_caching.finish``)."""
     sel = (
         _winnow_fingerprints(k, window, text_col)
         if window is not None
@@ -351,7 +356,7 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
-    return (
+    out = (
         pairs.join(
             sz.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na")),
             "id_a",
@@ -367,6 +372,7 @@ def winnow_overlap_pairs(
             ).alias("overlap"),
         )
     )
+    return finish(out, fp, pruned, eager=eager)
 
 
 def repetition_scores(

@@ -684,16 +684,24 @@ def chunk_store_sink(
     the probe a co-located join.
 
     The "does the store exist yet" probe is a try-read of ``store_path``
-    through Spark's own reader (catching ``AnalysisException`` for a
-    missing or schema-less path), NOT a driver-local ``os.listdir`` —
-    so an ``s3a://``/``hdfs://``/``abfs://`` store is probed through the
-    same Hadoop filesystem that wrote it, and an already-populated
+    through Spark's own reader, NOT a driver-local ``os.listdir`` — so an
+    ``s3a://``/``hdfs://``/``abfs://`` store is probed through the same
+    Hadoop filesystem that wrote it, and an already-populated
     object-store path can never be mistaken for absent (which would
-    silently skip the anti-join and re-append the whole corpus).
+    silently skip the anti-join and re-append the whole corpus). The
+    catch is narrowed to the two conditions that MEAN absent —
+    ``PATH_NOT_FOUND`` (no such path) and ``UNABLE_TO_INFER_SCHEMA``
+    (path exists, zero data files yet) — every other analysis failure
+    (e.g. a corrupt footer, a permissions error surfacing at analysis
+    time) re-raises: treating those as "absent" would ALSO skip the
+    anti-join and re-append the corpus, the exact failure the try-read
+    exists to prevent.
     """
     from pyspark.errors import AnalysisException
 
     from ..operators.curation import cdc_chunks
+
+    _ABSENT = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
 
     def _fb(batch: DataFrame, _epoch: int) -> None:
         ch = (
@@ -716,7 +724,9 @@ def chunk_store_sink(
         )
         try:
             seen = spark.read.parquet(store_path).select("h")
-        except AnalysisException:
+        except AnalysisException as e:
+            if e.getCondition() not in _ABSENT:
+                raise  # corrupt store / auth failure ≠ "first tick"
             seen = None  # first tick: store absent (or empty, schema-less)
         if seen is not None:
             ch = ch.join(seen, "h", "left_anti")

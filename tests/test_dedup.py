@@ -295,3 +295,45 @@ def test_exact_shingle_jaccard_ground_truth(spark):
         for r in minhash_dedup_pairs(docs, threshold=0.5).collect()
     }
     assert mh <= set(exact)
+
+
+def test_eager_variants_bound_cache_lifetime(spark):
+    """The multi-consumer detectors persist an intermediate the returned
+    LAZY plan depends on, so by default it lives in the cache manager
+    until session end (one entry per distinct input — advisor-flagged as
+    an unbounded leak for long-lived sessions). ``eager=True`` is the
+    bounded variant: the result is materialized (localCheckpoint — RDD
+    blocks, freed by GC, never cache-manager entries) and every
+    intermediate is unpersisted BEFORE returning, with identical rows."""
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        search,
+        textstats,
+    )
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        simhash_near_pairs,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(300)
+    )
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    ops = [
+        lambda **kw: minhash_dedup_pairs(docs, threshold=0.5, **kw),
+        lambda **kw: simhash_near_pairs(docs, **kw),
+        lambda **kw: search.tfidf_cosine_pairs(docs, threshold=0.8, **kw),
+        lambda **kw: textstats.winnow_overlap_pairs(docs, window=8, **kw),
+    ]
+    for op in ops:
+        spark.catalog.clearCache()
+        lazy = op()
+        want = sorted(map(tuple, lazy.collect()))
+        assert not cm.isEmpty()  # default: intermediate parked in the CM
+
+        spark.catalog.clearCache()
+        got = op(eager=True)
+        assert cm.isEmpty()  # eager: nothing persisted survives the call
+        assert sorted(map(tuple, got.collect())) == want
+    spark.catalog.clearCache()

@@ -656,3 +656,30 @@ def test_chunk_store_existence_probe_is_storage_agnostic(spark, tmp_path):
     pipeline.chunk_store_sink(spark, str(tmp_path / "s1"),
                               min_tokens=2, max_tokens=8)(docs, 1)
     assert spark.read.parquet(str(tmp_path / "s1")).count() == n
+
+
+def test_chunk_store_probe_reraises_non_absence_failures(spark, tmp_path):
+    """The existence-probe catch is narrowed to PATH_NOT_FOUND /
+    UNABLE_TO_INFER_SCHEMA — the two conditions that mean 'store absent'.
+    Any OTHER analysis failure (here: the path holds parquet with a
+    foreign schema, i.e. not a chunk store at all) must re-raise:
+    swallowing it would treat a damaged store as absent, skip the
+    anti-join, and re-append the whole corpus."""
+    from pyspark.errors import AnalysisException
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.streaming import (
+        pipeline,
+    )
+
+    bad = str(tmp_path / "not_a_store")
+    spark.createDataFrame([(1, "x")], "a long, b string").write.parquet(bad)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(AnalysisException):
+        pipeline.chunk_store_sink(spark, bad, min_tokens=2, max_tokens=8)(
+            docs, 0
+        )
+    # and the damaged path was NOT appended to
+    assert set(spark.read.parquet(bad).columns) == {"a", "b"}

@@ -884,6 +884,54 @@ def test_pq_index_append(spark, tmp_path):
     )
 
 
+def test_pq_index_self_describing(spark, tmp_path):
+    """The index carries its own (dim, m, n_codes) in <path>/params:
+    search/append need no caller-supplied geometry, a WRONG caller value
+    raises instead of silently partial-matching the (sub, code) join or
+    appending incompatible codes, and an index missing the params file
+    (pre-params build) demands explicit geometry."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "pq")
+    similarity.build_pq_index(emb, idx, dim=64, m=4, n_codes=8)
+
+    p = spark.read.parquet(f"{idx}/params").head()
+    assert (p["dim"], p["m"], p["n_codes"]) == (64, 4, 8)
+
+    q = emb.filter(F.col("vec_id") < 3)
+    # geometry omitted entirely → read from the index (m=4, NOT the old
+    # default 8 — under the pre-params defaults this search would have
+    # silently mis-ranked)
+    got = similarity.search_pq_index(spark, idx, q, k=3)
+    cb = spark.read.parquet(f"{idx}/codebooks")
+    codes = spark.read.parquet(f"{idx}/codes")
+    want = similarity._pq_adc_topk(codes, cb, q, 3, 64, 4, "vec_id", "embedding")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    with pytest.raises(ValueError, match="built with m=4"):
+        similarity.search_pq_index(spark, idx, q, k=3, m=8)
+    with pytest.raises(ValueError, match="built with dim=64"):
+        similarity.append_to_pq_index(q, idx, dim=32)
+    # append with geometry omitted encodes under the stored m=4
+    # (re-appending vec_id 0, already indexed at build: 4 + 4 code rows)
+    similarity.append_to_pq_index(emb.filter(F.col("vec_id") == 0), idx)
+    assert (
+        spark.read.parquet(f"{idx}/codes")
+        .filter(F.col("vec_id") == 0)
+        .count()
+    ) == 8
+
+    # legacy index (no params file): explicit geometry required
+    import shutil
+
+    shutil.rmtree(f"{idx}/params")
+    with pytest.raises(ValueError, match="no params file"):
+        similarity.search_pq_index(spark, idx, q, k=3)
+    legacy = similarity.search_pq_index(spark, idx, q, k=3, dim=64, m=4)
+    assert legacy.count() > 0
+
+
 def test_lsh_index_lifecycle(spark, tmp_path):
     """Persisted LSH index replays lsh_topk exactly for a full-corpus
     query set (the hyperplanes are md5-deterministic from the params the
