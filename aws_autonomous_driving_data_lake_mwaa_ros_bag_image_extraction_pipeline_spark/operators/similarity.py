@@ -769,10 +769,16 @@ def _pq_index_geometry(spark, path: str, dim, m):
     the caller ALSO passed a value, cross-check it — a mismatch raises
     instead of silently mis-joining codes built under different geometry.
     Indexes built before the params file existed carry none; for those the
-    caller-supplied values are trusted as before (both must be given)."""
+    caller-supplied values are trusted as before (both must be given).
+    Only a MISSING params file (PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA)
+    selects the legacy path — any other analysis failure (corrupt footer,
+    auth error) re-raises rather than silently downgrading a
+    self-describing index to caller-trusted geometry."""
     try:
         row = spark.read.parquet(f"{path}/params").head()
-    except AnalysisException:
+    except AnalysisException as e:
+        if e.getCondition() not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            raise
         if dim is None or m is None:
             raise ValueError(
                 f"PQ index at {path!r} has no params file (pre-params "
