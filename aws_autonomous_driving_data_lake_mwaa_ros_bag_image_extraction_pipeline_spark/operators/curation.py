@@ -278,6 +278,73 @@ def passage_dup_stats(
     )
 
 
+def duplicated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MAXIMAL exactly-duplicated token spans at ANY alignment — the
+    ExactSubstr detector of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (ACL 2022, public literature), realized
+    relationally: every token position whose OVERLAPPING ``k``-token gram
+    occurs at least ``min_count`` times corpus-wide (any document,
+    including elsewhere in the same one) is duplicated; runs of
+    consecutive duplicated positions merge into maximal spans. A span of
+    ``g`` merged grams covers ``g + k - 1`` tokens — a verbatim 50-token
+    lift shared by two documents surfaces as one span in each, wherever
+    it starts. This is the alignment-free exact complement of the
+    ``passage_*`` family (non-overlapping chunks miss a duplicate that
+    straddles chunk boundaries at a different offset) and of winnowing
+    (which SAMPLES fingerprints; this keeps every position, so span
+    boundaries are exact, not probabilistic).
+
+    Returns (id, span_start, span_end, n_grams): 1-based inclusive token
+    offsets of each maximal span and the number of duplicated grams it
+    merged.
+
+    Plan shape (100 TB): the gram hashes are computed INSIDE an array
+    (let-bound tokens, ``transform`` over a position sequence — the same
+    no-explode-before-prune discipline as the winnowing selectors), then
+    ONE posexplode to (doc, pos, h) rows — n_tokens rows per doc, the
+    inherent ExactSubstr cost; corpus-wide occurrence counts come from a
+    window over the md5 gram key (uniformly distributed — no skew; no
+    join back, Spark does not CSE identical subplans); surviving
+    positions (a vanishing fraction of a clean corpus) shuffle once more
+    on the doc key for the islands merge (pos − row_number is constant
+    within a run). Two shuffles, both on uniform keys, nothing pairwise,
+    no Python.
+    """
+    toks = T.tokens(F.lower(F.col(text_col)))
+
+    def _grams(tk):
+        n_pos = F.size(tk) - F.lit(k - 1)
+        idx = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx, lambda p: F.md5(F.array_join(F.slice(tk, p, k), " "))
+        )
+
+    g = docs.select(
+        F.col(id_col), F.posexplode(T.bind(toks, _grams)).alias("__i", "__h")
+    ).select(F.col(id_col), (F.col("__i") + 1).alias("__pos"), "__h")
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("__h"))
+    dup = g.withColumn("__cnt", cnt).filter(F.col("__cnt") >= min_count)
+    rn = F.row_number().over(Window.partitionBy(id_col).orderBy("__pos"))
+    return (
+        dup.withColumn("__grp", F.col("__pos") - rn)
+        .groupBy(id_col, "__grp")
+        .agg(
+            F.min("__pos").cast("long").alias("span_start"),
+            (F.max("__pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(id_col, "span_start", "span_end", "n_grams")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Heavy hitters
 # ---------------------------------------------------------------------------

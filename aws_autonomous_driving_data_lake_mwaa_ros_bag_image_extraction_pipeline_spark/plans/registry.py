@@ -2621,6 +2621,39 @@ def q_passage_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dup_spans",
+    f"""
+    WITH tk AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, i + 1 AS pos,
+             md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')) AS h
+      FROM (SELECT doc_id, toks,
+                   unnest(range(0, len(toks) - 7)) AS i
+            FROM tk)
+    ),
+    c AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+    d AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+      FROM g WHERE h IN (SELECT h FROM c)
+    )
+    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+           COUNT(*) AS n_grams
+    FROM d GROUP BY doc_id, pos - rn
+    """,
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal exactly-duplicated token spans at any alignment
+    (curation.duplicated_spans — the Lee et al. ACL'22 ExactSubstr
+    detector): overlapping 8-token gram hashes built inside the token
+    array, corpus-wide occurrence count as a window over the uniform md5
+    key, islands merge (pos − row_number) per doc. Two shuffles, both on
+    uniform keys; the alignment-free exact complement of
+    passage_dup_stats's non-overlapping chunks."""
+    return curation.duplicated_spans(_t(spark, sf_dir, "documents"), k=8)
+
+
+@register(
     "doc_chunks",
     f"""
     WITH tk AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents)

@@ -86,6 +86,16 @@ def main() -> None:
           f"ngram_jaccard={ngram.count()} simhash={sim.count()} "
           f"edit_distance={fz.count()}")
 
+    # 4c) ExactSubstr maximal duplicated spans (Lee et al. ACL'22):
+    # alignment-free exact token offsets of every verbatim lift — the
+    # span report a surgical dedup pass cuts with. eager=True bounds the
+    # detector's persist lifetime for long-lived sessions: the result is
+    # materialized and every intermediate unpersisted before return.
+    spans = curation.duplicated_spans(docs, k=8)
+    near_b = dedup.minhash_dedup_pairs(docs, threshold=0.8, eager=True)
+    print(f"== dup spans: {spans.count()} "
+          f"(eager minhash pairs: {near_b.count()})")
+
     # 5) quality + language + token budget per doc
     scored = (
         textstats.quality_scores(docs)

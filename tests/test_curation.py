@@ -745,3 +745,42 @@ def test_skipgram_contamination_survives_word_paraphrase(spark):
     sg = curation.skipgram_contamination(leaked, bench, gap=1).collect()[0]
     assert tri.n_contaminated == 0
     assert sg.n_contaminated >= 2 and sg.contamination > 0
+
+
+def test_duplicated_spans_exact_boundaries(spark):
+    """ExactSubstr spans: a verbatim 12-token lift shared at DIFFERENT
+    offsets surfaces as one maximal span in each document with exact
+    1-based token boundaries (alignment-free — the non-overlapping
+    passage chunks can straddle it); a within-doc repeat also counts;
+    unique text yields no rows."""
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.curation import (
+        duplicated_spans,
+    )
+
+    lift = " ".join(f"L{i}" for i in range(12))  # 12 unique lift tokens
+    docs = spark.createDataFrame(
+        [
+            # lift at tokens 3..14 of doc 1
+            (1, "a1 a2 " + lift + " a3 a4"),
+            # lift at tokens 6..17 of doc 2 (different alignment)
+            (2, "b1 b2 b3 b4 b5 " + lift),
+            # doc 3: internal repeat of a 5-token phrase at tokens 1..5
+            # and 9..13 (k=4 → both copies duplicated)
+            (3, "r1 r2 r3 r4 r5 c1 c2 c3 r1 r2 r3 r4 r5"),
+            (4, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),  # all unique
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in duplicated_spans(docs, k=4).collect()
+    }
+    # lift spans: k-grams fully inside the 12-token lift → 9 grams,
+    # span covers exactly the lift
+    assert (1, 3, 14, 9) in got
+    assert (2, 6, 17, 9) in got
+    # doc 3: dup positions are starts of grams inside either copy of the
+    # 5-token phrase: positions 1,2 and 9,10 → two spans of 5 tokens
+    assert (3, 1, 5, 2) in got and (3, 9, 13, 2) in got
+    assert not any(d == 4 for d, *_ in got)
+    assert len(got) == 4
