@@ -2641,6 +2641,7 @@ def q_passage_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_grams
     FROM d GROUP BY doc_id, pos - rn
     """,
+    headline=True,
 )
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal exactly-duplicated token spans at any alignment

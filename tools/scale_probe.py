@@ -285,6 +285,10 @@ def main() -> None:
             "winnow_guaranteed_pairs": lambda: (
                 textstats.winnow_overlap_pairs(docs, window=8)
             ),
+            # ExactSubstr span mining: overlapping-gram hash window +
+            # islands merge; rotated replicas share no 8-token grams, so
+            # duplicated positions (and spans) stay linear in k
+            "dup_spans": lambda: curation.duplicated_spans(docs, k=8),
             "hnsw_search": lambda: similarity.search_hnsw_index(
                 spark, idx, queries0, k=5
             ),
