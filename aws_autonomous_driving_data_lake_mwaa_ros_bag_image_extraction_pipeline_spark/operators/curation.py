@@ -345,6 +345,98 @@ def duplicated_spans(
     )
 
 
+def scrub_duplicated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove duplicated spans keeping ONE occurrence corpus-wide — the
+    scrub ExactSubstr dedup actually applies (Lee et al., ACL 2022 remove
+    all but one copy of each duplicated substring; measure-only
+    counterpart: :func:`duplicated_spans`).
+
+    Contract: spans come from ``duplicated_spans(k, min_count)``; spans
+    are clustered by the hash of their FIRST gram, the cluster's
+    canonical occurrence is the lexicographically smallest
+    (id, span_start), and every other span in the cluster has its token
+    range deleted (an internal repeat keeps its first copy; a cross-doc
+    lift survives only in the lowest-id document). First-gram clustering
+    is a deliberate relational simplification of byte-exact occurrence
+    matching: two spans sharing their first k tokens are the same lift
+    for any span the detector emitted from the same duplicated run.
+    Returns (id, n_tokens, n_dropped, scrubbed) for every non-NULL-text
+    document — scrubbed is rebuilt from the surviving tokens over the
+    NORMALIZED text (lowercased, whitespace-joined), the
+    ``scrub_duplicate_passages`` convention.
+
+    Plan shape (100 TB): the span table is the detector's output — tiny
+    relative to the corpus (duplicated runs only); the canonical pick is
+    one window over the uniform first-gram md5 key; dropped positions
+    explode from span ranges (bounded by total duplicated tokens) and
+    collect per doc; the rebuild is array-local —
+    ``array_except(sequence(1, n), drops)`` then ``element_at`` per kept
+    position, O(n) per row, no per-token membership scan. One extra
+    shuffle beyond the detector (the per-doc drops collect); the corpus
+    itself is touched once more for the rebuild join.
+    """
+    toks = T.tokens(F.lower(F.col(text_col)))
+    spans = duplicated_spans(docs, k, min_count, id_col, text_col)
+    first_h = F.md5(
+        F.array_join(
+            F.slice(toks, F.col("span_start").cast("int"), k), " "
+        )
+    )
+    keyed = (
+        spans.join(
+            docs.filter(F.col(text_col).isNotNull()).select(
+                id_col, text_col
+            ),
+            id_col,
+        )
+        .select(id_col, "span_start", "span_end", first_h.alias("__h"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("__h").orderBy(id_col, "span_start")
+    )
+    dropped = keyed.withColumn("__rn", rn).filter(F.col("__rn") > 1)
+    drops = (
+        dropped.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("span_start"), F.col("span_end"))
+            ).alias("__p"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("__p")).alias("__drops"))
+    )
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("__toks")
+    )
+    joined = base.join(drops, id_col, "left").select(
+        F.col(id_col),
+        "__toks",
+        F.coalesce(F.col("__drops"), F.array().cast("array<long>")).alias(
+            "__drops"
+        ),
+    )
+    keep = F.array_except(
+        F.sequence(F.lit(1).cast("long"), F.size("__toks").cast("long")),
+        F.col("__drops"),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.size("__drops").cast("long").alias("n_dropped"),
+        F.array_join(
+            F.transform(keep, lambda p: F.element_at("__toks", p.cast("int"))),
+            " ",
+        ).alias("scrubbed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Heavy hitters
 # ---------------------------------------------------------------------------

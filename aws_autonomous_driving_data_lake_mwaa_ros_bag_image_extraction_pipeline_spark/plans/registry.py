@@ -2655,6 +2655,68 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dup_span_scrub",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {_D_TOKS} AS toks FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT doc_id, i + 1 AS pos,
+             md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')) AS h
+      FROM (SELECT doc_id, toks,
+                   unnest(range(0, len(toks) - 7)) AS i
+            FROM tk)
+    ),
+    c AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+    d AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+      FROM g WHERE h IN (SELECT h FROM c)
+    ),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+      FROM d GROUP BY doc_id, pos - rn
+    ),
+    keyed AS (
+      SELECT spans.doc_id, s, e,
+             md5(array_to_string(list_slice(toks, s, s + 7), ' ')) AS h
+      FROM spans JOIN tk USING (doc_id)
+    ),
+    victim AS (
+      SELECT doc_id, s, e FROM (
+        SELECT doc_id, s, e,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+        FROM keyed) WHERE rn > 1
+    ),
+    drops AS (
+      SELECT doc_id, list(p ORDER BY p) AS drops FROM (
+        SELECT DISTINCT doc_id, p FROM (
+          SELECT doc_id, unnest(range(s, e + 1)) AS p FROM victim))
+      GROUP BY doc_id
+    )
+    SELECT tk.doc_id, len(toks) AS n_tokens,
+           coalesce(len(drops), 0) AS n_dropped,
+           -- array_to_string([]) is NULL in DuckDB, '' in Spark: a doc
+           -- whose every token sat in a removed span scrubs to ''
+           coalesce(array_to_string(
+             list_transform(
+               list_filter(range(1, len(toks) + 1),
+                           p -> NOT list_contains(coalesce(drops, []), p)),
+               p -> toks[p]),
+             ' '), '') AS scrubbed
+    FROM tk LEFT JOIN drops USING (doc_id)
+    """,
+)
+def q_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REMOVAL (curation.scrub_duplicated_spans): all but the
+    canonical (lowest (doc, start)) occurrence of each duplicated span is
+    deleted and the text rebuilt from surviving tokens — array-local
+    array_except/element_at rebuild, O(n) per row. One window over the
+    uniform first-gram md5 key beyond the detector's two shuffles."""
+    return curation.scrub_duplicated_spans(_t(spark, sf_dir, "documents"), k=8)
+
+
+@register(
     "doc_chunks",
     f"""
     WITH tk AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents)

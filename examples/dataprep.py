@@ -93,8 +93,11 @@ def main() -> None:
     # materialized and every intermediate unpersisted before return.
     spans = curation.duplicated_spans(docs, k=8)
     near_b = dedup.minhash_dedup_pairs(docs, threshold=0.8, eager=True)
+    scrub = curation.scrub_duplicated_spans(docs, k=8)
+    n_cut = scrub.filter(F.col("n_dropped") > 0).count()
     print(f"== dup spans: {spans.count()} "
-          f"(eager minhash pairs: {near_b.count()})")
+          f"(eager minhash pairs: {near_b.count()}; "
+          f"docs with spans scrubbed: {n_cut})")
 
     # 5) quality + language + token budget per doc
     scored = (

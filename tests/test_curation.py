@@ -784,3 +784,32 @@ def test_duplicated_spans_exact_boundaries(spark):
     assert (3, 1, 5, 2) in got and (3, 9, 13, 2) in got
     assert not any(d == 4 for d, *_ in got)
     assert len(got) == 4
+
+
+def test_scrub_duplicated_spans_keeps_one_occurrence(spark):
+    """ExactSubstr scrub: all but the canonical (lowest (doc, start))
+    occurrence of a duplicated span is deleted; internal repeats keep
+    their first copy; clean docs pass through with n_dropped=0 and
+    normalized text."""
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.curation import (
+        scrub_duplicated_spans,
+    )
+
+    lift = " ".join(f"L{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 a2 " + lift + " a3 a4"),          # canonical (doc 1)
+            (2, "b1 b2 b3 b4 b5 " + lift),            # lift removed
+            (3, "r1 r2 r3 r4 r5 c1 c2 c3 r1 r2 r3 r4 r5"),  # 2nd copy cut
+            (4, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),    # untouched
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dropped, r.scrubbed)
+        for r in scrub_duplicated_spans(docs, k=4).collect()
+    }
+    assert got[1] == (16, 0, "a1 a2 " + lift.lower() + " a3 a4")
+    assert got[2] == (17, 12, "b1 b2 b3 b4 b5")
+    assert got[3] == (13, 5, "r1 r2 r3 r4 r5 c1 c2 c3")
+    assert got[4] == (10, 0, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")

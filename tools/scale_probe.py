@@ -225,10 +225,20 @@ def main() -> None:
         ] = round(time.time() - t0, 3)
         return {
             "exact_dedup_groups": lambda: dedup.exact_dedup_groups(docs),
+            # eager=True on every persisting detector: the probe is
+            # exactly the long-lived-session-over-distinct-inputs case the
+            # bounded variant exists for — lazily, each multiple would park
+            # its own MEMORY_AND_DISK entries (k=1,2,5 replicas) in the
+            # cache manager and distort the k=10 timings with eviction
+            # pressure, AND the min-of-2 re-run would read the cached
+            # intermediate instead of re-running the pipeline (measured:
+            # minhash k=10 12.35 s lazy vs the re-run's honest number)
             "minhash_dedup_pairs": lambda: dedup.minhash_dedup_pairs(
-                docs, threshold=0.8, repartition_to=par
+                docs, threshold=0.8, repartition_to=par, eager=True
             ),
-            "simhash_near_pairs": lambda: dedup.simhash_near_pairs(docs),
+            "simhash_near_pairs": lambda: dedup.simhash_near_pairs(
+                docs, eager=True
+            ),
             "lsh_topk": lambda: similarity.lsh_topk(
                 emb, dim=64, k=5, queries=queries0
             ),
@@ -243,7 +253,7 @@ def main() -> None:
             ),
             "near_dup_clusters": lambda: graph.connected_components(
                 dedup.minhash_dedup_pairs(
-                    docs, threshold=0.8, repartition_to=par
+                    docs, threshold=0.8, repartition_to=par, eager=True
                 ),
                 src="id_a",
                 dst="id_b",
@@ -280,10 +290,10 @@ def main() -> None:
             # df-ceiling-pruned inverted-index self-join; rotated replicas
             # share no 16-char substrings, so true pairs stay linear in k
             "winnow_overlap_pairs": lambda: textstats.winnow_overlap_pairs(
-                docs
+                docs, eager=True
             ),
             "winnow_guaranteed_pairs": lambda: (
-                textstats.winnow_overlap_pairs(docs, window=8)
+                textstats.winnow_overlap_pairs(docs, window=8, eager=True)
             ),
             # ExactSubstr span mining: overlapping-gram hash window +
             # islands merge; rotated replicas share no 8-token grams, so
@@ -318,6 +328,10 @@ def main() -> None:
             dt = round(dt, 3)
             results.setdefault(name, {"sec": {}})["sec"][str(k)] = dt
             print(f"  k={k:>2} {name:24s} {dt:7.2f}s", file=sys.stderr)
+        # drop anything a lazy operator parked for this multiple's inputs
+        # before the next multiple is timed (bounded-memory protocol; the
+        # eager detectors already cleaned up after themselves)
+        spark.catalog.clearCache()
 
     shutil.rmtree(hnsw_tmp, ignore_errors=True)
     k_lo, k_hi = multiples[0], multiples[-1]
