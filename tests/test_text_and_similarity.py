@@ -1024,3 +1024,25 @@ def test_lsh_index_multiprobe_matches_inline(spark, tmp_path):
     }
     assert single_all <= multi_all
     assert len(multi_all) > len(single_all)
+
+
+def test_knn_graph_auto_blocking_matches_fixed_below_threshold(spark):
+    """n_lists=None auto-scales the seed blocking to ~128-vector lists —
+    a FIXED n_lists turns the seed stage quadratic once lists outgrow it
+    (measured 31.6 s → 157.6 s for 10k → 20k vectors at n_lists=16).
+    Below 16·128 = 2048 vectors auto resolves to exactly the old fixed 16,
+    so every oracle-pinned scale is bit-identical."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    auto = {
+        tuple(r)
+        for r in similarity.knn_graph(
+            emb, degree=4, n_lists=None, n_blockings=1, nn_rounds=1
+        ).collect()
+    }
+    fixed = {
+        tuple(r)
+        for r in similarity.knn_graph(
+            emb, degree=4, n_lists=16, n_blockings=1, nn_rounds=1
+        ).collect()
+    }
+    assert auto == fixed and len(auto) > 0
