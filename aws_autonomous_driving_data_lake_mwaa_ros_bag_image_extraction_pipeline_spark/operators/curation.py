@@ -308,13 +308,18 @@ def duplicated_spans(
     (let-bound tokens, ``transform`` over a position sequence — the same
     no-explode-before-prune discipline as the winnowing selectors), then
     ONE posexplode to (doc, pos, h) rows — n_tokens rows per doc, the
-    inherent ExactSubstr cost; corpus-wide occurrence counts come from a
-    window over the md5 gram key (uniformly distributed — no skew; no
-    join back, Spark does not CSE identical subplans); surviving
+    inherent ExactSubstr cost; corpus-wide occurrence counts come from
+    ``groupBy(h).count()`` — NOT a window over h: the md5 key is uniform
+    across *distinct* grams, but a window must colocate every occurrence
+    of the SAME gram, so one boilerplate sentence repeated 10⁸ times
+    corpus-wide becomes one 10⁸-row window partition (AQE skew handling
+    covers joins, not windows). The groupBy's map-side partial
+    aggregation collapses such a hot key to one partial count per input
+    partition before the shuffle, and the left-semi join of positions
+    against the surviving-hash set is AQE-skew-splittable. Surviving
     positions (a vanishing fraction of a clean corpus) shuffle once more
     on the doc key for the islands merge (pos − row_number is constant
-    within a run). Two shuffles, both on uniform keys, nothing pairwise,
-    no Python.
+    within a run). Nothing pairwise, no Python.
     """
     toks = T.tokens(F.lower(F.col(text_col)))
 
@@ -330,8 +335,13 @@ def duplicated_spans(
     g = docs.select(
         F.col(id_col), F.posexplode(T.bind(toks, _grams)).alias("__i", "__h")
     ).select(F.col(id_col), (F.col("__i") + 1).alias("__pos"), "__h")
-    cnt = F.count(F.lit(1)).over(Window.partitionBy("__h"))
-    dup = g.withColumn("__cnt", cnt).filter(F.col("__cnt") >= min_count)
+    hot = (
+        g.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") >= min_count)
+        .select("__h")
+    )
+    dup = g.join(hot, "__h", "left_semi")
     rn = F.row_number().over(Window.partitionBy(id_col).orderBy("__pos"))
     return (
         dup.withColumn("__grp", F.col("__pos") - rn)
@@ -358,34 +368,43 @@ def scrub_duplicated_spans(
     counterpart: :func:`duplicated_spans`).
 
     Contract: spans come from ``duplicated_spans(k, min_count)``; spans
-    are clustered by the hash of their FIRST gram, the cluster's
-    canonical occurrence is the lexicographically smallest
-    (id, span_start), and every other span in the cluster has its token
-    range deleted (an internal repeat keeps its first copy; a cross-doc
-    lift survives only in the lowest-id document). First-gram clustering
-    is a deliberate relational simplification of byte-exact occurrence
-    matching: two spans sharing their first k tokens are the same lift
-    for any span the detector emitted from the same duplicated run.
-    Returns (id, n_tokens, n_dropped, scrubbed) for every non-NULL-text
-    document — scrubbed is rebuilt from the surviving tokens over the
-    NORMALIZED text (lowercased, whitespace-joined), the
+    are clustered by the md5 of their FULL token range (so only
+    byte-identical maximal spans cluster — two different lifts that
+    merely share their first k tokens, or one span that a neighbouring
+    duplicated run extended, stay in separate clusters and each keeps a
+    canonical copy), the cluster's canonical occurrence is the
+    lexicographically smallest (id, span_start), and every other span in
+    the cluster has its token range deleted (an internal repeat keeps
+    its first copy; a cross-doc lift survives only in the lowest-id
+    document). Returns (id, n_tokens, n_dropped, scrubbed) for every
+    non-NULL-text document — scrubbed is rebuilt from the surviving
+    tokens over the NORMALIZED text (lowercased, whitespace-joined), the
     ``scrub_duplicate_passages`` convention.
 
     Plan shape (100 TB): the span table is the detector's output — tiny
     relative to the corpus (duplicated runs only); the canonical pick is
-    one window over the uniform first-gram md5 key; dropped positions
-    explode from span ranges (bounded by total duplicated tokens) and
-    collect per doc; the rebuild is array-local —
-    ``array_except(sequence(1, n), drops)`` then ``element_at`` per kept
-    position, O(n) per row, no per-token membership scan. One extra
-    shuffle beyond the detector (the per-doc drops collect); the corpus
-    itself is touched once more for the rebuild join.
+    ``groupBy(span_hash).agg(min(struct(id, span_start)))`` joined back
+    on the hash — NOT a row_number window: the md5 key is uniform across
+    distinct spans, but all occurrences of the SAME mega-duplicated
+    boilerplate span would form one window partition, while min(struct)
+    collapses the hot key map-side before the shuffle and the join back
+    is AQE-skew-splittable. Dropped positions explode from span ranges
+    (bounded by total duplicated tokens) and collect per doc; the
+    rebuild is array-local — ``array_except(sequence(1, n), drops)``
+    then ``element_at`` per kept position, O(n) per row, no per-token
+    membership scan. The corpus itself is touched once more for the
+    rebuild join.
     """
     toks = T.tokens(F.lower(F.col(text_col)))
     spans = duplicated_spans(docs, k, min_count, id_col, text_col)
-    first_h = F.md5(
+    span_h = F.md5(
         F.array_join(
-            F.slice(toks, F.col("span_start").cast("int"), k), " "
+            F.slice(
+                toks,
+                F.col("span_start").cast("int"),
+                (F.col("span_end") - F.col("span_start") + 1).cast("int"),
+            ),
+            " ",
         )
     )
     keyed = (
@@ -395,12 +414,15 @@ def scrub_duplicated_spans(
             ),
             id_col,
         )
-        .select(id_col, "span_start", "span_end", first_h.alias("__h"))
+        .select(id_col, "span_start", "span_end", span_h.alias("__h"))
     )
-    rn = F.row_number().over(
-        Window.partitionBy("__h").orderBy(id_col, "span_start")
+    canon = keyed.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col), F.col("span_start"))).alias("__c")
     )
-    dropped = keyed.withColumn("__rn", rn).filter(F.col("__rn") > 1)
+    dropped = keyed.join(canon, "__h").filter(
+        (F.col(id_col) != F.col("__c")[id_col])
+        | (F.col("span_start") != F.col("__c")["span_start"])
+    )
     drops = (
         dropped.select(
             F.col(id_col),

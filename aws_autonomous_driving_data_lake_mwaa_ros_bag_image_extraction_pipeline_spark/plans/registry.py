@@ -2647,10 +2647,11 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal exactly-duplicated token spans at any alignment
     (curation.duplicated_spans — the Lee et al. ACL'22 ExactSubstr
     detector): overlapping 8-token gram hashes built inside the token
-    array, corpus-wide occurrence count as a window over the uniform md5
-    key, islands merge (pos − row_number) per doc. Two shuffles, both on
-    uniform keys; the alignment-free exact complement of
-    passage_dup_stats's non-overlapping chunks."""
+    array, corpus-wide occurrence count via groupBy(h) (map-side combine
+    collapses mega-duplicated boilerplate grams before the shuffle) +
+    left-semi join, islands merge (pos − row_number) per doc. The
+    alignment-free exact complement of passage_dup_stats's
+    non-overlapping chunks."""
     return curation.duplicated_spans(_t(spark, sf_dir, "documents"), k=8)
 
 
@@ -2679,7 +2680,7 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     keyed AS (
       SELECT spans.doc_id, s, e,
-             md5(array_to_string(list_slice(toks, s, s + 7), ' ')) AS h
+             md5(array_to_string(list_slice(toks, s, e), ' ')) AS h
       FROM spans JOIN tk USING (doc_id)
     ),
     victim AS (
@@ -2708,11 +2709,13 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ExactSubstr REMOVAL (curation.scrub_duplicated_spans): all but the
-    canonical (lowest (doc, start)) occurrence of each duplicated span is
-    deleted and the text rebuilt from surviving tokens — array-local
-    array_except/element_at rebuild, O(n) per row. One window over the
-    uniform first-gram md5 key beyond the detector's two shuffles."""
+    """ExactSubstr REMOVAL (curation.scrub_duplicated_spans): spans
+    cluster by the md5 of their FULL token range (only byte-identical
+    lifts cluster); all but the canonical (lowest (doc, start))
+    occurrence is deleted and the text rebuilt from surviving tokens —
+    array-local array_except/element_at rebuild, O(n) per row. The
+    canonical pick is a min(struct) aggregate on the span hash (map-side
+    combine, no hot-key window) joined back AQE-skew-splittably."""
     return curation.scrub_duplicated_spans(_t(spark, sf_dir, "documents"), k=8)
 
 

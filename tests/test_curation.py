@@ -813,3 +813,66 @@ def test_scrub_duplicated_spans_keeps_one_occurrence(spark):
     assert got[2] == (17, 12, "b1 b2 b3 b4 b5")
     assert got[3] == (13, 5, "r1 r2 r3 r4 r5 c1 c2 c3")
     assert got[4] == (10, 0, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")
+
+
+def test_scrub_spans_distinct_lifts_sharing_first_gram(spark):
+    """Spans cluster on their FULL token range, not the first gram: two
+    DIFFERENT lifts that share their first k tokens ("p1 p2 p3 p4 a1 a2"
+    vs "p1 p2 p3 p4 b1 b2") form separate clusters, so each keeps its own
+    canonical copy — first-gram clustering would merge them and delete
+    every copy of the second lift, violating the keep-one-occurrence
+    contract (Lee et al. ACL'22: remove all but one)."""
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.curation import (
+        scrub_duplicated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "c11 c12 p1 p2 p3 p4 a1 a2 c13"),  # lift A at 3..8 (canon)
+            (2, "c21 p1 p2 p3 p4 a1 a2 c22 c23"),  # lift A at 2..7
+            (3, "c31 c32 c33 p1 p2 p3 p4 b1 b2"),  # lift B at 4..9 (canon)
+            (4, "p1 p2 p3 p4 b1 b2 c41 c42 c43"),  # lift B at 1..6
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dropped, r.scrubbed)
+        for r in scrub_duplicated_spans(docs, k=4).collect()
+    }
+    assert got[1] == (9, 0, "c11 c12 p1 p2 p3 p4 a1 a2 c13")
+    assert got[2] == (9, 6, "c21 c22 c23")
+    # lift B's canonical copy SURVIVES in doc 3 — the keep-one contract
+    assert got[3] == (9, 0, "c31 c32 c33 p1 p2 p3 p4 b1 b2")
+    assert got[4] == (9, 6, "c41 c42 c43")
+
+
+def test_span_dedup_mega_duplicated_gram(spark):
+    """Planted hot-key fixture: ONE gram appears in every document (the
+    10⁸-boilerplate shape that made the old count/canonical windows a
+    single giant partition). The groupBy+semi-join detector finds a span
+    per doc, and the min-struct scrub keeps exactly the lowest-doc copy
+    corpus-wide."""
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.curation import (
+        duplicated_spans,
+        scrub_duplicated_spans,
+    )
+
+    n = 50
+    docs = spark.createDataFrame(
+        [
+            (i, f"u{i}a u{i}b hot1 hot2 hot3 hot4 u{i}c u{i}d")
+            for i in range(1, n + 1)
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in duplicated_spans(docs, k=4).collect()
+    }
+    assert spans == {(i, 3, 6, 1) for i in range(1, n + 1)}
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dropped)
+        for r in scrub_duplicated_spans(docs, k=4).collect()
+    }
+    assert got[1] == (8, 0)  # canonical copy kept
+    assert all(got[i] == (8, 4) for i in range(2, n + 1))
