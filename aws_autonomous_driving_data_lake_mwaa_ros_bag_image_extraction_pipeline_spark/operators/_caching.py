@@ -18,6 +18,13 @@ the ContextCleaner when the returned frame is garbage-collected, unlike
 cache-manager entries, which live until an explicit unpersist. The default
 stays lazy: one-shot jobs (bench sweeps, oracle gates) want the plan, not
 an extra materialization.
+
+Durability caveat: ``localCheckpoint`` blocks are executor-local and
+UNREPLICATED, and the eager path truncates lineage before unpersisting the
+intermediates — so after an executor loss the returned frame is
+unrecoverable (no lineage to recompute from). On preemptible/churning
+clusters, collect or write the eager result promptly, or use reliable
+``checkpoint()`` to a fault-tolerant store instead.
 """
 
 from __future__ import annotations
@@ -29,7 +36,10 @@ def finish(result: DataFrame, *intermediates: DataFrame, eager: bool = False) ->
     """Return ``result`` as-is (lazy, default), or — ``eager=True`` —
     materialized via ``localCheckpoint(eager=True)`` with every
     ``intermediates`` frame unpersisted before returning, so nothing this
-    operator persisted outlives the call."""
+    operator persisted outlives the call. The eager result's blocks are
+    executor-local and unreplicated with lineage truncated: an executor
+    loss makes it unrecoverable, so on churning clusters consume it
+    promptly (see module docstring)."""
     if not eager:
         return result
     out = result.localCheckpoint(eager=True)

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
 from ..functions import vectors as V
+from ._errors import is_absent
 
 
 def brute_force_topk(
@@ -752,16 +753,20 @@ def build_pq_index(
     geometry from it rather than trusting the caller to repeat it (the
     build_lsh_index convention; a caller-side m mismatch would otherwise
     silently partial-match the (sub, code) join or append incompatible
-    codes)."""
+    codes). params is written LAST so its presence doubles as a
+    build-completed marker: an interrupted build leaves codebooks/codes
+    fragments but no params, so the geometry probe reports the index
+    absent instead of a half-written index failing later on the
+    codebooks read."""
     spark = emb.sparkSession
-    spark.createDataFrame(
-        [(dim, m, n_codes)], "dim int, m int, n_codes int"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
     cb = pq_codebooks(emb, dim, m, n_codes, id_col, vec_col)
     cb.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
     saved = spark.read.parquet(f"{path}/codebooks")
     codes = pq_encode(emb, saved, dim, m, id_col, vec_col)
     codes.write.mode("overwrite").parquet(f"{path}/codes")
+    spark.createDataFrame(
+        [(dim, m, n_codes)], "dim int, m int, n_codes int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
 
 def _pq_index_geometry(spark, path: str, dim, m):
@@ -770,14 +775,15 @@ def _pq_index_geometry(spark, path: str, dim, m):
     instead of silently mis-joining codes built under different geometry.
     Indexes built before the params file existed carry none; for those the
     caller-supplied values are trusted as before (both must be given).
-    Only a MISSING params file (PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA)
-    selects the legacy path — any other analysis failure (corrupt footer,
-    auth error) re-raises rather than silently downgrading a
-    self-describing index to caller-trusted geometry."""
+    Only a MISSING params file (``_errors.is_absent``) selects the legacy
+    path — any other analysis failure (corrupt footer, auth error)
+    re-raises rather than silently downgrading a self-describing index to
+    caller-trusted geometry; a params file that exists but holds zero
+    rows raises naming the corrupt file instead of an opaque TypeError."""
     try:
         row = spark.read.parquet(f"{path}/params").head()
     except AnalysisException as e:
-        if e.getCondition() not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+        if not is_absent(e):
             raise
         if dim is None or m is None:
             raise ValueError(
@@ -785,6 +791,11 @@ def _pq_index_geometry(spark, path: str, dim, m):
                 "build) — pass dim and m explicitly"
             )
         return dim, m
+    if row is None:
+        raise ValueError(
+            f"PQ index at {path!r} has a zero-row params file — the "
+            "index is corrupt; rebuild it with build_pq_index"
+        )
     for name, given, stored in (("dim", dim, row["dim"]), ("m", m, row["m"])):
         if given is not None and given != stored:
             raise ValueError(

