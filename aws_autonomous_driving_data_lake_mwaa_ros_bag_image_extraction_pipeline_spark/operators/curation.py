@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions import hashing as H
 from ..functions import text as T
+from ._caching import finish
 
 # ---------------------------------------------------------------------------
 # Sequence packing
@@ -284,6 +285,7 @@ def duplicated_spans(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    eager: bool = False,
 ) -> DataFrame:
     """MAXIMAL exactly-duplicated token spans at ANY alignment — the
     ExactSubstr detector of Lee et al., "Deduplicating Training Data Makes
@@ -320,6 +322,20 @@ def duplicated_spans(
     positions (a vanishing fraction of a clean corpus) shuffle once more
     on the doc key for the islands merge (pos − row_number is constant
     within a run). Nothing pairwise, no Python.
+
+    The groupBy+semi-join shape evaluates the tokenize/posexplode subplan
+    TWICE (Spark does not CSE identical subplans) — the measured price of
+    the de-skew. ``eager=True`` persists the exploded gram table for the
+    two consumers and returns the (tiny) span table materialized via the
+    bounded ``_caching.finish`` idiom, trading the second corpus scan for
+    the materialization of an n_tokens-per-doc intermediate. Measured at
+    sf0.1 (min-of-3): detect alone 1.79 s lazy vs 1.69 s eager, and a
+    detect+scrub pipeline sharing the eager spans via
+    ``scrub_duplicated_spans(spans=...)`` 1.53 s vs 2.03 s recomputed —
+    eager wins whenever the spans are consumed more than once. The
+    default stays lazy: one-shot consumers (oracle gates, bench sweeps)
+    want the plan, and the eager result carries ``localCheckpoint``'s
+    executor-loss durability caveat (see ``_caching``).
     """
     toks = T.tokens(F.lower(F.col(text_col)))
 
@@ -335,6 +351,8 @@ def duplicated_spans(
     g = docs.select(
         F.col(id_col), F.posexplode(T.bind(toks, _grams)).alias("__i", "__h")
     ).select(F.col(id_col), (F.col("__i") + 1).alias("__pos"), "__h")
+    if eager:
+        g = g.persist()
     hot = (
         g.groupBy("__h")
         .agg(F.count(F.lit(1)).alias("__cnt"))
@@ -343,7 +361,7 @@ def duplicated_spans(
     )
     dup = g.join(hot, "__h", "left_semi")
     rn = F.row_number().over(Window.partitionBy(id_col).orderBy("__pos"))
-    return (
+    out = (
         dup.withColumn("__grp", F.col("__pos") - rn)
         .groupBy(id_col, "__grp")
         .agg(
@@ -353,6 +371,7 @@ def duplicated_spans(
         )
         .select(id_col, "span_start", "span_end", "n_grams")
     )
+    return finish(out, g, eager=eager)
 
 
 def scrub_duplicated_spans(
@@ -361,11 +380,24 @@ def scrub_duplicated_spans(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    spans: DataFrame | None = None,
+    eager: bool = False,
 ) -> DataFrame:
     """Remove duplicated spans keeping ONE occurrence corpus-wide — the
     scrub ExactSubstr dedup actually applies (Lee et al., ACL 2022 remove
     all but one copy of each duplicated substring; measure-only
     counterpart: :func:`duplicated_spans`).
+
+    ``spans`` (default None → computed here) lets a pipeline that runs
+    detect AND scrub pay the detector's gram pass ONCE: pass the
+    :func:`duplicated_spans` output — same ``docs``/``id_col`` and, since
+    the span hash slices the span's token range out of THIS function's
+    normalized tokens, the same ``text_col`` normalization — and this
+    function only touches the corpus for the span-text join and the
+    rebuild (the ``eager=``/persist discipline of the minhash / simhash /
+    winnow families; ``eager`` is forwarded to the detector when spans
+    are computed here). ``k``/``min_count`` parameterize only that
+    internal detector call and are ignored when ``spans`` is given.
 
     Contract: spans come from ``duplicated_spans(k, min_count)``; spans
     are clustered by the md5 of their FULL token range (so only
@@ -396,7 +428,8 @@ def scrub_duplicated_spans(
     rebuild join.
     """
     toks = T.tokens(F.lower(F.col(text_col)))
-    spans = duplicated_spans(docs, k, min_count, id_col, text_col)
+    if spans is None:
+        spans = duplicated_spans(docs, k, min_count, id_col, text_col, eager)
     span_h = F.md5(
         F.array_join(
             F.slice(

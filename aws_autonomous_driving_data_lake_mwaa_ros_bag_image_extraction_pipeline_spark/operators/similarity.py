@@ -726,6 +726,16 @@ def _pq_adc_topk(
     )
 
 
+def _delete_fs_path(spark, path: str) -> None:
+    """Recursively delete ``path`` via the Hadoop FileSystem API (works
+    for file://, s3a://, any configured scheme — same idiom as
+    ``sources.listing``). No-op when the path doesn't exist."""
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(p, True)
+
+
 def build_pq_index(
     emb: DataFrame,
     path: str,
@@ -753,12 +763,21 @@ def build_pq_index(
     geometry from it rather than trusting the caller to repeat it (the
     build_lsh_index convention; a caller-side m mismatch would otherwise
     silently partial-match the (sub, code) join or append incompatible
-    codes). params is written LAST so its presence doubles as a
-    build-completed marker: an interrupted build leaves codebooks/codes
-    fragments but no params, so the geometry probe reports the index
-    absent instead of a half-written index failing later on the
-    codebooks read."""
+    codes). params is written LAST — and any params file from a PREVIOUS
+    build at the same path is deleted FIRST — so its presence doubles as
+    a build-completed marker that holds for rebuilds too: an interrupted
+    build or rebuild leaves codebooks/codes fragments but NO params, and
+    a geometry-free caller gets the explicit "no params file" error
+    instead of a stale marker vouching for mixed old/new fragments. The
+    marker protects geometry-FREE callers only: a caller that passes
+    dim/m explicitly takes the pre-params legacy path and will trust
+    whatever fragments exist — after an interrupted (re)build, rebuild
+    before serving."""
     spark = emb.sparkSession
+    # drop the old completion marker before touching codebooks/codes: if
+    # this rebuild is interrupted, the surviving params file must not
+    # vouch for a mix of old and new fragments
+    _delete_fs_path(spark, f"{path}/params")
     cb = pq_codebooks(emb, dim, m, n_codes, id_col, vec_col)
     cb.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
     saved = spark.read.parquet(f"{path}/codebooks")

@@ -876,3 +876,41 @@ def test_span_dedup_mega_duplicated_gram(spark):
     }
     assert got[1] == (8, 0)  # canonical copy kept
     assert all(got[i] == (8, 4) for i in range(2, n + 1))
+
+
+def test_scrub_spans_shared_detector_parity(spark):
+    """A pipeline running detect AND scrub pays the gram pass once:
+    scrub_duplicated_spans(spans=<precomputed detector output>) returns
+    the exact rows the self-computing form produces, both with the lazy
+    detector and with the eager (persisted gram table, localCheckpointed
+    spans) variant — and the eager detector itself matches the lazy one."""
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.curation import (
+        duplicated_spans,
+        scrub_duplicated_spans,
+    )
+
+    lift = " ".join(f"L{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 a2 " + lift + " a3 a4"),
+            (2, "b1 b2 b3 b4 b5 " + lift),
+            (3, "r1 r2 r3 r4 r5 c1 c2 c3 r1 r2 r3 r4 r5"),
+            (4, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+        ],
+        "doc_id long, text string",
+    )
+    want_spans = sorted(map(tuple, duplicated_spans(docs, k=4).collect()))
+    assert (
+        sorted(map(tuple, duplicated_spans(docs, k=4, eager=True).collect()))
+        == want_spans
+    )
+    want = sorted(map(tuple, scrub_duplicated_spans(docs, k=4).collect()))
+    for eager in (False, True):
+        pre = duplicated_spans(docs, k=4, eager=eager)
+        got = scrub_duplicated_spans(docs, spans=pre)
+        assert sorted(map(tuple, got.collect())) == want
+    # k/min_count are detector-only knobs: with spans given they are
+    # ignored, not silently re-applied
+    pre = duplicated_spans(docs, k=4)
+    alt = scrub_duplicated_spans(docs, k=999, min_count=999, spans=pre)
+    assert sorted(map(tuple, alt.collect())) == want

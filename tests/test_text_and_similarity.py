@@ -935,15 +935,41 @@ def test_pq_index_self_describing(spark, tmp_path):
 def test_pq_params_corruption_and_build_marker(spark, tmp_path):
     """params is the build-completed marker and must be trustworthy: a
     zero-row params file raises naming the corrupt index (not an opaque
-    TypeError on row['dim']), and build_pq_index writes params LAST so an
-    interrupted build can never leave a params marker over half-written
-    codebooks/codes."""
+    TypeError on row['dim']), build_pq_index writes params LAST (checked
+    via file mtimes below) and deletes any PREVIOUS build's params FIRST,
+    so neither an interrupted build nor an interrupted REBUILD can leave
+    a params marker over half-written codebooks/codes."""
+    import os
+
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 3)
 
-    # zero-row params: exists, schema present, no rows
     idx = str(tmp_path / "pq_corrupt")
     similarity.build_pq_index(emb, idx, dim=64, m=4, n_codes=8)
+    # params-last ordering: in the completed build every params file is
+    # at least as new as every codebooks/codes file
+    def _mtimes(sub):
+        d = os.path.join(idx, sub)
+        return [
+            os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if not f.startswith(".") and not f.startswith("_")
+        ]
+
+    assert min(_mtimes("params")) >= max(_mtimes("codebooks") + _mtimes("codes"))
+
+    # interrupted REBUILD: the rebuild's first act is deleting the old
+    # marker, so a crash anywhere before the final params write leaves a
+    # marker-less index — geometry-free search must demand explicit
+    # geometry, not trust the previous build's params over mixed fragments
+    similarity._delete_fs_path(spark, f"{idx}/params")
+    with pytest.raises(ValueError, match="no params file"):
+        similarity.search_pq_index(spark, idx, q, k=3)
+    # a completed rebuild over the interrupted one restores the marker
+    similarity.build_pq_index(emb, idx, dim=64, m=4, n_codes=8)
+    assert similarity.search_pq_index(spark, idx, q, k=3).count() > 0
+
+    # zero-row params: exists, schema present, no rows
     spark.read.parquet(f"{idx}/params").filter(F.lit(False)).write.mode(
         "overwrite"
     ).parquet(f"{idx}/params")
@@ -951,10 +977,9 @@ def test_pq_params_corruption_and_build_marker(spark, tmp_path):
         similarity.search_pq_index(spark, idx, q, k=3)
 
     # params-last ordering: after codebooks are written but before the
-    # build completes, no params file exists — simulate the interruption
-    # window by checking the completed build's file mtimes are consistent
-    # with params-last, and that a marker-less fragment dir behaves as a
-    # pre-params index (explicit geometry demanded, not a late read fail).
+    # build completes, no params file exists — a marker-less fragment dir
+    # behaves as a pre-params index (explicit geometry demanded, not a
+    # late read fail).
     frag = str(tmp_path / "pq_fragment")
     cb = similarity.pq_codebooks(emb, dim=64, m=4, n_codes=8)
     cb.coalesce(1).write.parquet(f"{frag}/codebooks")
@@ -982,12 +1007,23 @@ def test_is_absent_classifier():
     assert is_absent(_Exc("x", "PATH_NOT_FOUND"))
     assert is_absent(_Exc("x", "UNABLE_TO_INFER_SCHEMA"))
     assert not is_absent(_Exc("Path does not exist", "INTERNAL_ERROR"))
-    # None condition → message fallback (the first-tick bootstrap case)
+    # None condition → message fallback (the first-tick bootstrap case):
+    # legacy forms match only as message PREFIXES
     assert is_absent(_Exc("Path does not exist: /tmp/nope", None))
     assert is_absent(_Exc("Unable to infer schema for Parquet", None))
     assert not is_absent(_Exc("permission denied", None))
-    # exceptions without getCondition at all (plain Exception)
+    # an unclassed error that merely MENTIONS a missing path must NOT
+    # classify as absence (the streaming sink would skip its anti-join
+    # and re-append the corpus)
+    assert not is_absent(
+        _Exc("Job aborted: task failed while probing; Path does not exist "
+             "was reported downstream", None)
+    )
+    assert not is_absent(_Exc("x: Unable to infer schema for y", None))
+    # exceptions without getCondition at all (plain Exception): the
+    # bracketed error-class token matches anywhere in the message
     assert is_absent(Exception("[PATH_NOT_FOUND] Path does not exist"))
+    assert is_absent(Exception("wrapped: [UNABLE_TO_INFER_SCHEMA] at read"))
     assert not is_absent(Exception("corrupt footer"))
 
 
