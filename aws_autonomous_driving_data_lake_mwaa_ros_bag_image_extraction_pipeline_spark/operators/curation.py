@@ -329,9 +329,10 @@ def duplicated_spans(
     two consumers and returns the (tiny) span table materialized via the
     bounded ``_caching.finish`` idiom, trading the second corpus scan for
     the materialization of an n_tokens-per-doc intermediate. Measured at
-    sf0.1 (min-of-3): detect alone 1.79 s lazy vs 1.69 s eager, and a
-    detect+scrub pipeline sharing the eager spans via
-    ``scrub_duplicated_spans(spans=...)`` 1.53 s vs 2.03 s recomputed —
+    sf0.1 (min-of-3, warm JIT): detect alone 1.69 s lazy vs 1.51 s
+    eager; a FULL detect+scrub pipeline (both outputs executed) sharing
+    the eager spans via ``scrub_duplicated_spans(spans=...)`` runs
+    1.72 s vs 4.56 s with each operator recomputing its own gram pass —
     eager wins whenever the spans are consumed more than once. The
     default stays lazy: one-shot consumers (oracle gates, bench sweeps)
     want the plan, and the eager result carries ``localCheckpoint``'s
