@@ -493,6 +493,95 @@ def scrub_duplicated_spans(
     )
 
 
+def scrub_until_clean(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_passes: int = 3,
+) -> DataFrame:
+    """Iterate detect→scrub until :func:`duplicated_spans` on the scrubbed
+    corpus is empty (or ``max_passes`` scrub passes have run) — the bounded
+    convergence wrapper for the one documented recall residual of
+    :func:`scrub_duplicated_spans`: a lift whose maximal span was EXTENDED
+    by an adjacent duplicated run in one document (a "merged island")
+    hashes differently there, lands in its own cluster, and survives the
+    first pass alongside the canonical copy; the second pass sees it as a
+    plain duplicate of the canonical and removes it. Thin composition of
+    the two existing operators — no new detection semantics.
+
+    Same output contract as :func:`scrub_duplicated_spans` — one row per
+    non-NULL-text document, ``(id, n_tokens, n_dropped, scrubbed)`` — with
+    ``n_tokens`` the ORIGINAL (pass-1) token count and ``n_dropped`` the
+    cumulative tokens removed across all passes, so the wrapper is a
+    drop-in for the single-pass scrub. A corpus that is already clean
+    still gets the single-pass normalization rebuild (n_dropped=0,
+    lowercased whitespace-joined text).
+
+    Plan shape (100 TB): each pass shares ONE gram pass between its detect
+    and scrub via the eager ``spans=`` path (the measured 4.56→1.72 s
+    sharing win, see :func:`duplicated_spans`), and each pass's output is
+    ``localCheckpoint``-materialized — the lineage-truncation idiom of the
+    connected-components and HNSW loops — so the per-pass plan never
+    compounds. The convergence probe is ``isEmpty()`` on the already
+    materialized (tiny) span table, not a corpus action. Passes after the
+    first run over an already-scrubbed corpus whose duplicated mass is
+    the merged-island residual only — in practice a vanishing fraction —
+    and the loop exits the moment a detect comes back empty, so clean
+    corpora pay exactly one detect+scrub plus one empty detect.
+    ``max_passes`` caps the driver-side iteration (adversarial nests of
+    duplicated runs can need one pass per nesting level); if the cap is
+    hit the LAST pass's output is returned unverified — re-run to check.
+    Inherits ``localCheckpoint``'s executor-loss durability caveat (see
+    ``_caching``): consume or write the result promptly on churning
+    clusters.
+    """
+    if max_passes < 1:
+        raise ValueError(f"max_passes must be >= 1, got {max_passes}")
+    result: DataFrame | None = None
+    cur, cur_text = docs, text_col
+    for _ in range(max_passes):
+        spans = duplicated_spans(
+            cur, k, min_count, id_col, cur_text, eager=True
+        )
+        dirty = not spans.isEmpty()
+        if result is not None and not dirty:
+            break
+        out = scrub_duplicated_spans(
+            cur, k, min_count, id_col, cur_text, spans=spans
+        ).localCheckpoint(eager=True)
+        if result is None:
+            result = out
+        else:
+            result = (
+                result.select(
+                    id_col, "n_tokens", F.col("n_dropped").alias("__prev")
+                )
+                .join(
+                    out.select(
+                        id_col,
+                        F.col("n_dropped").alias("__d"),
+                        "scrubbed",
+                    ),
+                    id_col,
+                )
+                .select(
+                    F.col(id_col),
+                    "n_tokens",
+                    (F.col("__prev") + F.col("__d"))
+                    .cast("long")
+                    .alias("n_dropped"),
+                    "scrubbed",
+                )
+            )
+        cur, cur_text = result.select(id_col, "scrubbed"), "scrubbed"
+        if not dirty:
+            break
+    assert result is not None
+    return result
+
+
 # ---------------------------------------------------------------------------
 # Heavy hitters
 # ---------------------------------------------------------------------------

@@ -914,3 +914,90 @@ def test_scrub_spans_shared_detector_parity(spark):
     pre = duplicated_spans(docs, k=4)
     alt = scrub_duplicated_spans(docs, k=999, min_count=999, spans=pre)
     assert sorted(map(tuple, alt.collect())) == want
+
+
+def test_scrub_until_clean_merged_island_converges(spark):
+    """The documented merged-island residual converges in TWO scrub
+    passes: docs 3 and 4 both hold lift L immediately followed by run M,
+    so their maximal span is the merged L+M — a different full-span hash
+    than doc 1's plain L, hence its own cluster. Pass 1 keeps doc 3's
+    merged copy (canonical of its cluster) alongside doc 1's L; pass 2
+    sees doc 3's L as a plain duplicate of doc 1's and removes it; the
+    third detect comes back empty and the loop exits. n_tokens stays the
+    ORIGINAL count and n_dropped accumulates across passes."""
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.curation import (
+        duplicated_spans,
+        scrub_duplicated_spans,
+        scrub_until_clean,
+    )
+
+    L = "l1 l2 l3 l4 l5 l6"
+    M = "m1 m2 m3 m4 m5"
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 a2 " + L + " a3"),   # plain L at 3..8 (canonical)
+            (3, L + " " + M + " c1"),    # merged island L+M at 1..11 (canon)
+            (4, L + " " + M + " d1"),    # merged island L+M at 1..11 (cut)
+        ],
+        "doc_id long, text string",
+    )
+    # single-pass scrub leaves the residual: doc 3's merged copy of L
+    # survives pass 1 (its full-span hash differs from doc 1's plain L)
+    one_pass = {
+        r.doc_id: r.scrubbed
+        for r in scrub_duplicated_spans(docs, k=4).collect()
+    }
+    assert one_pass[3] == L + " " + M + " c1"
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dropped, r.scrubbed)
+        for r in scrub_until_clean(docs, k=4).collect()
+    }
+    assert got[1] == (9, 0, "a1 a2 " + L + " a3")
+    assert got[3] == (12, 6, M + " c1")           # L cut in pass 2
+    assert got[4] == (12, 11, "d1")               # L+M cut in pass 1
+    # the returned corpus is clean
+    out = spark.createDataFrame(
+        [(d, s) for d, (_, _, s) in got.items()], "doc_id long, text string"
+    )
+    assert duplicated_spans(out, k=4).isEmpty()
+
+
+def test_scrub_until_clean_is_dropin_for_single_pass(spark):
+    """On a corpus with no merged islands the wrapper returns EXACTLY the
+    single-pass scrub rows (same schema, same values) after one scrub +
+    one empty detect; an already-clean corpus gets the normalization
+    pass-through; max_passes=1 is the single-pass scrub by construction;
+    max_passes<1 is rejected."""
+    import pytest
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators.curation import (
+        scrub_duplicated_spans,
+        scrub_until_clean,
+    )
+
+    lift = " ".join(f"L{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 a2 " + lift + " a3 a4"),
+            (2, "b1 b2 b3 b4 b5 " + lift),
+            (3, "r1 r2 r3 r4 r5 c1 c2 c3 r1 r2 r3 r4 r5"),
+            (4, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+        ],
+        "doc_id long, text string",
+    )
+    want = sorted(map(tuple, scrub_duplicated_spans(docs, k=4).collect()))
+    got = scrub_until_clean(docs, k=4)
+    assert got.columns == ["doc_id", "n_tokens", "n_dropped", "scrubbed"]
+    assert sorted(map(tuple, got.collect())) == want
+    clean = spark.createDataFrame(
+        [(1, "u1 U2 u3  u4 u5"), (2, "v1 v2 v3 v4 v5")],
+        "doc_id long, text string",
+    )
+    assert sorted(
+        map(tuple, scrub_until_clean(clean, k=4).collect())
+    ) == [(1, 5, 0, "u1 u2 u3 u4 u5"), (2, 5, 0, "v1 v2 v3 v4 v5")]
+    assert sorted(
+        map(tuple, scrub_until_clean(docs, k=4, max_passes=1).collect())
+    ) == want
+    with pytest.raises(ValueError):
+        scrub_until_clean(docs, k=4, max_passes=0)
