@@ -102,6 +102,18 @@ def main() -> None:
           f"(eager minhash pairs: {near_b.count()}; "
           f"docs with spans scrubbed: {n_cut})")
 
+    # 4d) bounded convergence wrapper: detect→scrub until the scrubbed
+    # corpus has NO duplicated spans — the merged-island residual of
+    # full-span-hash clustering (a document whose maximal span merged two
+    # adjacent lifts keeps a copy through pass 1) needs a second pass.
+    # Each pass shares one gram scan (eager spans=) and localCheckpoints
+    # its output so lineage stays flat; same schema as the single-pass
+    # scrub with cumulative n_dropped.
+    clean = curation.scrub_until_clean(docs, k=8)
+    n_dropped = clean.agg(F.sum("n_dropped")).first()[0]
+    print(f"== scrub_until_clean: {clean.count()} docs, "
+          f"{n_dropped} tokens dropped total")
+
     # 5) quality + language + token budget per doc
     scored = (
         textstats.quality_scores(docs)
