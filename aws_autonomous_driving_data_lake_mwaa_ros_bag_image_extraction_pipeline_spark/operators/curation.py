@@ -18,6 +18,8 @@ where the map-side combine collapses the exploded rows before the shuffle.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -521,10 +523,13 @@ def scrub_until_clean(
 
     Plan shape (100 TB): each pass shares ONE gram pass between its detect
     and scrub via the eager ``spans=`` path (the measured 4.56→1.72 s
-    sharing win, see :func:`duplicated_spans`), and each pass's output is
+    sharing win, see :func:`duplicated_spans`), and each pass's
+    ACCUMULATED output — the scrub joined with the running ``n_dropped``
+    totals, i.e. exactly what the next pass reads — is
     ``localCheckpoint``-materialized — the lineage-truncation idiom of the
     connected-components and HNSW loops — so the per-pass plan never
-    compounds. The convergence probe is ``isEmpty()`` on the already
+    compounds: later passes read materialized blocks, not a growing join
+    chain, regardless of how high the cap is raised. The convergence probe is ``isEmpty()`` on the already
     materialized (tiny) span table, not a corpus action. Passes after the
     first run over an already-scrubbed corpus whose duplicated mass is
     the merged-island residual only — in practice a vanishing fraction —
@@ -532,7 +537,10 @@ def scrub_until_clean(
     corpora pay exactly one detect+scrub plus one empty detect.
     ``max_passes`` caps the driver-side iteration (adversarial nests of
     duplicated runs can need one pass per nesting level); if the cap is
-    hit the LAST pass's output is returned unverified — re-run to check.
+    hit the LAST pass's output is returned unverified and a
+    ``RuntimeWarning`` is emitted so callers can distinguish a converged
+    result (loop exited on an empty detect) from a capped one without
+    re-running :func:`duplicated_spans` themselves.
     Raising the cap costs nothing on corpora that converge sooner (the
     loop exits on the first empty detect); the default of 4 covers the
     measured behaviour of the sf0.1 ``documents`` corpus, which needs
@@ -546,6 +554,7 @@ def scrub_until_clean(
     if max_passes < 1:
         raise ValueError(f"max_passes must be >= 1, got {max_passes}")
     result: DataFrame | None = None
+    converged = False
     cur, cur_text = docs, text_col
     for _ in range(max_passes):
         spans = duplicated_spans(
@@ -553,10 +562,11 @@ def scrub_until_clean(
         )
         dirty = not spans.isEmpty()
         if result is not None and not dirty:
+            converged = True
             break
         out = scrub_duplicated_spans(
             cur, k, min_count, id_col, cur_text, spans=spans
-        ).localCheckpoint(eager=True)
+        )
         if result is None:
             result = out
         else:
@@ -581,10 +591,24 @@ def scrub_until_clean(
                     "scrubbed",
                 )
             )
+        # Materialize the ACCUMULATED result (scrub + n_dropped join), not
+        # just the per-pass scrub, so `cur` on pass N+1 reads checkpointed
+        # blocks and the join chain never re-executes or compounds.
+        result = result.localCheckpoint(eager=True)
         cur, cur_text = result.select(id_col, "scrubbed"), "scrubbed"
         if not dirty:
+            converged = True
             break
     assert result is not None
+    if not converged:
+        warnings.warn(
+            f"scrub_until_clean hit max_passes={max_passes} before a clean "
+            "detect; the returned corpus is UNVERIFIED — re-run "
+            "duplicated_spans on it (or raise max_passes) to confirm "
+            "convergence.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return result
 
 

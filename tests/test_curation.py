@@ -3,6 +3,8 @@ passage contamination, heavy hitters."""
 
 from __future__ import annotations
 
+import warnings
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -933,6 +935,12 @@ def test_scrub_until_clean_merged_island_converges(spark):
 
     L = "l1 l2 l3 l4 l5 l6"
     M = "m1 m2 m3 m4 m5"
+    # NOTE: the id numbering is load-bearing for the per-doc assertions
+    # below — canonical selection is min(struct(id, span_start)), so doc
+    # 1's LOWER id makes its plain L the pass-2 canonical and doc 3's L
+    # the copy that gets cut. Renumbering the fixture flips which copy
+    # survives (see the id-permuted variant at the end of this test for
+    # the order-independent invariant: exactly one L copy survives).
     docs = spark.createDataFrame(
         [
             (1, "a1 a2 " + L + " a3"),   # plain L at 3..8 (canonical)
@@ -960,6 +968,21 @@ def test_scrub_until_clean_merged_island_converges(spark):
         [(d, s) for d, (_, _, s) in got.items()], "doc_id long, text string"
     )
     assert duplicated_spans(out, k=4).isEmpty()
+    # id-order-independent invariant: whichever doc holds the LOWEST id,
+    # exactly one copy of L survives the converged scrub (the canonical
+    # pick is a tie-break detail; single-survivor is the semantics)
+    flipped = spark.createDataFrame(
+        [
+            (9, "a1 a2 " + L + " a3"),   # plain L now has the HIGHEST id
+            (3, L + " " + M + " c1"),
+            (4, L + " " + M + " d1"),
+        ],
+        "doc_id long, text string",
+    )
+    scrubbed = [
+        r.scrubbed for r in scrub_until_clean(flipped, k=4).collect()
+    ]
+    assert sum(s.count(L) for s in scrubbed) == 1
 
 
 def test_scrub_until_clean_is_dropin_for_single_pass(spark):
@@ -996,8 +1019,16 @@ def test_scrub_until_clean_is_dropin_for_single_pass(spark):
     assert sorted(
         map(tuple, scrub_until_clean(clean, k=4).collect())
     ) == [(1, 5, 0, "u1 u2 u3 u4 u5"), (2, 5, 0, "v1 v2 v3 v4 v5")]
-    assert sorted(
-        map(tuple, scrub_until_clean(docs, k=4, max_passes=1).collect())
-    ) == want
+    # max_passes=1 scrubs a dirty corpus but exits by cap, never seeing an
+    # empty detect — unverified, so it must warn (the result is still the
+    # single-pass scrub by construction)
+    with pytest.warns(RuntimeWarning, match="max_passes=1"):
+        capped = scrub_until_clean(docs, k=4, max_passes=1)
+    assert sorted(map(tuple, capped.collect())) == want
+    # a run that exits on an empty detect is verified — no cap warning
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        scrub_until_clean(docs, k=4).collect()
+    assert not [w for w in caught if "max_passes" in str(w.message)]
     with pytest.raises(ValueError):
         scrub_until_clean(docs, k=4, max_passes=0)
