@@ -148,8 +148,9 @@ def main() -> None:
             "per_query_first_run": cold,
             "note": "first execution of each plan in a fresh driver "
                     "(analysis + Janino codegen + JIT included); headline "
-                    "'queries' times are steady-state (min of 3 "
-                    "interleaved warm runs)",
+                    "'queries' times are steady-state (min of 5 "
+                    "interleaved warm runs with a \u00b125% outlier "
+                    "re-run pass)",
         },
     }
 
