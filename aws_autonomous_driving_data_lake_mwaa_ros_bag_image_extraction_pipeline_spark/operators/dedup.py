@@ -124,9 +124,11 @@ def _signatures_from(sh_long: DataFrame, id_col: str, num_hashes: int) -> DataFr
     is a uniform permutation minimum (standard MinHash).
     """
     hashed = sh_long.select(F.col(id_col), H.md5_mod_p(F.col("sh")).alias("h"))
-    p = F.lit(H.MERSENNE_31)
+    # SQL-text min-aggregates (one parser round trip per seed instead of
+    # ~8 Column-API py4j calls each); the parsed trees — int literals,
+    # bigint h, same operator order — are identical to the Column form.
     aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % p).alias(f"mh{i}")
+        F.expr(f"min(({a} * h + {b}) % {H.MERSENNE_31}) AS mh{i}")
         for i, (a, b) in enumerate(H.mix_constants(num_hashes))
     ]
     return hashed.groupBy(id_col).agg(*aggs)
@@ -159,15 +161,14 @@ def _candidates_from(
     rows_per_band = num_hashes // bands
     sig = _signatures_from(sh_long, id_col, num_hashes)
     band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                *[
-                    F.col(f"mh{b * rows_per_band + r}").cast("string")
-                    for r in range(rows_per_band)
-                ],
+        F.expr(
+            "md5(concat_ws('|', "
+            + ", ".join(
+                f"CAST(mh{b * rows_per_band + r} AS STRING)"
+                for r in range(rows_per_band)
             )
-        ).alias(f"band{b}")
+            + f")) AS band{b}"
+        )
         for b in range(bands)
     ]
     banded = sig.select(id_col, *band_cols)
@@ -177,8 +178,19 @@ def _candidates_from(
     )
     a = long.alias("a")
     b = long.alias("b")
+    # SHUFFLE_HASH self-join: both sides are the same banded table, so the
+    # shuffle join's two exchanges canonicalize equal and ReuseExchange
+    # computes the corpus-wide shingle→signature→band pass ONCE; the
+    # default broadcast plan materialized the subtree once per side (racing
+    # concurrent jobs), and a corpus-sized band table can't broadcast at
+    # 100 TB anyway.
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        a.hint("shuffle_hash")
+        .join(
+            b.hint("shuffle_hash"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
@@ -403,18 +415,20 @@ def simhash(
     )
     h = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("bigint")
     hashed = toks.select(F.col(id_col), h.alias("h"))
+    # SQL-text expressions, one parser call each: the Column-API loop built
+    # ~500 py4j round trips (~1 s of driver latency per plan build); the
+    # parsed trees are identical, so plans and values don't move.
     aggs = [
-        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"s{b}")
-        for b in range(bits)
+        F.expr(f"sum(shiftright(h, {b}) & 1) AS s{b}") for b in range(bits)
     ] + [F.count(F.lit(1)).alias("n")]
     bitsums = hashed.groupBy(id_col).agg(*aggs)
-    sig = None
-    for b in range(bits):
-        term = F.when(F.col(f"s{b}") * 2 >= F.col("n"), F.lit(1 << b)).otherwise(
-            F.lit(0)
-        )
-        sig = term if sig is None else sig + term
-    return bitsums.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
+    sig = " + ".join(
+        f"(CASE WHEN s{b} * 2 >= n THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return bitsums.select(
+        F.col(id_col), F.expr(f"CAST(({sig}) AS BIGINT) AS simhash")
+    )
 
 
 def simhash_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
@@ -484,8 +498,16 @@ def embedding_dup_pairs(
     )
     a = bk.select(F.col(id_col).alias("id_a"), "table", "bucket")
     b = bk.select(F.col(id_col).alias("id_b"), "table", "bucket")
+    # SHUFFLE_HASH on the self-join: the two sides are the same bucket
+    # table, so a shuffle join lets ReuseExchange compute the (Python-
+    # boundary) bucket assignment ONCE and read it from one exchange —
+    # the default plan broadcast-built one side, which re-ran the
+    # mapInPandas pass per side AND shipped the whole bucketed corpus to
+    # every executor (impossible at 100 TB, where the bucket table is
+    # corpus-sized; the per-partition hash build is the scale-safe form).
     cand = (
-        a.join(b, ["table", "bucket"])
+        a.hint("shuffle_hash")
+        .join(b.hint("shuffle_hash"), ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -810,6 +832,15 @@ def hash_near_pairs(
     b = long.select(
         F.col(id_col).alias("id_b"), F.col("__sig").alias("sig_b"), "__bkt"
     )
+    # NOTE on join strategy: unlike the minhash/LSH band joins (uniform
+    # hash buckets → SHUFFLE_HASH + exchange reuse wins), simhash-style
+    # band buckets are HEAVILY skewed — the majority-vote bits cluster, so
+    # one hot bucket can hold a large corpus fraction. A shuffle join puts
+    # every row of a hot bucket on ONE task (a single key AQE's skew-join
+    # split cannot break apart; measured 1.8 s → 6.0 s at sf0.1), while
+    # the broadcast build streams the hot bucket's probe side across ALL
+    # partitions. Keep broadcast while the banded table fits; past that,
+    # salt the bucket key (explode one side k ways) before shuffling.
     cands = (
         a.join(b, ["__bkt"])
         .filter(F.col("id_a") < F.col("id_b"))

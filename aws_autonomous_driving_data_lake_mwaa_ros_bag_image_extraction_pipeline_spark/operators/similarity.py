@@ -192,8 +192,16 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         V.norm(F.col(vec_col)).alias("__nc"), "table", "bucket"
     )
+    # SHUFFLE_HASH on the bucket self-join: both sides derive from the same
+    # lsh_buckets pass, so the shuffle join's exchanges canonicalize equal
+    # and ReuseExchange runs the Python bucket assignment ONCE (the default
+    # broadcast plan re-ran the mapInPandas pass per side and spawned a
+    # second fleet of Python workers for the racing stage). A corpus-sized
+    # bucket table can't broadcast at 100 TB either — the per-partition
+    # hash build is the scale-safe strategy.
     cands = (
-        a.join(b, ["table", "bucket"])
+        a.hint("shuffle_hash")
+        .join(b.hint("shuffle_hash"), ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "qv", "cv", "__nq", "__nc")
         .dropDuplicates(["query_id", "neighbor_id"])
@@ -664,6 +672,7 @@ def pq_topk(
     n_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    repartition_to: int | None = None,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC) over PQ
     codes (Jégou, Douze, Schmid: "Product Quantization for Nearest
@@ -680,9 +689,16 @@ def pq_topk(
     vectors don't even need to be co-resident with the serving cluster).
     Output: (query_id, neighbor_id, adist, rank) — adist is the PQ-
     approximate L2², rank ties broken by neighbor id.
+
+    ``repartition_to``: spread the corpus over N partitions before the
+    CPU-bound encode (m× explode + m·n_codes L2² scorings per vector) —
+    needed when the input is a handful of big files, where the scan
+    arrives as one split and the encode runs single-threaded; omit when
+    the source already has enough splits (the 100 TB case).
     """
     cb = pq_codebooks(emb, dim, m, n_codes, id_col, vec_col)
-    codes = pq_encode(emb, cb, dim, m, id_col, vec_col)
+    enc_in = emb.repartition(repartition_to, F.col(id_col)) if repartition_to else emb
+    codes = pq_encode(enc_in, cb, dim, m, id_col, vec_col)
     return _pq_adc_topk(codes, cb, queries, k, dim, m, id_col, vec_col)
 
 

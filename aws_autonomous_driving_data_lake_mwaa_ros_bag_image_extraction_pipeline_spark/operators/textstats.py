@@ -7,6 +7,8 @@ corpus-level aggregates.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -196,7 +198,19 @@ def _modp_fingerprints(k: int, sample_mod: int, text_col: str) -> Column:
     """Mod-p sampled fingerprint array: ~1/sample_mod of the window hashes
     survive, position-independently. No detection guarantee — a match can
     fall entirely between sampled hashes (``_winnow_fingerprints`` has
-    one)."""
+    one).
+
+    Memoized per (k, sample_mod, text_col): the selector is a pure
+    unresolved-expression tree (~10² py4j round trips to build), identical
+    on every call — reusing the Column object removes that driver latency
+    from every plan build after the first. Columns are immutable
+    expression fragments resolved against whatever plan they are used in,
+    so sharing one across queries/plans is safe."""
+    return _modp_fingerprints_cached(k, sample_mod, text_col)
+
+
+@functools.lru_cache(maxsize=64)
+def _modp_fingerprints_cached(k: int, sample_mod: int, text_col: str) -> Column:
     return F.array_distinct(
         F.filter(_position_hashes(k, text_col), lambda h: h % sample_mod == 0)
     )
@@ -270,8 +284,15 @@ def _winnow_fingerprints(k: int, w: int, text_col: str) -> Column:
     not a per-position O(w) slice scan. The hash array is let-bound
     (``T.bind``): referenced naively it would be re-evaluated inside every
     downstream expression — O(n²) md5 calls per document (measured 194 s
-    vs 4 s at sf0.01)."""
+    vs 4 s at sf0.01). Memoized per (k, w, text_col) — same pure-fragment
+    reuse contract as ``_modp_fingerprints``: the selector costs ~10³ py4j
+    round trips to construct (~0.4 s of driver latency), and every call
+    builds the identical tree."""
+    return _winnow_fingerprints_cached(k, w, text_col)
 
+
+@functools.lru_cache(maxsize=64)
+def _winnow_fingerprints_cached(k: int, w: int, text_col: str) -> Column:
     def _sel(hs: Column) -> Column:
         sel = F.array_distinct(_sliding_min(hs, w))
         return F.when(F.size(hs) >= 1, sel).otherwise(

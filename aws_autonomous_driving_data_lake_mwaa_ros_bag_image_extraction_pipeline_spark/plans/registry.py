@@ -30,6 +30,19 @@ from ..operators import asof as asof_op
 from ..operators import curation, dedup, frames, sessionize, similarity, textstats
 
 
+# Per-session memo of table-scan PLANS (never data): (session id, dir,
+# table, file fingerprint) → DataFrame. A DataFrame here is only a logical
+# plan handle — every action still reads the parquet bytes — but building
+# it costs a file listing + footer schema read + ~10 py4j round trips
+# (~120 ms per table per query on the bench driver; a multi-minute listing
+# on a heavily partitioned lake, which is why the guide caches listings).
+# The fingerprint (name, mtime_ns, size per file — `_footer_fingerprint`)
+# invalidates the entry whenever the table is rewritten or appended, so a
+# long-lived session never serves a stale schema or file set; keying on
+# the session object keeps entries from crossing sessions.
+_TABLE_PLANS: dict[tuple, DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table; normalize timestamp physical types.
 
@@ -52,12 +65,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (spark, sf_dir, name, _footer_fingerprint(path))
+    cached = _TABLE_PLANS.get(key)
+    if cached is not None:
+        return cached
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
+    _TABLE_PLANS[key] = df
     return df
 
 
@@ -5220,7 +5239,8 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity L2² make every step SQL-replayable."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.pq_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64, m=8, n_codes=16
+        emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64, m=8, n_codes=16,
+        repartition_to=spark.sparkContext.defaultParallelism,
     )
 
 
