@@ -115,8 +115,11 @@ def bloom_prune(
     The result is a SUPERSET of the semi-join, suitable as the shuffled
     input of the exact join."""
     keys_key = keys_key or big_key
+    # No distinct before the build: bit_or is duplicate-insensitive, so the
+    # bitmap is bit-identical without it — the dedup exchange was a pure
+    # extra shuffle (and its AQE stage) on the build side.
     bf = bloom_bitmap(
-        keys.select(F.col(keys_key)).distinct(), keys_key, m_bits, n_hashes
+        keys.select(F.col(keys_key)), keys_key, m_bits, n_hashes
     )
     pruned = big.crossJoin(F.broadcast(bf)).filter(
         _member(F.col(big_key), m_bits, n_hashes)

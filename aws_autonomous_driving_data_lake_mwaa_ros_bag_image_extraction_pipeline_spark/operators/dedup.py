@@ -520,12 +520,12 @@ def embedding_dup_pairs(
     va = emb.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
-        V.norm(F.col(vec_col)).alias("__na"),
+        V.norm(vec_col).alias("__na"),
     )
     vb = emb.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
-        V.norm(F.col(vec_col)).alias("__nb"),
+        V.norm(vec_col).alias("__nb"),
     )
     return (
         cand.join(va, "id_a")
@@ -534,7 +534,7 @@ def embedding_dup_pairs(
             "id_a",
             "id_b",
             (
-                V.dot(F.col("va"), F.col("vb"))
+                V.dot("va", "vb")
                 / (F.col("__na") * F.col("__nb"))
             ).alias("cosine"),
         )
@@ -560,18 +560,18 @@ def embedding_dup_pairs_exact(
     par = emb.sparkSession.sparkContext.defaultParallelism
     a = emb.repartition(par).select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-        V.norm(F.col(vec_col)).alias("__na"),
+        V.norm(vec_col).alias("__na"),
     )
     b = emb.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-        V.norm(F.col(vec_col)).alias("__nb"),
+        V.norm(vec_col).alias("__nb"),
     )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return pairs.select(
         "id_a",
         "id_b",
         (
-            V.dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
+            V.dot("va", "vb") / (F.col("__na") * F.col("__nb"))
         ).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
 
@@ -672,14 +672,14 @@ def semantic_dedup_survivors(
     from . import similarity as S
 
     cents = S._ivf_centroids(emb, n_lists, id_col, vec_col).withColumn(
-        "__ncv", V.norm(F.col("cv"))
+        "__ncv", V.norm("cv")
     )
     # vector/centroid norms fold once per ROW, not once per (vector,
     # centroid) or per within-cluster pair — same double arithmetic as the
     # per-pair form, so assignments, survivors, and oracle hashes are
     # unchanged while the quadratic stages shed the repeated norm folds
     embn = emb.select(
-        F.col(id_col), F.col(vec_col), V.norm(F.col(vec_col)).alias("__nv")
+        F.col(id_col), F.col(vec_col), V.norm(vec_col).alias("__nv")
     )
     scored = embn.join(F.broadcast(cents))
     assign = (
@@ -687,7 +687,7 @@ def semantic_dedup_survivors(
             F.col(id_col),
             F.col("cid"),
             F.round(
-                -(V.dot(F.col(vec_col), F.col("cv"))
+                -(V.dot(vec_col, "cv")
                   / (F.col("__nv") * F.col("__ncv"))), 6
             ).alias("d"),
         )
@@ -707,7 +707,7 @@ def semantic_dedup_survivors(
         a.join(b, "list_id")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
-            V.dot(F.col("va"), F.col("vb"))
+            V.dot("va", "vb")
             / (F.col("__na") * F.col("__nb")) >= threshold
         )
         .select(F.col("id_b").alias(id_col))

@@ -44,12 +44,12 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        V.norm(F.col(vec_col)).alias("__nq"),
+        V.norm(vec_col).alias("__nq"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        V.norm(F.col(vec_col)).alias("__nc"),
+        V.norm(vec_col).alias("__nc"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
@@ -57,7 +57,7 @@ def brute_force_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                V.dot(F.col("qv"), F.col("cv"))
+                V.dot("qv", "cv")
                 / (F.col("__nq") * F.col("__nc")),
                 6,
             ).alias("cosine"),
@@ -186,11 +186,11 @@ def lsh_topk(
     # unchanged while the verify stage sheds its dominant cost.
     a = bk_q.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        V.norm(F.col(vec_col)).alias("__nq"), "table", "bucket"
+        V.norm(vec_col).alias("__nq"), "table", "bucket"
     )
     b = bk.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        V.norm(F.col(vec_col)).alias("__nc"), "table", "bucket"
+        V.norm(vec_col).alias("__nc"), "table", "bucket"
     )
     # SHUFFLE_HASH on the bucket self-join: both sides derive from the same
     # lsh_buckets pass, so the shuffle join's exchanges canonicalize equal
@@ -210,7 +210,7 @@ def lsh_topk(
         "query_id",
         "neighbor_id",
         F.round(
-            V.dot(F.col("qv"), F.col("cv")) / (F.col("__nq") * F.col("__nc")), 6
+            V.dot("qv", "cv") / (F.col("__nq") * F.col("__nc")), 6
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -265,11 +265,11 @@ def refine_centroids(
     """
     cents = _ivf_centroids(emb, n_lists, id_col, vec_col)
     embn = emb.select(
-        F.col(id_col), F.col(vec_col), V.norm(F.col(vec_col)).alias("__nv")
+        F.col(id_col), F.col(vec_col), V.norm(vec_col).alias("__nv")
     )
     for _ in range(iterations):
         scored = embn.join(
-            F.broadcast(cents.withColumn("__ncv", V.norm(F.col("cv"))))
+            F.broadcast(cents.withColumn("__ncv", V.norm("cv")))
         )
         assign = (
             scored.select(
@@ -278,7 +278,7 @@ def refine_centroids(
                 # rounded + struct-min: deterministic assignment under ties
                 # (same contract as ivf_assign)
                 F.round(
-                    -(V.dot(F.col(vec_col), F.col("cv"))
+                    -(V.dot(vec_col, "cv")
                       / (F.col("__nv") * F.col("__ncv"))), 6
                 ).alias("d"),
             )
@@ -322,14 +322,14 @@ def ivf_assign(
     )
     # norms fold once per vector / per centroid, not per (vector, centroid)
     # — identical double arithmetic, so assignments don't move
-    centsn = cents.withColumn("__ncv", V.norm(F.col("cv")))
+    centsn = cents.withColumn("__ncv", V.norm("cv"))
     scored = emb.select(
-        F.col(id_col), F.col(vec_col), V.norm(F.col(vec_col)).alias("__nv")
+        F.col(id_col), F.col(vec_col), V.norm(vec_col).alias("__nv")
     ).join(F.broadcast(centsn))
     # max cosine = min distance; rounded + struct-min so the nearest-list
     # choice is deterministic (ties break on cid) and oracle-reproducible
     dist = F.round(
-        -(V.dot(F.col(vec_col), F.col("cv")) / (F.col("__nv") * F.col("__ncv"))),
+        -(V.dot(vec_col, "cv") / (F.col("__nv") * F.col("__ncv"))),
         6,
     )
     assign = (
@@ -372,18 +372,18 @@ def ivf_topk(
     )
     corpus = ivf_assign(emb, n_lists, id_col, vec_col, centroids=cents).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        V.norm(F.col(vec_col)).alias("__nc"), "list_id"
+        V.norm(vec_col).alias("__nc"), "list_id"
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        V.norm(F.col(vec_col)).alias("__nq"),
+        V.norm(vec_col).alias("__nq"),
     )
     probes = (
-        q.join(F.broadcast(cents.withColumn("__ncv", V.norm(F.col("cv")))))
+        q.join(F.broadcast(cents.withColumn("__ncv", V.norm("cv"))))
         .select(
             "query_id", "qv", "__nq", F.col("cid").alias("list_id"),
             F.round(
-                -(V.dot(F.col("qv"), F.col("cv"))
+                -(V.dot("qv", "cv")
                   / (F.col("__nq") * F.col("__ncv"))), 6
             ).alias("d"),
         )
@@ -403,7 +403,7 @@ def ivf_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                V.dot(F.col("qv"), F.col("cv"))
+                V.dot("qv", "cv")
                 / (F.col("__nq") * F.col("__nc")), 6
             ).alias("cosine"),
         )
@@ -515,22 +515,22 @@ def search_ivf_index(
     ``ivf_topk``: cosine rounded to 6, ties on neighbor_id.
     """
     cents = spark.read.parquet(f"{path}/centroids").withColumn(
-        "__ncv", V.norm(F.col("cv"))
+        "__ncv", V.norm("cv")
     )
     lists = spark.read.parquet(f"{path}/lists").select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        V.norm(F.col(vec_col)).alias("__nc"), "list_id"
+        V.norm(vec_col).alias("__nc"), "list_id"
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        V.norm(F.col(vec_col)).alias("__nq"),
+        V.norm(vec_col).alias("__nq"),
     )
     probes = (
         q.join(F.broadcast(cents))
         .select(
             "query_id", "qv", "__nq", F.col("cid").alias("list_id"),
             F.round(
-                -(V.dot(F.col("qv"), F.col("cv"))
+                -(V.dot("qv", "cv")
                   / (F.col("__nq") * F.col("__ncv"))), 6
             ).alias("d"),
         )
@@ -550,7 +550,7 @@ def search_ivf_index(
             "query_id",
             "neighbor_id",
             F.round(
-                V.dot(F.col("qv"), F.col("cv"))
+                V.dot("qv", "cv")
                 / (F.col("__nq") * F.col("__nc")), 6
             ).alias("cosine"),
         )
@@ -653,7 +653,7 @@ def pq_encode(
         id_col,
         "sub",
         "code",
-        F.round(V.l2sq(F.col("sv"), F.col("cv")), 6).alias("__d"),
+        F.round(V.l2sq("sv", "cv"), 6).alias("__d"),
     )
     w = Window.partitionBy(id_col, "sub").orderBy("__d", "code")
     return (
@@ -727,7 +727,7 @@ def _pq_adc_topk(
         "query_id",
         "sub",
         "code",
-        F.round(V.l2sq(F.col("qv"), F.col("cv")), 6).alias("__d"),
+        F.round(V.l2sq("qv", "cv"), 6).alias("__d"),
     )
     adc = (
         codes.join(F.broadcast(lut), ["sub", "code"])
@@ -960,7 +960,7 @@ def search_lsh_index(
         include_vec=True,
     ).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        V.norm(F.col(vec_col)).alias("__nq"), "table", "bucket",
+        V.norm(vec_col).alias("__nq"), "table", "bucket",
     )
     if multiprobe:
         probes = probes.select(
@@ -977,7 +977,7 @@ def search_lsh_index(
         )
     lists = spark.read.parquet(f"{path}/buckets").select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        V.norm(F.col(vec_col)).alias("__nc"), "table", "bucket",
+        V.norm(vec_col).alias("__nc"), "table", "bucket",
     )
     cands = (
         lists.join(F.broadcast(probes), ["table", "bucket"])
@@ -989,7 +989,7 @@ def search_lsh_index(
         "query_id",
         "neighbor_id",
         F.round(
-            V.dot(F.col("qv"), F.col("cv")) / (F.col("__nq") * F.col("__nc")),
+            V.dot("qv", "cv") / (F.col("__nq") * F.col("__nc")),
             6,
         ).alias("cosine"),
     )
@@ -1051,7 +1051,7 @@ def lsh_multiprobe_topk(
     probes = bk_q.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        V.norm(F.col(vec_col)).alias("__nq"),
+        V.norm(vec_col).alias("__nq"),
         "table",
         F.explode(
             F.array(
@@ -1066,7 +1066,7 @@ def lsh_multiprobe_topk(
     b = bk.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        V.norm(F.col(vec_col)).alias("__nc"),
+        V.norm(vec_col).alias("__nc"),
         "table",
         "bucket",
     )
@@ -1080,7 +1080,7 @@ def lsh_multiprobe_topk(
         "query_id",
         "neighbor_id",
         F.round(
-            V.dot(F.col("qv"), F.col("cv")) / (F.col("__nq") * F.col("__nc")), 6
+            V.dot("qv", "cv") / (F.col("__nq") * F.col("__nc")), 6
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1177,7 +1177,7 @@ def knn_graph(
         seed_pairs = p if seed_pairs is None else seed_pairs.union(p)
     ev = emb.select(
         F.col(id_col).alias("__eid"), F.col(vec_col).alias("__ev"),
-        V.norm(F.col(vec_col)).alias("__en"),
+        V.norm(vec_col).alias("__en"),
     )
     sv = (
         ev.withColumnRenamed("__eid", "src")
@@ -1194,7 +1194,7 @@ def knn_graph(
         .select(
             "src", "dst",
             F.round(
-                V.dot(F.col("sv"), F.col("dv"))
+                V.dot("sv", "dv")
                 / (F.col("sn") * F.col("dn")), 6
             ).alias("cosine"),
         )
@@ -1232,7 +1232,7 @@ def knn_graph(
             .select(
                 "src", "dst",
                 F.round(
-                    V.dot(F.col("sv"), F.col("dv")) / (F.col("sn") * F.col("dn")),
+                    V.dot("sv", "dv") / (F.col("sn") * F.col("dn")),
                     6,
                 ).alias("cosine"),
             )
@@ -1301,12 +1301,12 @@ def hnsw_topk(
     edges = graph.select("src", F.col("dst").alias("node"))
     pool = _ivf_centroids(emb, entry_pool, id_col, vec_col).select(
         F.col("cid").alias("node"), F.col("cv").alias("pv"),
-        V.norm(F.col("cv")).alias("__np"),
+        V.norm("cv").alias("__np"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        V.norm(F.col(vec_col)).alias("__nq"),
+        V.norm(vec_col).alias("__nq"),
     )
     wb = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "node")
     beam_df = (
@@ -1314,7 +1314,7 @@ def hnsw_topk(
         .select(
             "query_id", "node",
             F.round(
-                V.dot(F.col("qv"), F.col("pv")) / (F.col("__nq") * F.col("__np")),
+                V.dot("qv", "pv") / (F.col("__nq") * F.col("__np")),
                 6,
             ).alias("cosine"),
         )
@@ -1324,7 +1324,7 @@ def hnsw_topk(
     )
     ev = emb.select(
         F.col(id_col).alias("node"), F.col(vec_col).alias("nv"),
-        V.norm(F.col(vec_col)).alias("__nn"),
+        V.norm(vec_col).alias("__nn"),
     )
     for _ in range(n_hops):
         frontier = beam_df.select("query_id", F.col("node").alias("src"))
@@ -1337,7 +1337,7 @@ def hnsw_topk(
             .select(
                 "query_id", "node",
                 F.round(
-                    V.dot(F.col("qv"), F.col("nv"))
+                    V.dot("qv", "nv")
                     / (F.col("__nq") * F.col("__nn")), 6
                 ).alias("cosine"),
             )

@@ -2636,7 +2636,10 @@ def q_passage_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document passage contamination (curation.passage_dup_stats):
     share of each doc's 3-token chunks that appear in another doc. All
     shuffle keys are md5 hashes — uniform, skew-free at 100 TB."""
-    return curation.passage_dup_stats(_t(spark, sf_dir, "documents"), n=3)
+    return curation.passage_dup_stats(
+        _t(spark, sf_dir, "documents"), n=3,
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
 
 
 @register(
@@ -2671,7 +2674,10 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-semi join, islands merge (pos − row_number) per doc. The
     alignment-free exact complement of passage_dup_stats's
     non-overlapping chunks."""
-    return curation.duplicated_spans(_t(spark, sf_dir, "documents"), k=8)
+    return curation.duplicated_spans(
+        _t(spark, sf_dir, "documents"), k=8,
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
 
 
 @register(
@@ -2735,7 +2741,10 @@ def q_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     array-local array_except/element_at rebuild, O(n) per row. The
     canonical pick is a min(struct) aggregate on the span hash (map-side
     combine, no hot-key window) joined back AQE-skew-splittably."""
-    return curation.scrub_duplicated_spans(_t(spark, sf_dir, "documents"), k=8)
+    return curation.scrub_duplicated_spans(
+        _t(spark, sf_dir, "documents"), k=8,
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
 
 
 @register(
@@ -2825,7 +2834,8 @@ def q_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     value hash covers the full reconstructed strings, so chunking, the
     df threshold, ordered reassembly, and tail handling are all pinned."""
     return curation.scrub_duplicate_passages(
-        _t(spark, sf_dir, "documents"), n=3, max_df=1
+        _t(spark, sf_dir, "documents"), n=3, max_df=1,
+        repartition_to=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -2886,7 +2896,8 @@ def q_passage_trim_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gopher repetition signals. Shuffles only on doc-confined keys, so it
     scales with zero corpus-wide state."""
     return curation.trim_repeated_passages(
-        _t(spark, sf_dir, "documents"), n=3
+        _t(spark, sf_dir, "documents"), n=3,
+        repartition_to=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -4844,7 +4855,8 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return edit_distance_pairs(
-        docs, id_col="doc_id", text=T.normalized(F.col("text")).substr(1, 64), k=2
+        docs, id_col="doc_id", text=T.normalized(F.col("text")).substr(1, 64), k=2,
+        repartition_to=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -7542,7 +7554,7 @@ def q_cosine_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
     )
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    cos = F.round(V.cosine(F.col("ea"), F.col("eb")), 6)
+    cos = F.round(V.cosine("ea", "eb"), 6)
     return (
         pairs.select(
             F.least(F.floor(cos / F.lit(0.05)).cast("int"), F.lit(19)).alias(
@@ -7960,7 +7972,7 @@ def q_knn_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = sample.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     b = sample.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    cos = F.round(V.cosine(F.col("ea"), F.col("eb")), 6)
+    cos = F.round(V.cosine("ea", "eb"), 6)
     wr = Window.partitionBy("id_a").orderBy(F.desc("cos"), "id_b")
     knn = (
         a.join(F.broadcast(b), F.col("id_a") != F.col("id_b"))
@@ -8751,7 +8763,7 @@ def q_pq_recall_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = emb.filter(F.col("vec_id") < 10)
     q = probe.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
     c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
-    l2 = F.round(V.l2sq(F.col("qe"), F.col("ce")), 6)
+    l2 = F.round(V.l2sq("qe", "ce"), 6)
     wr = Window.partitionBy("query_id").orderBy(F.asc("l2"), "neighbor_id")
     exact = (
         F.broadcast(q)
