@@ -263,21 +263,25 @@ def minhash_dedup_pairs(
     pair (semi-join first): at scale candidates are a vanishing fraction of
     the corpus, so the n-gram work never runs corpus-wide a second time.
 
-    ``cands`` is persisted: it feeds THREE consumers (both id projections
-    of the semi-join filter and the final verify join), and each
-    unpersisted evaluation would re-run the corpus-wide shingle →
+    ``cands`` is locally checkpointed (lazy): it feeds THREE consumers
+    (both id projections of the semi-join filter and the final verify
+    join), and each re-evaluation would re-run the corpus-wide shingle →
     signature → band self-join — the whole candidate-generation cost,
     twice more (measured 1.8 s → 1.4 s at sf0.1; at lake scale the delta
-    is the full detector pass ×2). The pair set is the small end of the
-    pipeline by construction, and Spark's cache manager matches
-    canonicalized plans, so repeat invocations over the SAME input share
-    one entry. Over DIFFERENT inputs each call leaves its own entry until
-    session end — a long-lived session should pass ``eager=True``, which
-    materializes the result (localCheckpoint) and unpersists the
-    candidate table before returning (``_caching.finish``).
+    is the full detector pass ×2). ``localCheckpoint`` rather than
+    ``persist``: a fresh RDD per CALL, shared by every consumer within
+    the call and freed by the ContextCleaner on GC — where a persist()
+    entry is keyed on the canonicalized plan in the session CacheManager
+    and silently serves REPEAT invocations over the same input from
+    cache (a benchmark of the warm path then no longer measures the
+    detector at all). The pair set is the small end of the pipeline by
+    construction. ``eager=True`` additionally materializes the result
+    before returning (``_caching.finish``).
     """
     sh_long = _shingle_long(docs, id_col, text_col, shingle_len, repartition_to)
-    cands = _candidates_from(sh_long, id_col, num_hashes, bands).persist()
+    cands = _candidates_from(sh_long, id_col, num_hashes, bands).localCheckpoint(
+        eager=False
+    )
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .union(cands.select(F.col("id_b").alias(id_col)))
@@ -288,7 +292,7 @@ def minhash_dedup_pairs(
     out = _jaccard_from(sh_small, cands, id_col).filter(
         F.col("jaccard") >= threshold
     )
-    return finish(out, cands, eager=eager)
+    return finish(out, eager=eager)
 
 
 # --- Character-n-gram Jaccard (prefix-filtered set-similarity join) ---------
@@ -480,6 +484,7 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     n_tables: int = 8,
     n_bits: int = 6,
+    repartition_to: int | None = None,
 ) -> DataFrame:
     """Cosine-similar pairs above threshold — LSH-bucketed (the scale path).
 
@@ -510,8 +515,22 @@ def embedding_dup_pairs(
         .join(b.hint("shuffle_hash"), ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    if repartition_to:
+        # The exact-cosine verify below is CPU-bound PER ROW (a dim-wide
+        # fold per candidate), but AQE coalesces the dedup exchange by
+        # BYTES — measured at sf0.1: 252k id-pairs ≈ 2 MB → 2 post-AQE
+        # partitions, so the verify ran on 2 of 32 cores (0.86 s of a 1.6 s
+        # query). An explicit numbered repartition on the SAME keys BEFORE
+        # the distinct becomes the aggregation's own exchange (same single
+        # shuffle — the distinct reuses the partitioning) but is exempt
+        # from AQE coalescing, so the verify keeps the parallelism.
+        # (Placed after distinct it is elided entirely: the planner sees
+        # the partitioning already satisfied, and AQE re-coalesces.)
+        # Default OFF: at 100 TB the candidate table is large enough that
+        # AQE's byte-sizing is already right.
+        cand = cand.repartition(repartition_to, "id_a", "id_b")
+    cand = cand.distinct()
     # Norms are computed ONCE PER VECTOR on the join-back tables, not per
     # candidate pair — cosine folds are the verify stage's whole cost, and
     # each pair was paying 2 norm folds it shares with every other pair of

@@ -90,16 +90,19 @@ def connected_components(
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .where(F.col("u") != F.col("v"))
         .distinct()
-        # materialize once: the input is typically an expensive detector plan
+        # checkpoint once: the input is typically an expensive detector plan
         # (minhash/simhash), and it is consumed three times — round 0, the
-        # node inventory, and otherwise again per lineage replay
-        .localCheckpoint(eager=True)
+        # node inventory, and otherwise again per lineage replay. LAZY: the
+        # first round's checksum job below materializes it, so the detector
+        # runs exactly once but costs no standalone job (one driver action
+        # per round total — at sf-scale the loop was dominated by job-launch
+        # overhead, two actions per round, not by the tiny shuffles).
+        .localCheckpoint(eager=False)
     )
     nodes = e.select(F.col("u").alias("node")).union(
         e.select(F.col("v").alias("node"))
     ).distinct()
 
-    prev: tuple | None = None
     parts: int | None = None
     rounds = 0
     for _ in range(max_rounds):
@@ -107,18 +110,51 @@ def connected_components(
         e = _small_star(_sym(_large_star(_sym(e))))
         if parts is not None:
             e = e.coalesce(parts)  # narrow — merges, never reshuffles
-        e = e.localCheckpoint(eager=True)
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            # decimal accumulator: a sum of raw int64 hashes overflows under
-            # ANSI arithmetic
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        # Lazy: the convergence action right below materializes the
+        # checkpoint (the probe runs over e's own RDD, so the full rows
+        # persist as a side effect) — one job per round, not two.
+        e = e.localCheckpoint(eager=False)
+        # Convergence: small_star emits only down-edges (child > parent),
+        # and a down-edge set is a star forest — the algorithm's fixpoint —
+        # iff no node is both a child (left) and a parent (right). Testing
+        # that DIRECTLY detects the fixpoint on the round that REACHES it,
+        # where the previous two-long checksum needed one extra full
+        # confirm round to observe equality (Kiveris et al. §3: both star
+        # operations leave a star forest unchanged, so breaking here is
+        # exactly the checksum fixpoint, one round sooner). The probe is
+        # one groupBy on the node id — same key distribution as the
+        # round's own shuffles — and doubles as the edge count that sizes
+        # next round's coalesce.
+        probe = (
+            e.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("u").alias("n"),
+                            F.lit(1).alias("l"),
+                            F.lit(0).alias("r"),
+                        ),
+                        F.struct(
+                            F.col("v").alias("n"),
+                            F.lit(0).alias("l"),
+                            F.lit(1).alias("r"),
+                        ),
+                    )
+                ).alias("s")
+            )
+            .select("s.*")
+            .groupBy("n")
+            .agg(F.sum("l").alias("ls"), F.max("r").alias("rr"))
+        )
+        row = probe.agg(
+            F.sum("ls").alias("n_edges"),
+            F.sum(
+                F.when((F.col("ls") > 0) & (F.col("rr") > 0), 1).otherwise(0)
+            ).alias("bad"),
         ).collect()[0]
-        chk = (row.n, row.h)
-        if chk == prev:
+        if not row.bad:  # star forest (n_edges NULL ⇒ empty graph: done too)
             break
-        prev = chk
-        parts = max(1, min(row.n // rows_per_partition + 1, 4096))
+        parts = max(1, min((row.n_edges or 0) // rows_per_partition + 1, 4096))
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
     if stats is not None:

@@ -312,6 +312,7 @@ def winnow_overlap_pairs(
     text_col: str = "text",
     window: int | None = None,
     eager: bool = False,
+    repartition_to: int | None = None,
 ) -> DataFrame:
     """The pairing step of winnowing/MOSS-style local-fingerprint
     plagiarism detection: documents sharing >= ``min_shared`` sampled
@@ -339,37 +340,43 @@ def winnow_overlap_pairs(
     signal). Pruned fingerprints leave both the numerator and the
     denominator, so overlap stays internally consistent.
 
-    The distinct fingerprint table feeds FOUR consumers (the df-ceiling
-    agg, the per-doc sizes, and both sides of the self-join); Catalyst
-    plans no ReusedExchange across them, so unpersisted each consumer
-    would re-run the full md5 selector pass (measured 8.9 s → 4.8 s at
-    sf0.1 from the two ``persist()`` calls — the one-shingle-pass-feeds-
-    both-writes pattern of dedup_index). The persisted tables hold the
-    SAME (id, h) bytes the distinct/semi-join shuffles already
-    materialize (MEMORY_AND_DISK, spills gracefully), and Spark's cache
-    manager matches canonicalized plans, so repeated invocations over the
-    same input share one entry instead of stacking copies. Distinct
-    inputs each leave an entry until session end — long-lived sessions
-    should pass ``eager=True`` to materialize the result and unpersist
-    both tables before returning (``_caching.finish``)."""
+    The md5 selector pass runs EXACTLY ONCE per execution by
+    construction, with no persist: the df-ceiling is a count window over
+    the fingerprint hash (one exchange on ``h``, replacing the old
+    groupBy + left-semi pair, which was a second consumer of the selector
+    subtree), and the self-join takes SHUFFLE_HASH hints so its two
+    alias-only-different sides canonicalize equal and ReuseExchange reads
+    ONE exchange instead of re-running the selector per side (the
+    band-join pattern of minhash/lsh/embedding dedup). The per-doc size
+    branch re-reads the same reused exchanges, never the selector.
+    (The previous persist()-based formulation measured THREE full
+    selector re-runs per WARM call at sf0.1 — concurrent AQE query
+    stages each raced the cache fill — plus two cache-manager entries
+    that outlived the call; ``eager`` now controls only result
+    materialization.)"""
     sel = (
         _winnow_fingerprints(k, window, text_col)
         if window is not None
         else _modp_fingerprints(k, sample_mod, text_col)
     )
-    fp = docs.select(
-        F.col(id_col), F.explode(sel).alias("h")
-    ).distinct().persist()
-    df_ok = (
-        fp.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("__df"))
+    from pyspark.sql import Window
+
+    if repartition_to:
+        # Spread the CPU-bound md5 selector pass: a compact single-file
+        # corpus arrives as ONE scan split, so without this the selector
+        # runs single-threaded (the curation._spread trap). Hash on the
+        # id — deterministic, skew-free. Default OFF: a 100 TB corpus
+        # already has thousands of splits.
+        docs = docs.repartition(repartition_to, F.col(id_col))
+    fp = docs.select(F.col(id_col), F.explode(sel).alias("h")).distinct()
+    pruned = (
+        fp.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("h")))
         .filter(F.col("__df") <= max_df)
-        .select("h")
+        .drop("__df")
     )
-    pruned = fp.join(df_ok, "h", "left_semi").persist()
     sz = pruned.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
-    a = pruned.select(F.col(id_col).alias("id_a"), "h")
-    b = pruned.select(F.col(id_col).alias("id_b"), "h")
+    a = pruned.select(F.col(id_col).alias("id_a"), "h").hint("shuffle_hash")
+    b = pruned.select(F.col(id_col).alias("id_b"), "h").hint("shuffle_hash")
     pairs = (
         a.join(b, "h")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -393,7 +400,7 @@ def winnow_overlap_pairs(
             ).alias("overlap"),
         )
     )
-    return finish(out, fp, pruned, eager=eager)
+    return finish(out, eager=eager)
 
 
 def repetition_scores(

@@ -1053,9 +1053,10 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS from minhash pairs via alternating large-star/
     small-star connected components (Kiveris et al. 2014) — the iterative
     step that turns pair detection into droppable duplicate groups. O(log² n)
-    rounds of co-partitioned groupBy+join; only a two-long checksum crosses
-    the driver per round. The oracle computes the same fixpoint as a DuckDB
-    recursive CTE closure."""
+    rounds of co-partitioned groupBy+join; only a two-long convergence probe
+    (edge count + star-forest violation count) crosses the driver per round.
+    The oracle computes the same fixpoint as a DuckDB recursive CTE
+    closure."""
     from ..operators import graph
 
     comp = graph.connected_components(
@@ -1270,7 +1271,10 @@ def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     position-independent lifted-paragraph detection. Inverted-index
     self-join with a df<=50 fingerprint ceiling pruning ubiquitous
     substrings before the join."""
-    return textstats.winnow_overlap_pairs(_t(spark, sf_dir, "documents"))
+    return textstats.winnow_overlap_pairs(
+        _t(spark, sf_dir, "documents"),
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
 
 
 @register(
@@ -1328,7 +1332,8 @@ def q_winnow_guaranteed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagship detector of the winnow family, tracked so regressions in
     the array-local selection path hit the ±25% outlier pass."""
     return textstats.winnow_overlap_pairs(
-        _t(spark, sf_dir, "documents"), window=8
+        _t(spark, sf_dir, "documents"), window=8,
+        repartition_to=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -2063,7 +2068,8 @@ def q_embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-replayable. Headline because it is the 100x-safe plan: cost is
     O(sum of bucket sizes squared), not O(n^2)."""
     pairs = dedup.embedding_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), dim=64, threshold=0.4
+        _t(spark, sf_dir, "embeddings"), dim=64, threshold=0.4,
+        repartition_to=spark.sparkContext.defaultParallelism,
     )
     return pairs.withColumn("cosine", F.round("cosine", 6))
 

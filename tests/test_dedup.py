@@ -298,13 +298,22 @@ def test_exact_shingle_jaccard_ground_truth(spark):
 
 
 def test_eager_variants_bound_cache_lifetime(spark):
-    """The multi-consumer detectors persist an intermediate the returned
-    LAZY plan depends on, so by default it lives in the cache manager
-    until session end (one entry per distinct input — advisor-flagged as
-    an unbounded leak for long-lived sessions). ``eager=True`` is the
-    bounded variant: the result is materialized (localCheckpoint — RDD
-    blocks, freed by GC, never cache-manager entries) and every
-    intermediate is unpersisted BEFORE returning, with identical rows."""
+    """Cache-lifetime contract of the multi-consumer detectors.
+
+    Two groups since the r21 optimization pass:
+
+    - simhash / tfidf still ``persist()`` an intermediate the returned
+      LAZY plan depends on, so by default it lives in the cache manager
+      until session end (one entry per distinct input); ``eager=True``
+      is the bounded variant that unpersists before returning.
+    - minhash / winnow no longer touch the cache manager AT ALL: their
+      multi-consumer sharing is a per-call lazy ``localCheckpoint``
+      (minhash) or exchange reuse via canonicalization (winnow), so the
+      lazy path must leave the cache manager EMPTY — no entry keyed on
+      the input plan can silently serve a repeat invocation from cache.
+
+    Both groups: ``eager=True`` leaves the cache manager empty and
+    returns identical rows."""
     from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
         search,
         textstats,
@@ -320,17 +329,20 @@ def test_eager_variants_bound_cache_lifetime(spark):
         .limit(300)
     )
     cm = spark._jsparkSession.sharedState().cacheManager()
-    ops = [
-        lambda **kw: minhash_dedup_pairs(docs, threshold=0.5, **kw),
+    persisting_ops = [
         lambda **kw: simhash_near_pairs(docs, **kw),
         lambda **kw: search.tfidf_cosine_pairs(docs, threshold=0.8, **kw),
+    ]
+    checkpointing_ops = [
+        lambda **kw: minhash_dedup_pairs(docs, threshold=0.5, **kw),
         lambda **kw: textstats.winnow_overlap_pairs(docs, window=8, **kw),
     ]
-    for op in ops:
+    for op in persisting_ops + checkpointing_ops:
+        parks_cm_entry = op in persisting_ops
         spark.catalog.clearCache()
         lazy = op()
         want = sorted(map(tuple, lazy.collect()))
-        assert not cm.isEmpty()  # default: intermediate parked in the CM
+        assert cm.isEmpty() != parks_cm_entry
 
         spark.catalog.clearCache()
         got = op(eager=True)
