@@ -65,10 +65,15 @@ def bloom_bitmap(
             )
         ).alias("__pos")
     )
-    words = pos.groupBy(
-        (F.col("__pos") / 64).cast("int").alias("__word")
-    ).agg(
-        F.bit_or(F.expr("shiftleft(1L, CAST(__pos % 64 AS INT))")).alias("__bits")
+    # ONE groupBy builds the dense word table: the all-zero word range is
+    # unioned with the per-position single-bit rows BEFORE the aggregation
+    # (bit_or with 0 is the identity), instead of the old
+    # groupBy → union zeros → groupBy chain — same bitmap, one exchange
+    # and one AQE stage fewer on the build side. Map-side bit_or partials
+    # still cap the shuffle at ~m/64 word rows per input partition.
+    words = pos.select(
+        (F.col("__pos") / 64).cast("int").alias("__word"),
+        F.expr("shiftleft(1L, CAST(__pos % 64 AS INT))").alias("__bits"),
     )
     zeros = (
         keys.sparkSession.range(m_words)

@@ -157,6 +157,10 @@ def edit_distance_pairs(
         )
     )
 
+    # No distinct here: the union with the tiny stratum below ends in ONE
+    # distinct that subsumes it — a pre-union distinct was a second full
+    # exchange+aggregate of the candidate set for nothing (guide §2.4,
+    # same shape as the bloom-build fix).
     cands = (
         idx.join(probe, ["l_i", "__i", "__seg"])
         .filter(F.col("id_i") != F.col("id_p"))
@@ -164,7 +168,6 @@ def edit_distance_pairs(
             F.least("id_i", "id_p").alias("id_a"),
             F.greatest("id_i", "id_p").alias("id_b"),
         )
-        .distinct()
     )
 
     # --- tiny-string stratum: closed under ed<=k, length-band equi-join ---

@@ -18,38 +18,87 @@ fault-tolerant truncation instead).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _sym(edges: DataFrame) -> DataFrame:
-    """Symmetrize, drop self-loops, dedup: both directions of every edge."""
-    rev = edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    return edges.union(rev).where(F.col("u") != F.col("v")).distinct()
-
-
-def _large_star(e_sym: DataFrame) -> DataFrame:
+def _large_star(e_down: DataFrame, small: bool = False) -> DataFrame:
     """Connect every neighbor v > u to m(u) = min(Γ(u) ∪ {u}).
 
-    No trailing distinct: the caller immediately re-symmetrizes, and
-    ``_sym``'s distinct subsumes it (one shuffle saved per round).
+    ``e_down`` is a DEDUPED down-edge set (v < u on every row) — the loop
+    invariant both stars preserve. The symmetric neighborhood view is a
+    shuffle-free union of the two orientations: they are DISJOINT row
+    sets (one has v < u, the other v > u), so no distinct is needed —
+    the per-round ``_sym`` union+distinct exchange this replaces was pure
+    overhead (min-aggregations are duplicate-insensitive anyway, and the
+    up-orientation rows are exactly one row per unordered edge, which is
+    all the v > u emission below consumes).
+
+    No trailing distinct: two sources can emit the same (v, m), but the
+    consumer ``_small_star`` is duplicate-tolerant and ends in the
+    round's one distinct.
+
+    ``small``: the loop passes True when the driver-known edge count of
+    this round's input fits ``rows_per_partition`` — the whole graph is
+    one partition's worth of data, so the min-per-node is computed with a
+    window over the SAME exchange the neighbor rows ride (one exchange,
+    no join) instead of groupBy+join (two exchanges). The window form is
+    NOT skew-safe in general (a hot node's neighborhood lands on one
+    task, and AQE skew-splitting covers joins, not windows), so big
+    rounds keep the groupBy+join+AQE path; as a 100 TB graph collapses
+    toward its star-forest fixpoint the later, tiny rounds switch to the
+    low-latency form. Both forms emit the same rows.
     """
-    mins = e_sym.groupBy("u").agg(F.min("v").alias("mn"))
+    nbrs = e_down.union(
+        e_down.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    if small:
+        w = Window.partitionBy("u")
+        return (
+            nbrs.withColumn(
+                "m", F.least(F.min("v").over(w), F.col("u"))
+            )
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+        )
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
     mins = mins.select("u", F.least("u", "mn").alias("m"))
     return (
-        e_sym.where(F.col("v") > F.col("u"))
+        nbrs.where(F.col("v") > F.col("u"))
         .join(mins, "u")
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
+        # output rows have v = m(u) <= u < old-v = new-u: down-edges again
     )
 
 
-def _small_star(e_sym: DataFrame) -> DataFrame:
-    """Within each node's smaller neighborhood, connect all to the minimum."""
-    down = e_sym.where(F.col("v") < F.col("u"))  # each unordered edge once
-    mins = down.groupBy("u").agg(F.min("v").alias("m"))
+def _small_star(e_down: DataFrame, small: bool = False) -> DataFrame:
+    """Within each node's smaller neighborhood, connect all to the minimum.
+
+    ``e_down`` holds only down-edges (v < u), so each node's SMALLER
+    symmetric neighbors are exactly its out-edges here — no
+    symmetrization needed at all (an up-orientation row (b, a) with
+    a > b contributes a to Γ(b) as a LARGER neighbor, which small-star
+    ignores). Duplicate input rows are tolerated: they cannot change the
+    min and the trailing distinct clears them from the output.
+
+    ``small``: window-over-one-exchange form for driver-known-small
+    rounds (see ``_large_star``); the (u, m) rows it unions carry
+    per-edge duplicates where the groupBy form had one row per u, but
+    the trailing distinct makes the output sets identical."""
+    if small:
+        w = Window.partitionBy("u")
+        d = e_down.withColumn("m", F.min("v").over(w))
+        rewired = d.select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        ).where(F.col("u") != F.col("v"))
+        return rewired.union(
+            d.select(F.col("u"), F.col("m").alias("v"))
+        ).distinct()
+    mins = e_down.groupBy("u").agg(F.min("v").alias("m"))
     rewired = (
-        down.join(mins, "u")
+        e_down.join(mins, "u")
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
     )
@@ -86,7 +135,16 @@ def connected_components(
     the output only if some complete edge mentions it.
     """
     e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        # orient every edge DOWN (u > v) before the initial dedup: the loop
+        # invariant (deduped down-edge set) that lets both star operations
+        # build their neighborhood views with a shuffle-free union instead
+        # of a per-round symmetrize+distinct exchange. The initial distinct
+        # also collapses (a,b)/(b,a) input pairs to one row, which the old
+        # per-round _sym had been re-deduplicating every round.
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .where(F.col("u") != F.col("v"))
         .distinct()
@@ -103,13 +161,22 @@ def connected_components(
         e.select(F.col("v").alias("node"))
     ).distinct()
 
-    parts: int | None = None
+    def _parts_for(n: int) -> int:
+        return max(1, min(n // rows_per_partition + 1, 4096))
+
+    # Materialize the (lazily checkpointed) input and learn its size in ONE
+    # job — the count rides the materialization the first round would have
+    # paid anyway, and knowing n BEFORE round 1 lets the loop pick the
+    # round-1 operator form and coalesce target instead of flying blind at
+    # the session default until the first probe returns.
+    n_edges = e.count()
+    parts = _parts_for(n_edges)
+    small = n_edges <= rows_per_partition
     rounds = 0
     for _ in range(max_rounds):
         rounds += 1
-        e = _small_star(_sym(_large_star(_sym(e))))
-        if parts is not None:
-            e = e.coalesce(parts)  # narrow — merges, never reshuffles
+        e = _small_star(_large_star(e, small), small)
+        e = e.coalesce(parts)  # narrow — merges, never reshuffles
         # Lazy: the convergence action right below materializes the
         # checkpoint (the probe runs over e's own RDD, so the full rows
         # persist as a side effect) — one job per round, not two.
@@ -154,7 +221,9 @@ def connected_components(
         ).collect()[0]
         if not row.bad:  # star forest (n_edges NULL ⇒ empty graph: done too)
             break
-        parts = max(1, min((row.n_edges or 0) // rows_per_partition + 1, 4096))
+        n_edges = row.n_edges or 0
+        parts = _parts_for(n_edges)
+        small = n_edges <= rows_per_partition
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
     if stats is not None:

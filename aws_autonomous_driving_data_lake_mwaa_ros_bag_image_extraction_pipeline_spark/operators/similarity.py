@@ -165,6 +165,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     queries: DataFrame | None = None,
+    late_attach: bool = False,
 ) -> DataFrame:
     """Approximate top-k: compare only within shared LSH buckets.
 
@@ -173,39 +174,94 @@ def lsh_topk(
     once. At 100 TB this is the difference between O(n²) and O(n·bucket).
     ``queries`` (optional, id column only) restricts the query side to a
     probe set via broadcast semi-join — per-query results are unchanged
-    (ranking is per-query), the candidate join just skips non-probes."""
-    bk = lsh_buckets(emb, dim, n_tables, n_bits, id_col, vec_col)
+    (ranking is per-query), the candidate join just skips non-probes.
+
+    ``late_attach`` picks where the dim-sized vectors enter the plan; the
+    two forms return identical rows (same vectors, same double
+    arithmetic), only the exchanges differ:
+
+    - ``False`` (default, right for single-box/bench scale): vectors ride
+      the bucket rows through the bucket join and the pair dedup — fewest
+      stages, and at local scale per-stage latency dominates exchange
+      bytes (measured at sf0.1: the late form's two extra join stages
+      cost ~0.3 s against ~50 MB of shuffle saved).
+    - ``True`` (the 100 TB setting): candidate generation and dedup run
+      over (id, table, bucket) rows ONLY, and vectors+norms attach to the
+      deduped pair set by id (guide-§8: decide with small rows, move the
+      heavy payload once). The early form ships each vector n_tables
+      times into the bucket join plus twice per surviving candidate
+      through the dedup exchange; the late form ships ids (16 B/pair)
+      until the verify join, where each vector moves once per candidate
+      degree — the minimum the verify can do. include_vec=False also
+      halves the Python-boundary bytes of the bucket pass.
+    """
+    bk = lsh_buckets(
+        emb, dim, n_tables, n_bits, id_col, vec_col,
+        include_vec=not late_attach,
+    )
     if queries is not None:
         bk_q = bk.join(
             F.broadcast(queries.select(F.col(id_col))), id_col, "left_semi"
         )
     else:
         bk_q = bk
-    # Norms fold once per BUCKET ROW (n·n_tables), not once per candidate
-    # pair — same double arithmetic, so scores (and oracle hashes) are
-    # unchanged while the verify stage sheds its dominant cost.
-    a = bk_q.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        V.norm(vec_col).alias("__nq"), "table", "bucket"
-    )
-    b = bk.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        V.norm(vec_col).alias("__nc"), "table", "bucket"
-    )
-    # SHUFFLE_HASH on the bucket self-join: both sides derive from the same
-    # lsh_buckets pass, so the shuffle join's exchanges canonicalize equal
-    # and ReuseExchange runs the Python bucket assignment ONCE (the default
-    # broadcast plan re-ran the mapInPandas pass per side and spawned a
-    # second fleet of Python workers for the racing stage). A corpus-sized
-    # bucket table can't broadcast at 100 TB either — the per-partition
-    # hash build is the scale-safe strategy.
-    cands = (
-        a.hint("shuffle_hash")
-        .join(b.hint("shuffle_hash"), ["table", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qv", "cv", "__nq", "__nc")
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
+    # SHUFFLE_HASH on the bucket self-join (both forms): the two sides are
+    # the same lsh_buckets pass, so the shuffle join's exchanges
+    # canonicalize equal and ReuseExchange runs the Python bucket
+    # assignment ONCE (the default broadcast plan re-ran the mapInPandas
+    # pass per side and spawned a second fleet of Python workers for the
+    # racing stage). A corpus-sized bucket table can't broadcast at 100 TB
+    # either — the per-partition hash build is the scale-safe strategy.
+    if late_attach:
+        a = bk_q.select(F.col(id_col).alias("query_id"), "table", "bucket")
+        b = bk.select(F.col(id_col).alias("neighbor_id"), "table", "bucket")
+        cands = (
+            a.hint("shuffle_hash")
+            .join(b.hint("shuffle_hash"), ["table", "bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+        # The two join-back sides are the same emb subtree, so their
+        # exchanges canonicalize equal and the scan runs once.
+        vecs = emb.select(
+            F.col(id_col), F.col(vec_col), V.norm(vec_col).alias("__n")
+        )
+        cands = cands.join(
+            vecs.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("qv"),
+                F.col("__n").alias("__nq"),
+            ),
+            "query_id",
+        ).join(
+            vecs.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cv"),
+                F.col("__n").alias("__nc"),
+            ),
+            "neighbor_id",
+        )
+    else:
+        # Norms fold once per BUCKET ROW (n·n_tables), not once per
+        # candidate pair — same double arithmetic, so scores (and oracle
+        # hashes) are unchanged while the verify stage sheds its dominant
+        # cost.
+        a = bk_q.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+            V.norm(vec_col).alias("__nq"), "table", "bucket"
+        )
+        b = bk.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+            V.norm(vec_col).alias("__nc"), "table", "bucket"
+        )
+        cands = (
+            a.hint("shuffle_hash")
+            .join(b.hint("shuffle_hash"), ["table", "bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", "qv", "cv", "__nq", "__nc")
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
     scored = cands.select(
         "query_id",
         "neighbor_id",

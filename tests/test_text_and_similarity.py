@@ -225,6 +225,28 @@ def test_lsh_topk_neighbors_are_exact_cosines(spark, emb):
         assert r.cosine == pytest.approx(round(_cos(a, b), 6), abs=1e-6)
 
 
+def test_lsh_topk_late_attach_parity(spark):
+    """The late_attach=True form (candidates/dedup over ids only, vectors
+    joined back at verify — the 100 TB exchange layout) returns row-for-row
+    the same result as the default early form: same pairs, same ranks,
+    bit-equal cosines (same vectors, same double arithmetic)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    early = similarity.lsh_topk(emb, dim=64, k=5, n_tables=4, n_bits=8)
+    late = similarity.lsh_topk(
+        emb, dim=64, k=5, n_tables=4, n_bits=8, late_attach=True
+    )
+    rows_e = sorted(map(tuple, early.collect()))
+    rows_l = sorted(map(tuple, late.collect()))
+    assert rows_e == rows_l
+    # the late plan's candidate dedup must not carry the vectors: no
+    # embedding column below the pair-level HashAggregate
+    plan = late._jdf.queryExecution().optimizedPlan().toString()
+    agg_lines = [
+        ln for ln in plan.splitlines() if "Aggregate" in ln and "query_id" in ln
+    ]
+    assert agg_lines and all("qv" not in ln for ln in agg_lines)
+
+
 def test_ivf_index_lifecycle(spark, tmp_path):
     """Persisted IVF index returns exactly what the in-memory ivf_topk
     returns for the same (refined) centroids, and the search plan prunes
