@@ -821,15 +821,19 @@ def hash_near_pairs(
     matches ≥1 slice exactly), candidates from the band-bucket equi-join,
     ``bit_count(xor)`` verify. O(collisions), never all-pairs.
 
-    The banded table is persisted before the self-join: ``df`` is
-    typically an expensive signature plan (the corpus-wide SimHash
-    tokenize + 32-sum groupBy, a per-image dHash decode), and without the
-    persist each join side re-runs it (measured 1.24 s → 0.99 s at sf0.1
-    for simhash_near_pairs; the banded rows are just bands×n (id, sig,
-    bucket) longs — the same bytes the join shuffle materializes).
-    ``eager=True`` materializes the result and unpersists the banded
-    table before returning — the bounded-lifetime variant for long-lived
-    sessions calling this over many distinct inputs
+    The banded table is locally checkpointed (lazy) before the self-join:
+    ``df`` is typically an expensive signature plan (the corpus-wide
+    SimHash tokenize + 32-sum groupBy, a per-image dHash decode), and
+    without sharing, each join side re-runs it (measured 1.24 s → 0.99 s
+    at sf0.1 for simhash_near_pairs; the banded rows are just bands×n
+    (id, sig, bucket) longs — the same bytes the join shuffle
+    materializes). ``localCheckpoint`` rather than ``persist``: a fresh
+    RDD per CALL, freed by the ContextCleaner on GC — a persist() entry
+    is keyed on the canonicalized plan in the session CacheManager and
+    silently serves REPEAT invocations over the same input from cache (a
+    warm benchmark then stops measuring the signature pass entirely) and
+    leaks one entry per distinct input until session end. ``eager=True``
+    additionally materializes the result before returning
     (``_caching.finish``)."""
     if max_hamming is None:
         max_hamming = bands - 1
@@ -844,7 +848,7 @@ def hash_near_pairs(
     )
     long = df.select(
         F.col(id_col), F.col(hash_col).alias("__sig"), F.explode(buckets).alias("__bkt")
-    ).persist()
+    ).localCheckpoint(eager=False)
     a = long.select(
         F.col(id_col).alias("id_a"), F.col("__sig").alias("sig_a"), "__bkt"
     )
@@ -870,7 +874,7 @@ def hash_near_pairs(
     out = cands.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
-    return finish(out, long, eager=eager)
+    return finish(out, eager=eager)
 
 
 def ngram_novelty_scores(

@@ -116,13 +116,17 @@ def tfidf_cosine_pairs(
     accumulate as DECIMAL so the sum is shuffle-order independent and the
     quantized cosine is bit-stable across engines.
 
-    The pruned weight table is persisted: it feeds THREE consumers (the
-    norm agg and both self-join sides), and unpersisted each would re-run
-    the corpus tokenize + two groupBys (measured 1.33 s → 0.99 s at
-    sf0.1 — the same multi-consumer contract as minhash_dedup_pairs's
-    candidate set). ``eager=True`` materializes the result and unpersists
-    the weight table before returning — the bounded-lifetime variant for
-    long-lived sessions over many distinct inputs (``_caching.finish``).
+    The pruned weight table is locally checkpointed (lazy): it feeds
+    THREE consumers (the norm agg and both self-join sides), and without
+    sharing each would re-run the corpus tokenize + two groupBys
+    (measured 1.33 s → 0.99 s at sf0.1 — the same multi-consumer
+    contract as minhash_dedup_pairs's candidate set).
+    ``localCheckpoint`` rather than ``persist``: one fresh RDD per CALL,
+    freed on GC — a persist() entry lives in the session CacheManager
+    keyed on the canonicalized plan, silently serving repeat invocations
+    over the same input from cache and stacking one entry per distinct
+    input until session end. ``eager=True`` additionally materializes
+    the result before returning (``_caching.finish``).
     """
     toks = docs.select(
         F.col(id_col),
@@ -140,7 +144,7 @@ def tfidf_cosine_pairs(
             F.col("w"),
             (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("wt"),
         )
-    ).persist()
+    ).localCheckpoint(eager=False)
     norms = weights.groupBy(id_col).agg(
         F.sqrt(
             F.sum((F.col("wt") * F.col("wt")).cast("decimal(28,10)")).cast(
@@ -175,4 +179,4 @@ def tfidf_cosine_pairs(
         .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
-    return finish(out, weights, eager=eager)
+    return finish(out, eager=eager)

@@ -81,14 +81,34 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def dsum(col, alias):
-    """Exact (decimal-accumulated) sum of a double column, output DOUBLE."""
+    """Exact (decimal-accumulated) sum of a double column, output DOUBLE.
+
+    ``col`` may be a Column or a SQL-text fragment (see ``fsum`` — one
+    parser round trip instead of per-operator py4j calls; identical parsed
+    tree, identical values)."""
+    if isinstance(col, str):
+        return _dsum_expr(col).alias(alias)
     return F.sum(col.cast("decimal(18,6)")).cast("double").alias(alias)
 
 
 def davg(col, alias):
+    if isinstance(col, str):
+        return _davg_expr(col).alias(alias)
     return (
         F.sum(col.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))
     ).alias(alias)
+
+
+@functools.lru_cache(maxsize=256)
+def _dsum_expr(x: str):
+    return F.expr(f"CAST(SUM(CAST(({x}) AS DECIMAL(18,6))) AS DOUBLE)")
+
+
+@functools.lru_cache(maxsize=256)
+def _davg_expr(x: str):
+    return F.expr(
+        f"CAST(SUM(CAST(({x}) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(1)"
+    )
 
 
 def _fx_long(col):
@@ -139,12 +159,55 @@ def fsum(col, alias):
     of Decimal object arithmetic (~4-5× on the flagship). Valid while
     Σ|x|·10⁶ < 2⁶³ (~9.2·10¹² in column units here — raise to dsum when a
     column's magnitude × row count approaches that; overflow is loud under
-    ANSI mode, silent wraparound otherwise, so budget it deliberately)."""
+    ANSI mode, silent wraparound otherwise, so budget it deliberately).
+
+    ``col`` as a SQL-text fragment takes the memoized one-parse fast path:
+    the Column form of the carrier is ~15 operator constructions (≈10² py4j
+    round trips) PER AGGREGATE, measured as the dominant plan-build cost of
+    the relational headliners. The SQL string mirrors the Column tree
+    token-for-token (double literals spelled ``0.5D``/``1E-6``, int
+    literals bare, same operator order), so parsed trees — and values —
+    are identical; the oracle hash gate pins that."""
+    if isinstance(col, str):
+        return _fx_sum_expr(col).alias(alias)
     return _fx_out(F.sum(_fx_long(col))).alias(alias)
 
 
 def favg(col, alias):
+    if isinstance(col, str):
+        return _fx_avg_expr(col).alias(alias)
     return (_fx_out(F.sum(_fx_long(col))) / F.count(F.lit(1))).alias(alias)
+
+
+def _fx_long_sql(x: str) -> str:
+    """SQL-text twin of ``_fx_long`` — see ``fsum``. Each sub-expression is
+    spelled exactly as the Column API builds it (same literal types, same
+    nesting), so the parser returns the identical tree."""
+    y = f"({x}) * 1000000"
+    frac = f"({y}) - floor({y})"
+    danger = f"abs(({frac}) - 0.5D) < greatest(1E-6, abs({y}) * 1E-13)"
+    dec = f"CAST(CAST(({x}) AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+    fast = (
+        f"CASE WHEN ({y}) >= 0 THEN floor(({y}) + 0.5D) "
+        f"ELSE -floor(0.5D - ({y})) END"
+    )
+    return f"CASE WHEN {danger} THEN {dec} ELSE {fast} END"
+
+
+@functools.lru_cache(maxsize=256)
+def _fx_sum_expr(x: str):
+    return F.expr(
+        f"CAST(CAST(SUM({_fx_long_sql(x)}) AS DECIMAL(24,0)) / 1000000"
+        " AS DOUBLE)"
+    )
+
+
+@functools.lru_cache(maxsize=256)
+def _fx_avg_expr(x: str):
+    return F.expr(
+        f"CAST(CAST(SUM({_fx_long_sql(x)}) AS DECIMAL(24,0)) / 1000000"
+        " AS DOUBLE) / COUNT(1)"
+    )
 
 
 # Margin required before trusting the long carrier: the bound below is
@@ -344,19 +407,15 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     dp_mx = (
         None if ep_mx is None or disc_mx is None else ep_mx * (1 + disc_mx)
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2024-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            gsum(F.col("l_quantity"), "sum_qty", n_rows=n, max_abs=qty_mx),
-            gsum(
-                F.col("l_extendedprice"), "sum_base_price",
-                n_rows=n, max_abs=ep_mx,
-            ),
-            gsum(disc_price, "sum_disc_price", n_rows=n, max_abs=dp_mx),
-            gavg(F.col("l_quantity"), "avg_qty", n_rows=n, max_abs=qty_mx),
-            gavg(F.col("l_discount"), "avg_disc", n_rows=n, max_abs=disc_mx),
+            gsum("l_quantity", "sum_qty", n_rows=n, max_abs=qty_mx),
+            gsum("l_extendedprice", "sum_base_price", n_rows=n, max_abs=ep_mx),
+            gsum("l_extendedprice * (1 - l_discount)", "sum_disc_price", n_rows=n, max_abs=dp_mx),
+            gavg("l_quantity", "avg_qty", n_rows=n, max_abs=qty_mx),
+            gavg("l_discount", "avg_disc", n_rows=n, max_abs=disc_mx),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -578,7 +637,6 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -586,7 +644,7 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(
-            fsum(revenue, "revenue"),
+            fsum("l_extendedprice * (1 - l_discount)", "revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -4899,9 +4957,8 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, urgent.select("o_orderkey"), "l_orderkey", "o_orderkey",
         m_bits=1 << 20,
     )
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return joined.groupBy("l_returnflag").agg(
-        fsum(disc, "revenue"), F.count(F.lit(1)).alias("n_items")
+        fsum("l_extendedprice * (1 - l_discount)", "revenue"), F.count(F.lit(1)).alias("n_items")
     )
 
 
@@ -6096,7 +6153,6 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_ok = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
@@ -6106,7 +6162,7 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(pair_ok)
         .withColumn("yr", F.year("o_orderdate"))
         .groupBy("supp_nation", "cust_nation", "yr")
-        .agg(fsum(rev, "revenue"))
+        .agg(fsum("l_extendedprice * (1 - l_discount)", "revenue"))
     )
 
 
@@ -6137,14 +6193,16 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (verified: the unpersisted form scans + shuffles lineitem twice).
     The total is a 1-row re-aggregate of the cached pv joined back by
     broadcast cross join (scalar-subquery pattern, same as bm25's corpus
-    stats); Spark's CacheManager dedupes repeated constructions by
-    canonical plan, so re-running the query reuses the same entry."""
+    stats); the shared aggregate is locally checkpointed PER CALL (lazy)
+    rather than persist()ed — a CacheManager entry would silently serve
+    repeat invocations over the same input from cache and live until
+    session end."""
     li = _t(spark, sf_dir, "lineitem")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
     pv = (
         li.groupBy("l_partkey")
         .agg(F.sum(rev).cast("double").alias("value"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     total = pv.agg(
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("_total")
@@ -6313,13 +6371,12 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables have no real NULLs in these columns, making NULL an
     unambiguous 'aggregated-away' marker."""
     li = _t(spark, sf_dir, "lineitem")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     grouped = li.groupingSets(
         [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
         "l_returnflag",
         "l_linestatus",
     ).agg(
-        fsum(rev, "revenue"),
+        fsum("l_extendedprice * (1 - l_discount)", "revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
     gid = (
@@ -6542,17 +6599,23 @@ def q_co_active_user_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.range_join import interval_overlap_join
 
     ev = _t(spark, sf_dir, "events")
-    # persisted: the spans table feeds BOTH join sides, and ReuseExchange
-    # does not fire across the self-join under AQE (same rationale as
-    # important_parts) — unpersisted, events would scan+aggregate twice
+    # SHUFFLE_HASH hints on both self-join sides: the bucketed interval
+    # join then shuffles two canonically-equal subtrees on the bucket key
+    # (the band-join pattern of minhash/lsh/winnow) instead of
+    # broadcast-materializing the spans aggregate per side. Measured at
+    # sf0.1: 0.95 s vs 2.1 s for either persist- or checkpoint-shared
+    # broadcast forms — and no cache/checkpoint state, so every run
+    # recomputes from the events scan (a persist() here served repeat
+    # invocations from the CacheManager and made the warm bench skip the
+    # aggregation entirely). Bucket keys are 6 h windows — few and hot —
+    # which AQE's skew-join split handles for shuffle joins.
     spans = (
         ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
         .agg(F.min("ts").alias("s_ts"), F.max("ts").alias("e_ts"))
-        .persist()
     )
     pairs = interval_overlap_join(
-        spans,
-        spans,
+        spans.hint("shuffle_hash"),
+        spans.hint("shuffle_hash"),
         "s_ts",
         "e_ts",
         "s_ts",
@@ -7988,7 +8051,7 @@ def q_knn_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     und = knn.select(
         F.least("id_a", "id_b").alias("u"), F.greatest("id_a", "id_b").alias("v")
-    ).distinct().persist()
+    ).distinct().localCheckpoint(eager=False)
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
@@ -9674,7 +9737,7 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(F.sum(rev).cast("double").alias("total_rev"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     mx = view.agg(F.max("total_rev").alias("_mx"))
     return (

@@ -298,22 +298,17 @@ def test_exact_shingle_jaccard_ground_truth(spark):
 
 
 def test_eager_variants_bound_cache_lifetime(spark):
-    """Cache-lifetime contract of the multi-consumer detectors.
-
-    Two groups since the r21 optimization pass:
-
-    - simhash / tfidf still ``persist()`` an intermediate the returned
-      LAZY plan depends on, so by default it lives in the cache manager
-      until session end (one entry per distinct input); ``eager=True``
-      is the bounded variant that unpersists before returning.
-    - minhash / winnow no longer touch the cache manager AT ALL: their
-      multi-consumer sharing is a per-call lazy ``localCheckpoint``
-      (minhash) or exchange reuse via canonicalization (winnow), so the
-      lazy path must leave the cache manager EMPTY — no entry keyed on
-      the input plan can silently serve a repeat invocation from cache.
-
-    Both groups: ``eager=True`` leaves the cache manager empty and
-    returns identical rows."""
+    """Cache-lifetime contract of the multi-consumer detectors since the
+    r21 optimization pass: NONE of them touch the session CacheManager.
+    Multi-consumer sharing is a per-call lazy ``localCheckpoint``
+    (minhash candidates, simhash banded table, tfidf weight table) or
+    exchange reuse via canonicalization (winnow), so the lazy path must
+    leave the cache manager EMPTY — a persist() entry keyed on the
+    canonicalized input plan would silently serve REPEAT invocations
+    over the same input from cache (unmeasured warm paths) and stack one
+    entry per distinct input until session end. ``eager=True`` (result
+    materialization) returns identical rows and also leaves the cache
+    manager empty."""
     from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
         search,
         textstats,
@@ -329,22 +324,18 @@ def test_eager_variants_bound_cache_lifetime(spark):
         .limit(300)
     )
     cm = spark._jsparkSession.sharedState().cacheManager()
-    persisting_ops = [
+    ops = [
         lambda **kw: simhash_near_pairs(docs, **kw),
         lambda **kw: search.tfidf_cosine_pairs(docs, threshold=0.8, **kw),
-    ]
-    checkpointing_ops = [
         lambda **kw: minhash_dedup_pairs(docs, threshold=0.5, **kw),
         lambda **kw: textstats.winnow_overlap_pairs(docs, window=8, **kw),
     ]
-    for op in persisting_ops + checkpointing_ops:
-        parks_cm_entry = op in persisting_ops
+    for op in ops:
         spark.catalog.clearCache()
         lazy = op()
         want = sorted(map(tuple, lazy.collect()))
-        assert cm.isEmpty() != parks_cm_entry
+        assert cm.isEmpty()  # lazy path: no cache-manager entry either
 
-        spark.catalog.clearCache()
         got = op(eager=True)
         assert cm.isEmpty()  # eager: nothing persisted survives the call
         assert sorted(map(tuple, got.collect())) == want
