@@ -166,15 +166,21 @@ def dedup_against_index(
     spark = new_docs.sparkSession
     _check_params(spark, index_path, shingle_len, num_hashes, bands)
 
-    # cached: the signature frame feeds the bucket derivation AND the
-    # estimator join (one shingle pass, not two); the bucket frame is read
-    # by the prefix collect, the cross probe, and the within self-join.
-    # Batch-sized, evicted LRU (the returned plan is lazy, so an eager
-    # unpersist here would silently recompute the shingle pass).
+    # locally checkpointed (lazy, per call): the signature frame feeds the
+    # bucket derivation AND the estimator join (one shingle pass, not
+    # two); the bucket frame is read by the prefix collect, the cross
+    # probe, and the within self-join. Batch-sized. localCheckpoint, not
+    # cache(): a cache entry is keyed on the canonicalized plan, so
+    # repeat probes of the same batch would be served from the
+    # CacheManager (never recomputed, never measured) and entries evict
+    # only under LRU pressure; checkpoint blocks are per-call and freed
+    # on GC.
     new_sig = dedup.minhash_signatures(
         new_docs, id_col, text_col, shingle_len, num_hashes
-    ).cache()
-    new_banded = _buckets_from_sig(new_sig, id_col, num_hashes, bands).cache()
+    ).localCheckpoint(eager=False)
+    new_banded = _buckets_from_sig(new_sig, id_col, num_hashes, bands).localCheckpoint(
+        eager=False
+    )
     pfxs = [r.pfx for r in new_banded.select("pfx").distinct().collect()]
     idx = spark.read.parquet(f"{index_path}/buckets").filter(
         F.col("pfx").isin(pfxs)

@@ -340,20 +340,25 @@ def winnow_overlap_pairs(
     signal). Pruned fingerprints leave both the numerator and the
     denominator, so overlap stays internally consistent.
 
-    The md5 selector pass runs EXACTLY ONCE per execution by
-    construction, with no persist: the df-ceiling is a count window over
-    the fingerprint hash (one exchange on ``h``, replacing the old
-    groupBy + left-semi pair, which was a second consumer of the selector
-    subtree), and the self-join takes SHUFFLE_HASH hints so its two
-    alias-only-different sides canonicalize equal and ReuseExchange reads
-    ONE exchange instead of re-running the selector per side (the
-    band-join pattern of minhash/lsh/embedding dedup). The per-doc size
-    branch re-reads the same reused exchanges, never the selector.
-    (The previous persist()-based formulation measured THREE full
-    selector re-runs per WARM call at sf0.1 — concurrent AQE query
-    stages each raced the cache fill — plus two cache-manager entries
-    that outlived the call; ``eager`` now controls only result
-    materialization.)"""
+    The md5 selector pass runs EXACTLY ONCE per execution: the df-ceiling
+    is a count window over the fingerprint hash (one exchange on ``h``,
+    replacing the old groupBy + left-semi pair, which was a second
+    consumer of the selector subtree), and the PRUNED fingerprint table
+    is locally checkpointed (lazy, per call) before fanning out to its
+    three consumers (both self-join sides and the per-doc size branch).
+    The checkpoint — not exchange reuse — is what guarantees the single
+    pass: AQE's stage cache fails to match a stage whose child is a
+    ReusedExchange against its twin built over the original exchange, so
+    the size branch was observed re-running the ENTIRE selector+distinct
+    +window chain per execution (final adaptive plan showed two disjoint
+    ShuffleQueryStage chains; measured 1.77 s vs 0.61 s with the
+    checkpoint at sf0.1). The checkpointed rows are the narrow (id, h)
+    pairs the shuffles carry anyway. No persist: a CacheManager entry
+    would serve repeat invocations over the same input from cache and
+    outlive the call (the previous persist()-based formulation
+    additionally measured THREE selector re-runs per warm call —
+    concurrent AQE query stages racing the cache fill); ``eager``
+    controls only result materialization."""
     sel = (
         _winnow_fingerprints(k, window, text_col)
         if window is not None
@@ -373,6 +378,7 @@ def winnow_overlap_pairs(
         fp.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("h")))
         .filter(F.col("__df") <= max_df)
         .drop("__df")
+        .localCheckpoint(eager=False)
     )
     sz = pruned.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     a = pruned.select(F.col(id_col).alias("id_a"), "h").hint("shuffle_hash")
