@@ -48,13 +48,39 @@ def bm25_topk(
     across engines that may differ in the last ulp of ``ln``.
     Returns (id_col, bm25) with bm25 descending, ties broken by id.
     """
-    def _tf(term: str):
-        # closure, not a lambda default: a 2-arg lambda signature would make
-        # PySpark pass the array *index* as the second arg (HOF arity is
-        # inspected from the signature, defaults included).
-        return F.size(F.filter(F.col("__toks"), lambda x: x == F.lit(term)))
+    # SQL-text fast path (guide §7.3 — plan-construction latency): the
+    # per-term tf/df/score expressions cost ~770 py4j round trips through
+    # the Column API; as SQL strings each column is ONE parser round trip,
+    # and the parsed trees mirror the Column forms (double literals
+    # spelled ``0.5D``, same operator nesting), so values are unchanged
+    # (oracle-gated). Terms outside a conservative literal alphabet fall
+    # back to the Column path rather than risk an escaping bug.
+    import re as _re
 
-    tf_cols = [_tf(t).alias(f"__tf{i}") for i, t in enumerate(query_terms)]
+    sql_safe = all(
+        isinstance(t, str) and _re.fullmatch(r"[A-Za-z0-9_\- .]+", t)
+        for t in query_terms
+    ) and all(
+        _re.fullmatch(r"-?\d+(\.\d+)?", repr(float(v)))
+        for v in (k1, b, 1 - b)
+    )
+
+    if sql_safe:
+        tf_cols = [
+            F.expr(f"size(filter(__toks, x -> x = '{t}')) AS __tf{i}")
+            for i, t in enumerate(query_terms)
+        ]
+    else:
+        def _tf(term: str):
+            # closure, not a lambda default: a 2-arg lambda signature
+            # would make PySpark pass the array *index* as the second arg
+            # (HOF arity is inspected from the signature, defaults
+            # included).
+            return F.size(
+                F.filter(F.col("__toks"), lambda x: x == F.lit(term))
+            )
+
+        tf_cols = [_tf(t).alias(f"__tf{i}") for i, t in enumerate(query_terms)]
     # NULL-text docs are excluded: they can't match any query term, but
     # left in they'd count toward N while contributing NULL to __sumdl,
     # deflating avgdl and shifting every real document's score.
@@ -70,23 +96,37 @@ def bm25_topk(
         F.count(F.lit(1)).alias("__n"),
         F.sum("__dl").alias("__sumdl"),
         *[
-            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            F.expr(f"SUM(CAST((__tf{i} > 0) AS BIGINT)) AS __df{i}")
+            if sql_safe
+            else F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
             for i in range(len(query_terms))
         ],
     )
     # sum/count (not avg) so both engines derive avgdl from the same exact
     # integer operands.
-    avgdl = F.col("__sumdl").cast("double") / F.col("__n")
-    norm = F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("__dl") / avgdl)
-    score = None
-    for i in range(len(query_terms)):
-        idf = F.log(
-            F.lit(1.0)
-            + (F.col("__n") - F.col(f"__df{i}") + F.lit(0.5))
-            / (F.col(f"__df{i}") + F.lit(0.5))
+    if sql_safe:
+        norm_s = (
+            f"({k1!r}D * ({(1 - b)!r}D + (({b!r}D * __dl)"
+            " / (CAST(__sumdl AS DOUBLE) / __n))))"
         )
-        part = idf * F.col(f"__tf{i}") / (F.col(f"__tf{i}") + norm)
-        score = part if score is None else score + part
+        parts = [
+            f"((ln(1.0D + (((__n - __df{i}) + 0.5D) / (__df{i} + 0.5D)))"
+            f" * __tf{i}) / (__tf{i} + {norm_s}))"
+            for i in range(len(query_terms))
+        ]
+        score = F.expr("(" + " + ".join(parts) + ")")
+    else:
+        avgdl = F.col("__sumdl").cast("double") / F.col("__n")
+        norm = F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("__dl") / avgdl)
+        score = None
+        for i in range(len(query_terms)):
+            idf = F.log(
+                F.lit(1.0)
+                + (F.col("__n") - F.col(f"__df{i}") + F.lit(0.5))
+                / (F.col(f"__df{i}") + F.lit(0.5))
+            )
+            part = idf * F.col(f"__tf{i}") / (F.col(f"__tf{i}") + norm)
+            score = part if score is None else score + part
     return (
         per_doc.join(F.broadcast(stats))
         .select(F.col(id_col), quantize(score, digits).alias("bm25"))

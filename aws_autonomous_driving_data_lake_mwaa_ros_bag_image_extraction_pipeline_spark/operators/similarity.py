@@ -644,13 +644,35 @@ def append_to_ivf_index(
 # Product quantization (PQ): memory-bound ANN
 # ---------------------------------------------------------------------------
 
+import functools as _functools
+import re as _re
+
+_SQL_IDENT = _re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+@_functools.lru_cache(maxsize=128)
+def _subspace_explode_expr(dim: int, m: int, vec_col: str, out: str):
+    """Memoized SQL-text form of the subspace explode (guide §7.3): the
+    Column build (transform + struct + slice lambda) costs ~10² py4j
+    round trips and is constructed identically on every call; the SQL
+    string mirrors it token-for-token (int literals, ``(s * d) + 1``
+    nesting), so the parsed tree — and values — are unchanged."""
+    d = dim // m
+    return F.expr(
+        f"explode(transform(sequence(0, {m - 1}), "
+        f"s -> struct(s AS sub, slice({vec_col}, (s * {d}) + 1, {d})"
+        f" AS {out})))"
+    ).alias("__sp")
+
+
 def _subspaces(df: DataFrame, dim: int, m: int, vec_col: str, out: str):
     """Explode a vector column into ``m`` contiguous subvectors:
     (…, sub, <out>). dim must divide by m."""
     d = dim // m
-    return df.select(
-        "*",
-        F.explode(
+    if _SQL_IDENT.match(vec_col) and _SQL_IDENT.match(out):
+        sp = _subspace_explode_expr(dim, m, vec_col, out)
+    else:
+        sp = F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(m - 1)),
                 lambda s: F.struct(
@@ -658,8 +680,10 @@ def _subspaces(df: DataFrame, dim: int, m: int, vec_col: str, out: str):
                     F.slice(F.col(vec_col), s * d + 1, d).alias(out),
                 ),
             )
-        ).alias("__sp"),
-    ).select(*[c for c in df.columns], F.col("__sp.sub"), F.col(f"__sp.{out}"))
+        ).alias("__sp")
+    return df.select("*", sp).select(
+        *[c for c in df.columns], F.col("__sp.sub"), F.col(f"__sp.{out}")
+    )
 
 
 def pq_codebooks(

@@ -675,6 +675,35 @@ def test_bm25_ignores_null_text_docs(spark):
     assert a == b
 
 
+def test_bm25_sql_text_path_matches_column_path(spark, monkeypatch):
+    """The SQL-text fast path (one parser round trip per expression) must
+    return bit-identical scores to the Column-API fallback. The fallback
+    is forced by making the safety regex reject every term."""
+    import re as _re
+    import struct
+
+    from aws_autonomous_driving_data_lake_mwaa_ros_bag_image_extraction_pipeline_spark.operators import (
+        search,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    terms = ["data", "model", "the"]
+    fast = search.bm25_topk(docs, terms, k=25).collect()
+
+    real_fullmatch = _re.fullmatch
+    monkeypatch.setattr(
+        _re, "fullmatch", lambda *a, **k: None
+    )  # every guard check fails → Column path
+    slow = search.bm25_topk(docs, terms, k=25).collect()
+    monkeypatch.setattr(_re, "fullmatch", real_fullmatch)
+
+    assert [(r.doc_id,) for r in fast] == [(r.doc_id,) for r in slow]
+    for rf, rs in zip(fast, slow):
+        assert struct.pack("<d", rf.bm25) == struct.pack("<d", rs.bm25)
+
+
 def test_zero_norm_and_null_embeddings_dont_abort_search(spark):
     """A zero-norm or NULL embedding must not abort the search/dedup job
     under ANSI mode: norm() yields NULL so degenerate vectors simply
