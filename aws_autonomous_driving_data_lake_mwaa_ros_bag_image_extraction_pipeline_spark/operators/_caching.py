@@ -32,6 +32,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def share(df: DataFrame) -> DataFrame:
+    """Per-call shared intermediate for multi-consumer plans — the
+    checkpoint idiom every detector uses instead of ``persist()`` (see
+    module docstring for why the CacheManager is the wrong tool).
+
+    Durability follows the session's checkpoint configuration: when
+    ``spark.sparkContext.setCheckpointDir`` has been called, the
+    intermediate goes through a RELIABLE ``checkpoint(eager=False)`` —
+    written to the fault-tolerant checkpoint store, so an executor loss on
+    a preemptible/churning cluster re-reads it instead of killing the job.
+    Without a checkpoint dir (the local/bench default) it stays
+    ``localCheckpoint(eager=False)``: executor-local blocks, freed by the
+    ContextCleaner on GC, no extra I/O. Both are LAZY — the first
+    consumer's job materializes the blocks, so sharing costs no standalone
+    job either way."""
+    sc = df.sparkSession.sparkContext
+    try:
+        has_dir = sc.getCheckpointDir() is not None
+    except Exception:
+        has_dir = False
+    if has_dir:
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)
+
+
 def finish(result: DataFrame, *intermediates: DataFrame, eager: bool = False) -> DataFrame:
     """Return ``result`` as-is (lazy, default), or — ``eager=True`` —
     materialized via ``localCheckpoint(eager=True)`` with every

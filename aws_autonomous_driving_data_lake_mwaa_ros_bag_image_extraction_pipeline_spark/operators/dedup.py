@@ -22,7 +22,12 @@ from pyspark.sql import functions as F
 from ..functions import hashing as H
 from ..functions import text as T
 from ..functions import vectors as V
-from ._caching import finish
+from ._caching import finish, share
+from ._planstats import broadcast_threshold_bytes, input_size_bytes
+
+# "Caller didn't say" marker for spread knobs whose None already means
+# "measured: don't spread" (see embedding_dup_pairs).
+_UNSET = object()
 
 
 def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -279,9 +284,7 @@ def minhash_dedup_pairs(
     before returning (``_caching.finish``).
     """
     sh_long = _shingle_long(docs, id_col, text_col, shingle_len, repartition_to)
-    cands = _candidates_from(sh_long, id_col, num_hashes, bands).localCheckpoint(
-        eager=False
-    )
+    cands = share(_candidates_from(sh_long, id_col, num_hashes, bands))
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .union(cands.select(F.col("id_b").alias(id_col)))
@@ -454,6 +457,7 @@ def simhash_near_pairs(
     max_hamming: int | None = None,
     repartition_to: int | None = None,
     eager: bool = False,
+    band_join: str = "auto",
 ) -> DataFrame:
     """Near-dup pairs by SimHash **Hamming distance**, found at scale.
 
@@ -470,7 +474,7 @@ def simhash_near_pairs(
     sig = simhash(docs, id_col, text_col, bits, repartition_to)
     return hash_near_pairs(
         sig, "simhash", id_col=id_col, bits=bits, bands=bands,
-        max_hamming=max_hamming, eager=eager,
+        max_hamming=max_hamming, eager=eager, band_join=band_join,
     )
 
 
@@ -484,7 +488,7 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     n_tables: int = 8,
     n_bits: int = 6,
-    repartition_to: int | None = None,
+    repartition_to=_UNSET,
 ) -> DataFrame:
     """Cosine-similar pairs above threshold — LSH-bucketed (the scale path).
 
@@ -495,11 +499,22 @@ def embedding_dup_pairs(
     Recall is tunable via (n_tables, n_bits) — more tables → higher recall,
     fewer bits → bigger buckets. For an exact (oracle-checkable) answer use
     ``embedding_dup_pairs_exact``.
-    """
+
+    ``repartition_to`` spreads the two CPU-bound stages (the bucket matmul
+    pass, via ``lsh_buckets``, and the candidate verify — see below) for
+    callers that MEASURED an underfilled input layout
+    (plans.registry._spread_par): an int spreads both to that width,
+    ``None`` skips both exchanges (the 100 TB layout — the scan already
+    has the splits). Unset keeps the legacy local behavior: bucket pass
+    spread to ``defaultParallelism`` by ``lsh_buckets``' own default,
+    candidate verify left to AQE."""
     from . import similarity
 
     bk = similarity.lsh_buckets(
-        emb, dim, n_tables, n_bits, id_col, vec_col, include_vec=False
+        emb, dim, n_tables, n_bits, id_col, vec_col, include_vec=False,
+        repartition_to=similarity._SPREAD_DEFAULT
+        if repartition_to is _UNSET
+        else repartition_to,
     )
     a = bk.select(F.col(id_col).alias("id_a"), "table", "bucket")
     b = bk.select(F.col(id_col).alias("id_b"), "table", "bucket")
@@ -516,7 +531,7 @@ def embedding_dup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
-    if repartition_to:
+    if repartition_to is not _UNSET and repartition_to:
         # The exact-cosine verify below is CPU-bound PER ROW (a dim-wide
         # fold per candidate), but AQE coalesces the dedup exchange by
         # BYTES — measured at sf0.1: 252k id-pairs ≈ 2 MB → 2 post-AQE
@@ -813,6 +828,8 @@ def hash_near_pairs(
     bands: int = 4,
     max_hamming: int | None = None,
     eager: bool = False,
+    band_join: str = "auto",
+    n_salt: int | None = None,
 ) -> DataFrame:
     """Generic integer-signature Hamming near-dup pairs — the banding core
     of ``simhash_near_pairs`` exposed for ANY precomputed ``bits``-wide
@@ -834,11 +851,46 @@ def hash_near_pairs(
     warm benchmark then stops measuring the signature pass entirely) and
     leaks one entry per distinct input until session end. ``eager=True``
     additionally materializes the result before returning
-    (``_caching.finish``)."""
+    (``_caching.finish``).
+
+    ``band_join`` picks the self-join strategy — both forms emit the
+    identical pair set, only the exchanges differ:
+
+    - ``"broadcast"`` (the small-scale form): unhinted join; the planner
+      broadcasts one banded side. Right while the banded table fits in a
+      broadcast, because simhash-style band buckets are HEAVILY skewed —
+      the majority-vote bits cluster, so one hot bucket can hold a large
+      corpus fraction, and a plain shuffle join puts every row of a hot
+      bucket on ONE task (a single key AQE's skew-join split cannot break
+      apart; measured 1.8 s → 6.0 s at sf0.1) while the broadcast build
+      streams the hot bucket's probe side across ALL partitions.
+    - ``"salted"`` (the 100 TB form — a corpus-sized banded table cannot
+      broadcast): SHUFFLE_HASH join on ``(bucket, salt)`` where the
+      probe side's salt is ``pmod(xxhash64(id), n_salt)`` (deterministic —
+      guide §2.5's retry-safety rule) and the build side is exploded
+      ``n_salt`` ways, so a hot bucket's pair generation spreads over
+      ``n_salt`` tasks instead of one. Cost: build-side shuffle bytes ×
+      ``n_salt`` (rows are three longs). ``n_salt`` defaults to
+      ``defaultParallelism``.
+    - ``"auto"`` (default): salted when ``bands ×`` Catalyst's size
+      estimate of the base relations feeding the signature plan
+      (``_planstats.input_size_bytes`` — storage-grounded, unlike the
+      EiB-garbage propagated estimates of aggregate subtrees) exceeds the
+      session's autoBroadcastJoinThreshold — the same line past which the
+      planner itself would stop broadcasting — else broadcast. The input
+      bytes overestimate the banded table (text ≫ signature rows), so the
+      switch errs toward the scale-safe form.
+    """
     if max_hamming is None:
         max_hamming = bands - 1
     width = bits // bands
     mask = (1 << width) - 1
+    if band_join == "auto":
+        est = input_size_bytes(df)
+        thr = broadcast_threshold_bytes(df.sparkSession)
+        band_join = (
+            "salted" if est is not None and est * bands > thr else "broadcast"
+        )
     buckets = F.array(
         *[
             F.lit(b * (1 << width))
@@ -846,26 +898,30 @@ def hash_near_pairs(
             for b in range(bands)
         ]
     )
-    long = df.select(
+    long = share(df.select(
         F.col(id_col), F.col(hash_col).alias("__sig"), F.explode(buckets).alias("__bkt")
-    ).localCheckpoint(eager=False)
+    ))
     a = long.select(
         F.col(id_col).alias("id_a"), F.col("__sig").alias("sig_a"), "__bkt"
     )
     b = long.select(
         F.col(id_col).alias("id_b"), F.col("__sig").alias("sig_b"), "__bkt"
     )
-    # NOTE on join strategy: unlike the minhash/LSH band joins (uniform
-    # hash buckets → SHUFFLE_HASH + exchange reuse wins), simhash-style
-    # band buckets are HEAVILY skewed — the majority-vote bits cluster, so
-    # one hot bucket can hold a large corpus fraction. A shuffle join puts
-    # every row of a hot bucket on ONE task (a single key AQE's skew-join
-    # split cannot break apart; measured 1.8 s → 6.0 s at sf0.1), while
-    # the broadcast build streams the hot bucket's probe side across ALL
-    # partitions. Keep broadcast while the banded table fits; past that,
-    # salt the bucket key (explode one side k ways) before shuffling.
+    if band_join == "salted":
+        k = n_salt or df.sparkSession.sparkContext.defaultParallelism
+        a = a.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col("id_a")), F.lit(k)).cast("int")
+        )
+        b = b.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+        )
+        joined = a.hint("shuffle_hash").join(
+            b.hint("shuffle_hash"), ["__bkt", "__salt"]
+        )
+    else:
+        joined = a.join(b, ["__bkt"])
     cands = (
-        a.join(b, ["__bkt"])
+        joined
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sig_a", "sig_b")
         .dropDuplicates(["id_a", "id_b"])

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import dedup
+from ._caching import share
 
 
 def _buckets_from_sig(
@@ -175,12 +176,10 @@ def dedup_against_index(
     # CacheManager (never recomputed, never measured) and entries evict
     # only under LRU pressure; checkpoint blocks are per-call and freed
     # on GC.
-    new_sig = dedup.minhash_signatures(
+    new_sig = share(dedup.minhash_signatures(
         new_docs, id_col, text_col, shingle_len, num_hashes
-    ).localCheckpoint(eager=False)
-    new_banded = _buckets_from_sig(new_sig, id_col, num_hashes, bands).localCheckpoint(
-        eager=False
-    )
+    ))
+    new_banded = share(_buckets_from_sig(new_sig, id_col, num_hashes, bands))
     pfxs = [r.pfx for r in new_banded.select("pfx").distinct().collect()]
     idx = spark.read.parquet(f"{index_path}/buckets").filter(
         F.col("pfx").isin(pfxs)

@@ -10,16 +10,18 @@ groupBy+join pairs co-partitioned on the node key, and the edge set never
 grows beyond the input — the published shape for trillion-edge graphs.
 
 Driver involvement is one tiny convergence checksum per round (count +
-hash-sum, two numbers); per-round ``localCheckpoint`` truncates the lineage
-so the plan doesn't double each iteration (on a real cluster use
-``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` for
-fault-tolerant truncation instead).
+hash-sum, two numbers); a per-round checkpoint (``_caching.share``)
+truncates the lineage so the plan doesn't double each iteration — local by
+default, and automatically RELIABLE (``.checkpoint()`` to the
+fault-tolerant store) once ``spark.sparkContext.setCheckpointDir`` is set.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from ._caching import share
 
 
 def _large_star(e_down: DataFrame, small: bool = False) -> DataFrame:
@@ -112,6 +114,7 @@ def connected_components(
     max_rounds: int = 50,
     rows_per_partition: int = 1_000_000,
     stats: dict | None = None,
+    edges_deduped: bool = False,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; the component
     id is the smallest node id in the component.
@@ -133,6 +136,13 @@ def connected_components(
     predicate would drop them anyway, but silently): an edge to an
     unknown node connects nothing, and its non-NULL endpoint appears in
     the output only if some complete edge mentions it.
+
+    ``edges_deduped=True`` is the caller's guarantee that the input is
+    already one row per undirected edge with distinct non-null endpoints
+    (the near-dup detectors' pair tables are exactly that: id_a < id_b,
+    verified, dropDuplicates'd). The loop's initial dedup is then skipped
+    — at corpus scale that removes a full shuffle+aggregate of the edge
+    set before round 1 (orientation stays: it is a narrow projection).
     """
     e = (
         # orient every edge DOWN (u > v) before the initial dedup: the loop
@@ -147,19 +157,16 @@ def connected_components(
         )
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .where(F.col("u") != F.col("v"))
-        .distinct()
-        # checkpoint once: the input is typically an expensive detector plan
-        # (minhash/simhash), and it is consumed three times — round 0, the
-        # node inventory, and otherwise again per lineage replay. LAZY: the
-        # first round's checksum job below materializes it, so the detector
-        # runs exactly once but costs no standalone job (one driver action
-        # per round total — at sf-scale the loop was dominated by job-launch
-        # overhead, two actions per round, not by the tiny shuffles).
-        .localCheckpoint(eager=False)
     )
-    nodes = e.select(F.col("u").alias("node")).union(
-        e.select(F.col("v").alias("node"))
-    ).distinct()
+    if not edges_deduped:
+        e = e.distinct()
+    # checkpoint once: the input is typically an expensive detector plan
+    # (minhash/simhash), and round 0 would otherwise replay it per lineage
+    # re-walk. LAZY: the count below materializes it, so the detector runs
+    # exactly once but costs no standalone job (one driver action per
+    # round total — at sf-scale the loop was dominated by job-launch
+    # overhead, two actions per round, not by the tiny shuffles).
+    e = share(e)
 
     def _parts_for(n: int) -> int:
         return max(1, min(n // rows_per_partition + 1, 4096))
@@ -180,7 +187,7 @@ def connected_components(
         # Lazy: the convergence action right below materializes the
         # checkpoint (the probe runs over e's own RDD, so the full rows
         # persist as a side effect) — one job per round, not two.
-        e = e.localCheckpoint(eager=False)
+        e = share(e)
         # Convergence: small_star emits only down-edges (child > parent),
         # and a down-edge set is a star forest — the algorithm's fixpoint —
         # iff no node is both a child (left) and a parent (right). Testing
@@ -229,19 +236,27 @@ def connected_components(
     if stats is not None:
         stats["rounds"] = rounds
 
-    # At the fixpoint every edge is (child, root); roots/isolated nodes map
-    # to themselves. groupBy-min instead of assuming uniqueness costs nothing
-    # and keeps the contract safe even at max_rounds boundaries.
-    labels = e.where(F.col("v") < F.col("u")).groupBy("u").agg(
-        F.min("v").alias("component")
+    # At the fixpoint the down-edge set is a star forest over EXACTLY the
+    # input's node set: both star operations preserve the node inventory
+    # (large_star — a node with a smaller neighbor w re-emerges as a child
+    # of m(w) via w's row, a locally-minimal node re-emerges as the parent
+    # m(u) of its larger neighbors, a locally-maximal node as a child in
+    # each smaller neighbor's row; small_star — every u survives via its
+    # (u, m) row and every v either rewires to (v, m) or IS m and survives
+    # as the parent), and a size-m component's star has m-1 edges, so no
+    # component ever empties. The output therefore derives from the final
+    # edge set alone: children label with their (unique at fixpoint; min
+    # for max_rounds safety) parent, parents label with themselves — no
+    # separate node inventory off the input, no final left join (two
+    # exchanges and a join removed from every invocation; at corpus scale
+    # the inventory was a full union+distinct pass over the edge set).
+    labels = e.groupBy("u").agg(F.min("v").alias("component")).select(
+        F.col("u").alias("node"), "component"
     )
-    return (
-        nodes.join(labels, nodes.node == labels.u, "left")
-        .select(
-            F.col("node"),
-            F.coalesce("component", "node").alias("component"),
-        )
+    roots = e.select(F.col("v").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
     )
+    return labels.union(roots)
 
 
 def keep_canonical(
@@ -250,12 +265,15 @@ def keep_canonical(
     id_col: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    edges_deduped: bool = False,
 ) -> DataFrame:
     """Drop every near-duplicate except one canonical survivor per cluster
     (the smallest id). Docs not in any pair pass through untouched — the
     anti-join only shuffles the (tiny) non-canonical id set against the
     corpus, broadcast when it fits."""
-    comp = connected_components(pairs, src=id_a, dst=id_b)
+    comp = connected_components(
+        pairs, src=id_a, dst=id_b, edges_deduped=edges_deduped
+    )
     losers = comp.where(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
@@ -269,6 +287,7 @@ def keep_best(
     id_col: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    edges_deduped: bool = False,
 ) -> DataFrame:
     """``keep_canonical`` with a POLICY: per near-dup cluster keep the row
     with the highest ``score_col`` (ties → smallest id) instead of blindly
@@ -280,7 +299,9 @@ def keep_best(
     proportional to the duplicates, never the corpus."""
     from pyspark.sql import Window
 
-    comp = connected_components(pairs, src=id_a, dst=id_b)
+    comp = connected_components(
+        pairs, src=id_a, dst=id_b, edges_deduped=edges_deduped
+    )
     scored = comp.join(
         docs.select(
             F.col(id_col).alias("node"), F.col(score_col).alias("__s")

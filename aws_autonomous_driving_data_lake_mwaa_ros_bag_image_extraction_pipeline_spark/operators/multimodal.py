@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._planstats import SPREAD_DEFAULT
+
 
 def frame_sample(
     frames: DataFrame,
@@ -198,6 +200,7 @@ def audio_windows(
     hop_ms: int = 10,
     id_col: str = "clip_id",
     content_col: str = "content",
+    repartition_to=SPREAD_DEFAULT,
 ) -> DataFrame:
     """Opaque PCM16-LE audio blobs → framed analysis windows:
     ``(id, win_idx, t0_ms, n_samples, samples: binary)``.
@@ -239,12 +242,12 @@ def audio_windows(
         f"{id_col} {dtypes[id_col]}, win_idx int, t0_ms int, "
         "n_samples int, samples binary"
     )
-    par = clips.sparkSession.sparkContext.defaultParallelism
-    return (
-        clips.select(id_col, content_col)
-        .repartition(par)
-        .mapInPandas(_frame, schema=schema)
-    )
+    if repartition_to is SPREAD_DEFAULT:
+        repartition_to = clips.sparkSession.sparkContext.defaultParallelism
+    sel = clips.select(id_col, content_col)
+    if repartition_to:
+        sel = sel.repartition(repartition_to)
+    return sel.mapInPandas(_frame, schema=schema)
 
 
 def audio_features(
@@ -324,6 +327,7 @@ def dhash_frames(
     content_col: str = "content",
     hash_w: int = 9,
     hash_h: int = 8,
+    repartition_to=SPREAD_DEFAULT,
 ) -> DataFrame:
     """Difference-hash (dHash) per image → ``(id, dhash: bigint)`` — the
     standard perceptual fingerprint for NEAR-duplicate image detection
@@ -372,9 +376,9 @@ def dhash_frames(
 
     dtypes = dict(frames.dtypes)
     schema = f"{id_col} {dtypes[id_col]}, dhash bigint"
-    par = frames.sparkSession.sparkContext.defaultParallelism
-    return (
-        frames.select(id_col, content_col)
-        .repartition(par)
-        .mapInPandas(_dh, schema=schema)
-    )
+    if repartition_to is SPREAD_DEFAULT:
+        repartition_to = frames.sparkSession.sparkContext.defaultParallelism
+    sel = frames.select(id_col, content_col)
+    if repartition_to:
+        sel = sel.repartition(repartition_to)
+    return sel.mapInPandas(_dh, schema=schema)

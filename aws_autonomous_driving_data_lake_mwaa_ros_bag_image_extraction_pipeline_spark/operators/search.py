@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions import text as T
 from ..functions.hashing import quantize
-from ._caching import finish
+from ._caching import finish, share
 
 
 def bm25_topk(
@@ -184,7 +184,8 @@ def tfidf_cosine_pairs(
             F.col("w"),
             (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("wt"),
         )
-    ).localCheckpoint(eager=False)
+    )
+    weights = share(weights)
     norms = weights.groupBy(id_col).agg(
         F.sqrt(
             F.sum((F.col("wt") * F.col("wt")).cast("decimal(28,10)")).cast(

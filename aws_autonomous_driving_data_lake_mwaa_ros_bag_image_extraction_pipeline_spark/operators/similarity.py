@@ -22,6 +22,22 @@ from pyspark.sql.utils import AnalysisException
 
 from ..functions import vectors as V
 from ._errors import is_absent
+from ._planstats import SPREAD_DEFAULT as _SPREAD_DEFAULT
+from ._planstats import input_size_bytes
+
+# Corpus-size line (Catalyst's analyzed-plan estimate, bytes) above which
+# lsh_topk switches to the late-attach exchange layout. Below it, the
+# early form's fewer stages win (measured at sf0.1: the late form's two
+# extra join stages cost ~0.3 s against ~50 MB of shuffle saved); above
+# it, shipping dim-sized vectors through the bucket join and pair dedup
+# dominates (the early form ships each vector n_tables + 2·degree times,
+# the late form once per candidate degree). Env-overridable so a cluster
+# profile can move the line without a code change.
+import os as _os
+
+LATE_ATTACH_BYTES = int(
+    _os.environ.get("SPARK_GRAFT_LSH_LATE_ATTACH_BYTES", str(1 << 30))
+)
 
 
 def brute_force_topk(
@@ -97,6 +113,7 @@ def lsh_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     include_vec: bool = True,
+    repartition_to=_SPREAD_DEFAULT,
 ) -> DataFrame:
     """Assign each vector a bucket per hash table (sign pattern of ``n_bits``
     hyperplane projections, packed into an integer). Output long-format:
@@ -110,11 +127,15 @@ def lsh_buckets(
     projections are ONE matmul per Arrow batch against the (tiny,
     deterministic) plane matrix, and bucket ids come from a second matmul
     against bit weights (packbits-style, MSB first). Integer buckets also
-    shrink the candidate-join shuffle key vs the old '0101…' strings. The
-    input is spread to ``defaultParallelism`` first — a compact parquet
-    arrives as ONE scan split, and without the repartition the matmul
-    stage runs single-threaded (the BNLJ-stream-side trap all our
-    CPU-bound narrow kernels guard against)."""
+    shrink the candidate-join shuffle key vs the old '0101…' strings.
+
+    ``repartition_to``: by default the input is spread to
+    ``defaultParallelism`` first — a compact parquet arrives as ONE scan
+    split, and without the repartition the matmul stage runs
+    single-threaded (the BNLJ-stream-side trap all our CPU-bound narrow
+    kernels guard against). Callers that measure the input layout pass an
+    int (spread to that) or ``None`` (skip the exchange — the 100 TB
+    case, where the scan already has thousands of splits)."""
     import numpy as np
     import pandas as pd
 
@@ -148,12 +169,12 @@ def lsh_buckets(
             cols["bucket"] = buckets.reshape(-1)
             yield pd.DataFrame(cols)
 
-    par = emb.sparkSession.sparkContext.defaultParallelism
-    return (
-        emb.select(id_col, vec_col)
-        .repartition(par)
-        .mapInPandas(_assign, schema=schema)
-    )
+    if repartition_to is _SPREAD_DEFAULT:
+        repartition_to = emb.sparkSession.sparkContext.defaultParallelism
+    sel = emb.select(id_col, vec_col)
+    if repartition_to:
+        sel = sel.repartition(repartition_to)
+    return sel.mapInPandas(_assign, schema=schema)
 
 
 def lsh_topk(
@@ -165,7 +186,8 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     queries: DataFrame | None = None,
-    late_attach: bool = False,
+    late_attach: bool | None = None,
+    repartition_to=_SPREAD_DEFAULT,
 ) -> DataFrame:
     """Approximate top-k: compare only within shared LSH buckets.
 
@@ -180,7 +202,7 @@ def lsh_topk(
     two forms return identical rows (same vectors, same double
     arithmetic), only the exchanges differ:
 
-    - ``False`` (default, right for single-box/bench scale): vectors ride
+    - ``False`` (right for single-box/bench scale): vectors ride
       the bucket rows through the bucket join and the pair dedup — fewest
       stages, and at local scale per-stage latency dominates exchange
       bytes (measured at sf0.1: the late form's two extra join stages
@@ -194,10 +216,21 @@ def lsh_topk(
       until the verify join, where each vector moves once per candidate
       degree — the minimum the verify can do. include_vec=False also
       halves the Python-boundary bytes of the bucket pass.
+    - ``None`` (default) auto-selects: late once Catalyst's size estimate
+      of the corpus crosses ``LATE_ATTACH_BYTES`` (1 GiB default,
+      env-overridable) — so the declared query stays the measured-fastest
+      early form at bench scale and flips to the exchange-light layout
+      where the payload bytes start to dominate.
+
+    ``repartition_to`` is the measured-layout spread knob passed through
+    to ``lsh_buckets``.
     """
+    if late_attach is None:
+        est = input_size_bytes(emb)
+        late_attach = est is not None and est > LATE_ATTACH_BYTES
     bk = lsh_buckets(
         emb, dim, n_tables, n_bits, id_col, vec_col,
-        include_vec=not late_attach,
+        include_vec=not late_attach, repartition_to=repartition_to,
     )
     if queries is not None:
         bk_q = bk.join(

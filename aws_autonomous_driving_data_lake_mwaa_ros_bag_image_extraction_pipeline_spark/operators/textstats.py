@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from ..functions import hashing as H
 from ..functions import text as T
 from ..functions.hashing import quantize
-from ._caching import finish
+from ._caching import finish, share
 
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -340,32 +340,39 @@ def winnow_overlap_pairs(
     signal). Pruned fingerprints leave both the numerator and the
     denominator, so overlap stays internally consistent.
 
-    The md5 selector pass runs EXACTLY ONCE per execution: the df-ceiling
-    is a count window over the fingerprint hash (one exchange on ``h``,
-    replacing the old groupBy + left-semi pair, which was a second
-    consumer of the selector subtree), and the PRUNED fingerprint table
-    is locally checkpointed (lazy, per call) before fanning out to its
-    three consumers (both self-join sides and the per-doc size branch).
-    The checkpoint — not exchange reuse — is what guarantees the single
-    pass: AQE's stage cache fails to match a stage whose child is a
-    ReusedExchange against its twin built over the original exchange, so
-    the size branch was observed re-running the ENTIRE selector+distinct
-    +window chain per execution (final adaptive plan showed two disjoint
-    ShuffleQueryStage chains; measured 1.77 s vs 0.61 s with the
+    The md5 selector pass runs EXACTLY ONCE per execution: the distinct
+    (id, h) fingerprint table is locally checkpointed (lazy, per call)
+    right after the selector, and the PRUNED table is checkpointed again
+    before fanning out to its three consumers (both self-join sides and
+    the per-doc size branch). The checkpoints — not exchange reuse — are
+    what guarantee the single pass: AQE's stage cache fails to match a
+    stage whose child is a ReusedExchange against its twin built over the
+    original exchange, so the size branch was observed re-running the
+    ENTIRE selector chain per execution (final adaptive plan showed two
+    disjoint ShuffleQueryStage chains; measured 1.77 s vs 0.61 s with the
     checkpoint at sf0.1). The checkpointed rows are the narrow (id, h)
     pairs the shuffles carry anyway. No persist: a CacheManager entry
     would serve repeat invocations over the same input from cache and
     outlive the call (the previous persist()-based formulation
     additionally measured THREE selector re-runs per warm call —
     concurrent AQE query stages racing the cache fill); ``eager``
-    controls only result materialization."""
+    controls only result materialization.
+
+    The df-ceiling is a groupBy(h) count over the checkpointed table plus
+    a left-anti join against the (few) over-ceiling hashes: the groupBy
+    partially aggregates map-side, so a boilerplate fingerprint shared by
+    millions of docs shuffles one partial row per map task, and the anti
+    join is AQE-skew-splittable. The round-21 formulation — a count
+    window over ``h`` — computed df over ALL fingerprints BEFORE the
+    ``<= max_df`` filter with no map-side combine, so that same hot
+    fingerprint landed its entire group on ONE window task (AQE's skew
+    split covers joins, not windows) — fine at sf0.1, serialized at
+    100 TB."""
     sel = (
         _winnow_fingerprints(k, window, text_col)
         if window is not None
         else _modp_fingerprints(k, sample_mod, text_col)
     )
-    from pyspark.sql import Window
-
     if repartition_to:
         # Spread the CPU-bound md5 selector pass: a compact single-file
         # corpus arrives as ONE scan split, so without this the selector
@@ -373,13 +380,16 @@ def winnow_overlap_pairs(
         # id — deterministic, skew-free. Default OFF: a 100 TB corpus
         # already has thousands of splits.
         docs = docs.repartition(repartition_to, F.col(id_col))
-    fp = docs.select(F.col(id_col), F.explode(sel).alias("h")).distinct()
-    pruned = (
-        fp.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("h")))
-        .filter(F.col("__df") <= max_df)
-        .drop("__df")
-        .localCheckpoint(eager=False)
+    fp = share(
+        docs.select(F.col(id_col), F.explode(sel).alias("h")).distinct()
     )
+    hot = (
+        fp.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("h")
+    )
+    pruned = share(fp.join(hot, "h", "left_anti"))
     sz = pruned.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     a = pruned.select(F.col(id_col).alias("id_a"), "h").hint("shuffle_hash")
     b = pruned.select(F.col(id_col).alias("id_b"), "h").hint("shuffle_hash")

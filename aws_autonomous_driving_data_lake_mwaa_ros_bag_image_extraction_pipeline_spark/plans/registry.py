@@ -80,6 +80,38 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Multi-consumer share: lazy localCheckpoint, upgraded to a reliable
+# checkpoint automatically when the session has a checkpoint dir.
+from ..operators._caching import share as _share_ckpt  # noqa: E402
+
+# Per-session memo of a table's SCAN SPLIT COUNT (see _spread_par): keyed
+# like _TABLE_PLANS so a rewritten/appended table re-measures.
+_SCAN_SPLITS: dict[tuple, int] = {}
+
+
+def _spread_par(spark: SparkSession, sf_dir: str, name: str) -> int | None:
+    """Gate for the operators' ``repartition_to`` spread: return
+    ``defaultParallelism`` only when the table's MEASURED scan layout
+    underfills the cluster (fewer scan splits than cores — the single-file
+    testdata), else ``None``.
+
+    The round-21 call sites passed ``defaultParallelism`` unconditionally,
+    which at 100 TB (thousands of native splits) would pay a guaranteed
+    full-corpus exchange purely to fix the sf0.1 single-file layout. The
+    split count comes from the planned scan's own partitioning
+    (``rdd().getNumPartitions()`` on the scan plan — driver-side file-split
+    arithmetic, no job, no data read) and is memoized per file fingerprint
+    like the table plan itself."""
+    par = spark.sparkContext.defaultParallelism
+    path = f"{sf_dir}/{name}.parquet"
+    key = (spark, sf_dir, name, _footer_fingerprint(path))
+    n = _SCAN_SPLITS.get(key)
+    if n is None:
+        n = _t(spark, sf_dir, name)._jdf.rdd().getNumPartitions()
+        _SCAN_SPLITS[key] = n
+    return par if n < par else None
+
+
 def dsum(col, alias):
     """Exact (decimal-accumulated) sum of a double column, output DOUBLE.
 
@@ -997,7 +1029,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"),
         threshold=0.8,
         n=8,
-        repartition_to=spark.sparkContext.defaultParallelism,
+        repartition_to=_spread_par(spark, sf_dir, "documents"),
     )
 
 
@@ -1071,7 +1103,7 @@ def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_pairs(
         _t(spark, sf_dir, "documents"),
         threshold=0.8,
-        repartition_to=spark.sparkContext.defaultParallelism,
+        repartition_to=_spread_par(spark, sf_dir, "documents"),
     )
 
 
@@ -1095,7 +1127,7 @@ def _minhash_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_pairs(
         _t(spark, sf_dir, "documents"),
         threshold=0.8,
-        repartition_to=spark.sparkContext.defaultParallelism,
+        repartition_to=_spread_par(spark, sf_dir, "documents"),
     )
 
 
@@ -1117,8 +1149,12 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure."""
     from ..operators import graph
 
+    # edges_deduped: the minhash pair table is one verified row per
+    # unordered pair (id_a < id_b, dropDuplicates'd) — CC skips its input
+    # dedup shuffle (graph.connected_components).
     comp = graph.connected_components(
-        _minhash_pairs_df(spark, sf_dir), src="id_a", dst="id_b"
+        _minhash_pairs_df(spark, sf_dir), src="id_a", dst="id_b",
+        edges_deduped=True,
     )
     return comp.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
@@ -1145,7 +1181,9 @@ def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph
 
     docs = _t(spark, sf_dir, "documents")
-    kept = graph.keep_canonical(docs, _minhash_pairs_df(spark, sf_dir))
+    kept = graph.keep_canonical(
+        docs, _minhash_pairs_df(spark, sf_dir), edges_deduped=True
+    )
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
@@ -1223,7 +1261,7 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(
         _t(spark, sf_dir, "documents"),
         bits=32,
-        repartition_to=spark.sparkContext.defaultParallelism,
+        repartition_to=_spread_par(spark, sf_dir, "documents"),
     )
 
 
@@ -1331,7 +1369,7 @@ def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     substrings before the join."""
     return textstats.winnow_overlap_pairs(
         _t(spark, sf_dir, "documents"),
-        repartition_to=spark.sparkContext.defaultParallelism,
+        repartition_to=_spread_par(spark, sf_dir, "documents"),
     )
 
 
@@ -1391,7 +1429,7 @@ def q_winnow_guaranteed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the array-local selection path hit the ±25% outlier pass."""
     return textstats.winnow_overlap_pairs(
         _t(spark, sf_dir, "documents"), window=8,
-        repartition_to=spark.sparkContext.defaultParallelism,
+        repartition_to=_spread_par(spark, sf_dir, "documents"),
     )
 
 
@@ -1704,7 +1742,8 @@ def q_best_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = textstats.quality_scores(docs).select("doc_id", "quality")
     scored = docs.select("doc_id", "source").join(q, "doc_id")
     kept = graph.keep_best(
-        scored, _minhash_pairs_df(spark, sf_dir), "quality"
+        scored, _minhash_pairs_df(spark, sf_dir), "quality",
+        edges_deduped=True,
     )
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1830,7 +1869,10 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (compare only within buckets, O(n·bucket) not O(n²)). The hyperplanes
     are deterministic (md5-seeded), so the oracle replays them as literals."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(emb, dim=64, k=5, n_tables=4, n_bits=8)
+    return similarity.lsh_topk(
+        emb, dim=64, k=5, n_tables=4, n_bits=8,
+        repartition_to=_spread_par(spark, sf_dir, "embeddings"),
+    )
 
 
 @register(
@@ -2127,7 +2169,7 @@ def q_embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(sum of bucket sizes squared), not O(n^2)."""
     pairs = dedup.embedding_dup_pairs(
         _t(spark, sf_dir, "embeddings"), dim=64, threshold=0.4,
-        repartition_to=spark.sparkContext.defaultParallelism,
+        repartition_to=_spread_par(spark, sf_dir, "embeddings"),
     )
     return pairs.withColumn("cosine", F.round("cosine", 6))
 
@@ -2702,7 +2744,7 @@ def q_passage_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle keys are md5 hashes — uniform, skew-free at 100 TB."""
     return curation.passage_dup_stats(
         _t(spark, sf_dir, "documents"), n=3,
-        repartition_to=spark.sparkContext.defaultParallelism,
+        repartition_to=_spread_par(spark, sf_dir, "documents"),
     )
 
 
@@ -2740,7 +2782,7 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-overlapping chunks."""
     return curation.duplicated_spans(
         _t(spark, sf_dir, "documents"), k=8,
-        repartition_to=spark.sparkContext.defaultParallelism,
+        repartition_to=_spread_par(spark, sf_dir, "documents"),
     )
 
 
@@ -2807,7 +2849,7 @@ def q_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine, no hot-key window) joined back AQE-skew-splittably."""
     return curation.scrub_duplicated_spans(
         _t(spark, sf_dir, "documents"), k=8,
-        repartition_to=spark.sparkContext.defaultParallelism,
+        repartition_to=_spread_par(spark, sf_dir, "documents"),
     )
 
 
@@ -2899,7 +2941,7 @@ def q_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     df threshold, ordered reassembly, and tail handling are all pinned."""
     return curation.scrub_duplicate_passages(
         _t(spark, sf_dir, "documents"), n=3, max_df=1,
-        repartition_to=spark.sparkContext.defaultParallelism,
+        repartition_to=_spread_par(spark, sf_dir, "documents"),
     )
 
 
@@ -2961,7 +3003,7 @@ def q_passage_trim_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales with zero corpus-wide state."""
     return curation.trim_repeated_passages(
         _t(spark, sf_dir, "documents"), n=3,
-        repartition_to=spark.sparkContext.defaultParallelism,
+        repartition_to=_spread_par(spark, sf_dir, "documents"),
     )
 
 
@@ -3463,7 +3505,7 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup_pairs(
         docs, threshold=0.8,
-        repartition_to=spark.sparkContext.defaultParallelism,
+        repartition_to=_spread_par(spark, sf_dir, "documents"),
     ).select("id_a", "id_b")
     dim = docs.select("doc_id", "source")
     lab = (
@@ -3797,7 +3839,7 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(k1.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi")
         .join(k1.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
     )
-    k2 = graph.keep_canonical(k1, pairs)
+    k2 = graph.keep_canonical(k1, pairs, edges_deduped=True)
     q = textstats.quality_scores(docs).select("doc_id", "quality")
     k3 = k2.join(q, "doc_id").filter(F.col("quality") >= 0.3).select("doc_id")
     cont = curation.contamination_overlap(
@@ -4920,7 +4962,7 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return edit_distance_pairs(
         docs, id_col="doc_id", text=T.normalized(F.col("text")).substr(1, 64), k=2,
-        repartition_to=spark.sparkContext.defaultParallelism,
+        repartition_to=_spread_par(spark, sf_dir, "documents"),
     )
 
 
@@ -5315,7 +5357,7 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.pq_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64, m=8, n_codes=16,
-        repartition_to=spark.sparkContext.defaultParallelism,
+        repartition_to=_spread_par(spark, sf_dir, "embeddings"),
     )
 
 
@@ -6202,8 +6244,8 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = (
         li.groupBy("l_partkey")
         .agg(F.sum(rev).cast("double").alias("value"))
-        .localCheckpoint(eager=False)
     )
+    pv = _share_ckpt(pv)
     total = pv.agg(
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("_total")
     )
@@ -7067,7 +7109,7 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_dedup_pairs(
         docs,
         threshold=0.8,
-        repartition_to=spark.sparkContext.defaultParallelism,
+        repartition_to=_spread_par(spark, sf_dir, "documents"),
     )
     src = docs.select("doc_id", "source")
     return (
@@ -8051,7 +8093,8 @@ def q_knn_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     und = knn.select(
         F.least("id_a", "id_b").alias("u"), F.greatest("id_a", "id_b").alias("v")
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct()
+    und = _share_ckpt(und)
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
@@ -8611,7 +8654,7 @@ def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     on its candidates, so detected ⊆ exact and the ratio IS banding
     recall (1.0 here; the S-curve gives ~0.985 at exactly 0.8)."""
     docs = _t(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
+    par = _spread_par(spark, sf_dir, "documents")
     exact = dedup.exact_shingle_jaccard_pairs(
         docs, threshold=0.8, repartition_to=par
     )
@@ -9737,8 +9780,8 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(F.sum(rev).cast("double").alias("total_rev"))
-        .localCheckpoint(eager=False)
     )
+    view = _share_ckpt(view)
     mx = view.agg(F.max("total_rev").alias("_mx"))
     return (
         view.join(F.broadcast(mx))

@@ -340,3 +340,88 @@ def test_eager_variants_bound_cache_lifetime(spark):
         assert cm.isEmpty()  # eager: nothing persisted survives the call
         assert sorted(map(tuple, got.collect())) == want
     spark.catalog.clearCache()
+
+
+def _fmt_plan(df):
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_hash_near_pairs_salted_parity_and_plan(spark, docs):
+    """The salted shuffle band join (the 100 TB path — a corpus-sized
+    banded table cannot broadcast) emits the IDENTICAL pair set as the
+    broadcast form, with no broadcast join in its plan and the salt in
+    the join key."""
+    bc = dedup.simhash_near_pairs(docs, band_join="broadcast")
+    sa = dedup.simhash_near_pairs(docs, band_join="salted")
+    rows_bc = sorted((r.id_a, r.id_b, r.hamming) for r in bc.collect())
+    rows_sa = sorted((r.id_a, r.id_b, r.hamming) for r in sa.collect())
+    assert rows_sa == rows_bc
+    assert rows_bc  # parity over a non-empty pair set
+    plan = _fmt_plan(sa)
+    assert "BroadcastHashJoin" not in plan
+    assert "__salt" in plan
+
+
+def test_hash_near_pairs_auto_band_join_thresholds(spark, docs):
+    """``band_join="auto"`` switches on the leaf-relation size estimate vs
+    the session's autoBroadcastJoinThreshold — the same line past which
+    the planner itself would stop broadcasting. Parquet input: a known
+    (file-size) estimate. A Python-built LocalRelation has NO size
+    estimate (LogicalRDD → defaultSizeInBytes = Long.Max), and auto must
+    treat unknown as not-broadcastable — the scale-safe reading."""
+    pq_docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+        assert "__salt" in _fmt_plan(dedup.simhash_near_pairs(pq_docs))
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(1 << 40)
+        )
+        assert "__salt" not in _fmt_plan(dedup.simhash_near_pairs(pq_docs))
+        # unknown-size input (python LocalRelation → LogicalRDD leaf):
+        # salted even under the huge threshold
+        assert "__salt" in _fmt_plan(dedup.simhash_near_pairs(docs))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_share_reliable_checkpoint_when_dir_set(spark, tmp_path, docs):
+    """``_caching.share`` upgrades the per-call shared intermediate to a
+    RELIABLE ``checkpoint()`` once the session has a checkpoint dir (the
+    fault-tolerant store a churning cluster needs — localCheckpoint blocks
+    die with their executor), writes the blocks there, and returns the
+    identical rows; without a dir it stays localCheckpoint (no files)."""
+    import os
+
+    want = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_near_pairs(docs).collect()
+    )
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    ckdir = str(tmp_path / "ck")
+    try:
+        sc.setCheckpointDir(ckdir)
+        got = sorted(
+            (r.id_a, r.id_b, r.hamming)
+            for r in dedup.simhash_near_pairs(docs).collect()
+        )
+        assert got == want
+        # the banded-table share went through the reliable store
+        files = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(ckdir)
+            for f in fs
+        ]
+        assert files
+    finally:
+        # drop the dir again so the rest of the suite keeps the local
+        # (zero-IO) path; checkpointDir is a plain Option var on the
+        # Scala SparkContext
+        none = spark._jvm.scala.Option.apply(None)  # Option.apply(null) ≡ None
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(none)
+        assert sc.getCheckpointDir() is None

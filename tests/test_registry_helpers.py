@@ -150,3 +150,20 @@ def test_fsum_overflow_aborts_loudly_and_gsum_survives(spark):
         registry.dsum(F.col("x"), "exact"),
     ).collect()[0]
     assert row.s == row.exact == 2.0e13
+
+
+def test_spread_par_gates_on_measured_scan_layout(tmp_path, spark):
+    """_spread_par fires (returns defaultParallelism) only when the
+    table's measured scan layout underfills the cluster: a single-file
+    table spreads, a many-file table does not — so the declared queries
+    stop paying a guaranteed full-corpus exchange on inputs that already
+    carry enough splits (the 100 TB case)."""
+    par = spark.sparkContext.defaultParallelism
+    sf_dir = str(tmp_path)
+    one = spark.range(100).selectExpr("id", "id * 2 AS v")
+    one.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    assert registry._spread_par(spark, sf_dir, "documents") == par
+
+    many = spark.range(10_000).selectExpr("id", "id * 2 AS v")
+    many.repartition(par + 4).write.parquet(f"{sf_dir}/embeddings.parquet")
+    assert registry._spread_par(spark, sf_dir, "embeddings") is None

@@ -247,6 +247,35 @@ def test_lsh_topk_late_attach_parity(spark):
     assert agg_lines and all("qv" not in ln for ln in agg_lines)
 
 
+def test_lsh_topk_late_attach_autoswitch(spark, monkeypatch):
+    """``late_attach=None`` (the default) picks the form from Catalyst's
+    corpus-size estimate vs LATE_ATTACH_BYTES: early below the line (this
+    corpus), late above it (threshold forced to 1 byte) — and the
+    auto-picked late form stays row-identical to early."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    early = similarity.lsh_topk(emb, dim=64, k=5, n_tables=4, n_bits=8)
+
+    def _agg_has_qv(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        lines = [
+            ln
+            for ln in plan.splitlines()
+            if "Aggregate" in ln and "query_id" in ln
+        ]
+        assert lines
+        return any("qv" in ln for ln in lines)
+
+    # below the threshold the default is the early form (vectors ride the
+    # candidate dedup)
+    assert _agg_has_qv(early)
+    monkeypatch.setattr(similarity, "LATE_ATTACH_BYTES", 1)
+    auto_late = similarity.lsh_topk(emb, dim=64, k=5, n_tables=4, n_bits=8)
+    assert not _agg_has_qv(auto_late)
+    assert sorted(map(tuple, auto_late.collect())) == sorted(
+        map(tuple, early.collect())
+    )
+
+
 def test_ivf_index_lifecycle(spark, tmp_path):
     """Persisted IVF index returns exactly what the in-memory ivf_topk
     returns for the same (refined) centroids, and the search plan prunes
