@@ -195,42 +195,59 @@ def connected_components(
         # where the previous two-long checksum needed one extra full
         # confirm round to observe equality (Kiveris et al. §3: both star
         # operations leave a star forest unchanged, so breaking here is
-        # exactly the checksum fixpoint, one round sooner). The probe is
-        # one groupBy on the node id — same key distribution as the
-        # round's own shuffles — and doubles as the edge count that sizes
-        # next round's coalesce.
-        probe = (
-            e.select(
-                F.explode(
-                    F.array(
-                        F.struct(
-                            F.col("u").alias("n"),
-                            F.lit(1).alias("l"),
-                            F.lit(0).alias("r"),
-                        ),
-                        F.struct(
-                            F.col("v").alias("n"),
-                            F.lit(0).alias("l"),
-                            F.lit(1).alias("r"),
-                        ),
-                    )
-                ).alias("s")
+        # exactly the checksum fixpoint, one round sooner).
+        if small:
+            # Small regime is STICKY (the edge set never grows beyond the
+            # input — Kiveris et al.), so the next round's coalesce target
+            # stays 1 partition's worth and the probe doesn't need the
+            # edge count at all: a left-semi join of children against the
+            # parent set, isEmpty() — the broadcast build replaces the
+            # agg probe's explode + groupBy exchange, and the take(1)
+            # short-circuits on the first violation. Materializing e's
+            # checkpoint still rides this one action.
+            bad = not e.join(
+                e.select(F.col("v").alias("u")), "u", "left_semi"
+            ).isEmpty()
+            if not bad:
+                break
+        else:
+            # Big rounds keep the aggregate probe: one groupBy on the node
+            # id — same key distribution as the round's own shuffles — and
+            # its edge count sizes the next round's coalesce.
+            probe = (
+                e.select(
+                    F.explode(
+                        F.array(
+                            F.struct(
+                                F.col("u").alias("n"),
+                                F.lit(1).alias("l"),
+                                F.lit(0).alias("r"),
+                            ),
+                            F.struct(
+                                F.col("v").alias("n"),
+                                F.lit(0).alias("l"),
+                                F.lit(1).alias("r"),
+                            ),
+                        )
+                    ).alias("s")
+                )
+                .select("s.*")
+                .groupBy("n")
+                .agg(F.sum("l").alias("ls"), F.max("r").alias("rr"))
             )
-            .select("s.*")
-            .groupBy("n")
-            .agg(F.sum("l").alias("ls"), F.max("r").alias("rr"))
-        )
-        row = probe.agg(
-            F.sum("ls").alias("n_edges"),
-            F.sum(
-                F.when((F.col("ls") > 0) & (F.col("rr") > 0), 1).otherwise(0)
-            ).alias("bad"),
-        ).collect()[0]
-        if not row.bad:  # star forest (n_edges NULL ⇒ empty graph: done too)
-            break
-        n_edges = row.n_edges or 0
-        parts = _parts_for(n_edges)
-        small = n_edges <= rows_per_partition
+            row = probe.agg(
+                F.sum("ls").alias("n_edges"),
+                F.sum(
+                    F.when(
+                        (F.col("ls") > 0) & (F.col("rr") > 0), 1
+                    ).otherwise(0)
+                ).alias("bad"),
+            ).collect()[0]
+            if not row.bad:  # star forest (NULL n_edges ⇒ empty: done too)
+                break
+            n_edges = row.n_edges or 0
+            parts = _parts_for(n_edges)
+            small = n_edges <= rows_per_partition
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
     if stats is not None:

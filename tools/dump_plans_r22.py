@@ -61,6 +61,7 @@ def _session(final: bool):
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.compress", "false")
         .config("spark.eventLog.dir", f"file://{evdir}")
         .getOrCreate()
     )
@@ -72,14 +73,30 @@ def _stage_table(evdir: str, first_job_id: int) -> list[str]:
     stage submitted at/after ``first_job_id``'s submission."""
     rows = []
     stage_jobs: dict[int, int] = {}
-    path = None
-    for f in os.listdir(evdir):
-        if not f.startswith("."):
-            path = os.path.join(evdir, f)
-    if path is None:
+    # Spark 4 rolling logs are a directory (eventlog_v2_<app>) holding
+    # events_* part files; single-file logs are also accepted.
+    files: list[str] = []
+    for f in sorted(os.listdir(evdir)):
+        p = os.path.join(evdir, f)
+        if f.startswith("."):
+            continue
+        if os.path.isdir(p):
+            files += [
+                os.path.join(p, g)
+                for g in sorted(os.listdir(p))
+                if g.startswith("events")
+            ]
+        else:
+            files.append(p)
+    if not files:
         return ["(no event log found)"]
-    with open(path) as fh:
-        for line in fh:
+
+    def _lines():
+        for p in files:
+            with open(p) as fh:
+                yield from fh
+
+    for line in _lines():
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:
@@ -171,7 +188,14 @@ def main() -> None:
                 + plan.rstrip()
                 + "\n\n== Stages executed (event log; jobs >= %d: the warm"
                 " run is excluded, the dumped run and the plan-rebuild run"
-                " are included) ==\n" % first_job
+                " are included — the table shows TWO identical executions)"
+                " ==\n"
+                "== NB: 'input' counts BlockManager reads too, so stages"
+                " consuming a localCheckpoint's blocks report their"
+                " deserialized size as input; the real parquet scan is the"
+                " stage with input>0 and shuffle_read=0 at the start of an"
+                " execution's job window. One such scan per execution ="
+                " the corpus pass runs once. ==\n" % first_job
                 + "\n".join(stages)
                 + "\n"
             )
